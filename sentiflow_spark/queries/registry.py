@@ -1,0 +1,85 @@
+"""Declared-query registry — the correctness surface of the engine.
+
+Every operator the engine claims (SURVEY.md §2 inventory plus the
+large-scale training-data extensions) registers here with:
+
+- ``fn(spark, sf_dir) -> DataFrame`` — the Spark-first implementation,
+- ``oracle`` — an equivalent ANSI-SQL string DuckDB can run on the same
+  parquet tables (``None`` for genuinely non-SQL-expressible ops, which
+  get a weaker rows-only check),
+- ``tags`` — operator families for selection in tests/bench.
+
+The driver executes both sides at sf=0.01 and compares row count,
+schema, and an order-insensitive value hash; ``sentiflow_spark.oracle``
+implements the same comparison for local tests.
+
+Cross-engine determinism rules every registered query follows:
+
+1. Aggregates over doubles go through DECIMAL (exact, order-independent)
+   and the final value is cast back to DOUBLE — bitwise identical in
+   both engines.
+2. Timestamps in output are formatted to strings (or cast to DATE).
+3. Any "pick one row per key" uses an explicit row_number tiebreak,
+   never dropDuplicates (whose pick is partition-order dependent).
+4. Column names are aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: SparkQuery
+    oracle: str | None
+    tags: tuple[str, ...] = field(default=())
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+# Modules that define queries; imported lazily by load_all() so that
+# importing the registry itself stays cheap.
+_QUERY_MODULES = (
+    "sentiflow_spark.queries.pipeline_queries",
+    "sentiflow_spark.queries.relational",
+    "sentiflow_spark.queries.window_queries",
+    "sentiflow_spark.queries.dedup_queries",
+    "sentiflow_spark.queries.text_queries",
+    "sentiflow_spark.queries.similarity_queries",
+    "sentiflow_spark.queries.multimodal_queries",
+    "sentiflow_spark.queries.streaming_queries",
+)
+
+
+def register(
+    name: str, oracle: str | None = None, tags: tuple[str, ...] = (), doc: str = ""
+) -> Callable[[SparkQuery], SparkQuery]:
+    def deco(fn: SparkQuery) -> SparkQuery:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, tags=tags,
+                               doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, Query]:
+    """Import every query module and return the full registry."""
+    for mod in _QUERY_MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError as exc:
+            # Allow partial builds while modules are still being added.
+            if exc.name != mod:
+                raise
+    return REGISTRY
