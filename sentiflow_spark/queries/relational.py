@@ -1,0 +1,531 @@
+"""Generic relational operator surface (SURVEY §2.10 / §7.2 M2).
+
+The reference has no SQL engine — these queries declare the extended
+relational scope (aggregation, every join flavor, set ops, rollup/cube,
+sorts/limits, scalar function families) that the Spark engine supplies
+natively, each hash-checked against DuckDB. TPC-H-class shapes run over
+the synthetic star schema.
+
+Scale notes baked into the plans:
+- joins put the small side in ``broadcast()`` where it is a dimension;
+  fact-fact joins shuffle on the join key and rely on AQE for skew,
+- aggregates are expressed as partial-aggregable Column expressions
+  (no UDFs), so map-side combine happens automatically,
+- LIMIT/top-k always carries a unique tiebreak column so results are
+  deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sentiflow_spark.functions.numeric import (
+    MONEY,
+    RATE,
+    davg,
+    dsum,
+    duck_davg,
+    duck_dsum,
+    duck_revenue,
+    revenue,
+)
+from sentiflow_spark.queries.registry import register
+from sentiflow_spark.tables import load
+
+
+@register(
+    "rel_q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {duck_dsum('l_quantity')} AS sum_qty,
+           {duck_dsum('l_extendedprice')} AS sum_base_price,
+           {duck_revenue()} AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                    * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+             AS sum_charge,
+           {duck_davg('l_quantity')} AS avg_qty,
+           {duck_davg('l_extendedprice')} AS avg_price,
+           {duck_davg('l_discount', 'DECIMAL(4,2)')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("relational", "aggregate", "bench", "tpch"),
+    doc="TPC-H Q1: scan + filter + hash aggregate with partial combine.",
+)
+def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    price, disc, tax = (F.col(c) for c in ("l_extendedprice", "l_discount", "l_tax"))
+    one = F.lit(1).cast(RATE)
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(price).alias("sum_base_price"),
+            revenue().alias("sum_disc_price"),
+            F.sum(
+                price.cast(MONEY) * (one - disc.cast(RATE)) * (one + tax.cast(RATE))
+            ).cast("double").alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(price).alias("avg_price"),
+            davg(disc, RATE).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "rel_q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey, {duck_revenue()} AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("relational", "join", "topk", "bench", "tpch"),
+    doc="TPC-H Q3: dim-filtered 3-way join + agg + deterministic top-k.",
+)
+def rel_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-03-15 00:00:00"
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1996-03-15 00:00:00"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue().alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "rel_q5_local_supplier",
+    oracle=f"""
+    SELECT n_name, {duck_revenue()} AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    tags=("relational", "join", "aggregate", "bench", "tpch"),
+    doc="TPC-H Q5: 6-way star join, dims broadcast, facts shuffled on key.",
+)
+def rel_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(revenue().alias("revenue"))
+    )
+
+
+@register(
+    "rel_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("relational", "filter", "aggregate", "bench", "tpch"),
+    doc="TPC-H Q6: tight filter + scalar aggregate; all predicates push to scan.",
+)
+def rel_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(MONEY)
+                * F.col("l_discount").cast(RATE)
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "rel_join_full_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM (SELECT * FROM customer WHERE c_acctbal > 0) c
+    FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+      ON c.c_custkey = o.o_custkey
+    """,
+    tags=("relational", "join"),
+    doc="Full outer join with unmatched rows on both sides.",
+)
+def rel_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "full").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "rel_join_semi",
+    oracle="""
+    SELECT p_partkey, p_name FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+    """,
+    tags=("relational", "join"),
+    doc="Left semi join (EXISTS).",
+)
+def rel_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return part.join(
+        li, part.p_partkey == li.l_partkey, "left_semi"
+    ).select("p_partkey", "p_name")
+
+
+@register(
+    "rel_join_anti",
+    oracle="""
+    SELECT p_partkey, p_name FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+    """,
+    tags=("relational", "join"),
+    doc="Left anti join (NOT EXISTS).",
+)
+def rel_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return part.join(
+        li, part.p_partkey == li.l_partkey, "left_anti"
+    ).select("p_partkey", "p_name")
+
+
+@register(
+    "rel_join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+    tags=("relational", "join"),
+    doc="Cross join (small dims only — guarded at scale).",
+)
+def rel_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "region")
+        .crossJoin(load(spark, sf_dir, "nation"))
+        .select("r_name", "n_name")
+    )
+
+
+@register(
+    "rel_range_join",
+    oracle="""
+    SELECT o.o_orderkey, b.bucket
+    FROM orders o
+    JOIN (VALUES (0.0, 100000.0, 'small'),
+                 (100000.0, 300000.0, 'medium'),
+                 (300000.0, 1000000.0, 'large')) AS b(lo, hi, bucket)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    """,
+    tags=("relational", "join"),
+    doc="Range (theta) join vs a broadcast band table.",
+)
+def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    bands = orders.sparkSession.createDataFrame(
+        [(0.0, 100000.0, "small"), (100000.0, 300000.0, "medium"),
+         (300000.0, 1000000.0, "large")],
+        ["lo", "hi", "bucket"],
+    )
+    return orders.join(
+        F.broadcast(bands),
+        (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+    ).select("o_orderkey", "bucket")
+
+
+@register(
+    "rel_agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("relational", "aggregate"),
+    doc="Distinct aggregation (expand + two-phase agg in Spark).",
+)
+def rel_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "rel_rollup",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("relational", "aggregate"),
+    doc="ROLLUP hierarchy totals.",
+)
+def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "rel_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("relational", "aggregate"),
+    doc="CUBE over two dimensions.",
+)
+def rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "rel_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("relational", "aggregate"),
+    doc="Explicit GROUPING SETS.",
+)
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "rel_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F"
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("relational", "aggregate"),
+    doc="Pivot (groupBy().pivot()) with fixed value list.",
+)
+def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast(MONEY)).cast("double"))
+    )
+
+
+@register(
+    "rel_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("relational", "setop"),
+    doc="UNION with dedup.",
+)
+def rel_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "rel_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("relational", "setop"),
+    doc="INTERSECT (distinct semantics).",
+)
+def rel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "rel_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("relational", "setop"),
+    doc="EXCEPT (distinct semantics).",
+)
+def rel_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT DISTINCT semantics
+
+
+@register(
+    "rel_topk_global",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    tags=("relational", "topk"),
+    doc="Global top-k (TakeOrderedAndProject — no full sort at scale).",
+)
+def rel_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "rel_having",
+    oracle=f"""
+    SELECT l_partkey, {duck_dsum('l_quantity')} AS total_qty
+    FROM lineitem GROUP BY l_partkey
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 800
+    """,
+    tags=("relational", "aggregate"),
+    doc="Aggregate + HAVING filter.",
+)
+def rel_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 800)
+    )
+
+
+@register(
+    "rel_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice >
+      (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 1.5
+       FROM orders)
+    """,
+    tags=("relational", "subquery"),
+    doc="Scalar subquery threshold (exact-avg so both engines agree).",
+)
+def rel_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    thresh = orders.agg(
+        (davg(F.col("o_totalprice")) * 1.5).alias("t")
+    )
+    return orders.crossJoin(F.broadcast(thresh)).filter(
+        F.col("o_totalprice") > F.col("t")
+    ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "rel_case_null_semantics",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debtor'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END AS tier,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_ex,
+           c_acctbal IS NULL AS bal_missing
+    FROM customer
+    """,
+    tags=("relational", "expression", "E9"),
+    doc="CASE/COALESCE/NULLIF/IS NULL semantics.",
+)
+def rel_case_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debtor")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "segment_ex"
+        ),
+        F.isnull("c_acctbal").alias("bal_missing"),
+    )
