@@ -1,0 +1,286 @@
+"""Window-function and event-time-window surface (SURVEY §2.7 W4 + §7.2
+M2/M5): ranking, analytic, frame-based aggregates, top-k per group, and
+the tumbling / sliding / session event-time windows the reference never
+had (its only time notion was a 24h TTL) but a streaming analytics
+engine needs. Batch-checkable against DuckDB; the same expressions run
+under Structured Streaming with watermarks (streaming/dag.py).
+
+Determinism: every window ORDER BY ends in a unique key; frame
+aggregates over doubles go through DECIMAL (see functions/numeric.py);
+DuckDB computes window sums with segment trees (arbitrary addition
+order), so float frames would drift otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sentiflow_spark.functions.numeric import MONEY
+from sentiflow_spark.queries.registry import register
+from sentiflow_spark.tables import load
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "win_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("window", "topk", "bench"),
+    doc="Top-3 orders per customer — row_number with unique tiebreak.",
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "win_rank_dense_ntile",
+    oracle="""
+    SELECT p_brand, p_partkey,
+           rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rnk,
+           dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS drnk,
+           ntile(4)     OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS quartile
+    FROM part
+    """,
+    tags=("window",),
+    doc="rank / dense_rank / ntile ranking family.",
+)
+def win_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return part.select(
+        "p_brand",
+        "p_partkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle=f"""
+    SELECT user_id, event_id,
+           strftime(ts, '{TS_FMT_DUCK}') AS ts_s,
+           lag(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+           CAST(floor(epoch(ts)) -
+                floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
+                AS BIGINT) AS gap_s
+    FROM events
+    """,
+    tags=("window", "streaming-analog"),
+    doc="lag/lead + inter-event gap per user.",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).cast("long").alias("gap_s"),
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS last3_spend
+    FROM orders
+    """,
+    tags=("window", "bench"),
+    doc="Running + bounded ROWS frame aggregates (decimal-exact).",
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    spend = F.col("o_totalprice").cast(MONEY)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(spend).over(w.rowsBetween(W.unboundedPreceding, 0)).cast("double").alias(
+            "running_spend"
+        ),
+        F.sum(spend).over(w.rowsBetween(-2, 0)).cast("double").alias("last3_spend"),
+    )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+    SELECT DISTINCT l_orderkey,
+           first_value(l_partkey) OVER w AS first_part,
+           last_value(l_partkey)  OVER w AS last_part,
+           max(l_linenumber)      OVER w AS n_lines
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window",),
+    doc="first_value/last_value over an unbounded frame.",
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return li.select(
+        "l_orderkey",
+        F.first("l_partkey").over(w).alias("first_part"),
+        F.last("l_partkey").over(w).alias("last_part"),
+        F.max("l_linenumber").over(w).alias("n_lines"),
+    ).distinct()
+
+
+@register(
+    "win_percent_rank",
+    oracle="""
+    SELECT c_custkey,
+           percent_rank() OVER (ORDER BY c_acctbal, c_custkey) AS pr,
+           cume_dist()    OVER (ORDER BY c_acctbal, c_custkey) AS cd
+    FROM customer
+    """,
+    tags=("window",),
+    doc="percent_rank / cume_dist (exact rational doubles).",
+)
+def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@register(
+    "win_tumbling_hourly",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("window", "event-time", "W4", "bench"),
+    doc="Tumbling 1h event-time window (streaming-equivalent groupBy window()).",
+)
+def win_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(MONEY)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "win_sliding_2h_1h",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT date_trunc('hour', ts) AS w_start, user_id, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, user_id, value FROM events
+    )
+    SELECT strftime(w_start, '{TS_FMT_DUCK}') AS window_start,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM assigned GROUP BY w_start
+    """,
+    tags=("window", "event-time", "W4"),
+    doc="Sliding window (2h size, 1h slide): each event lands in 2 windows.",
+)
+def win_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT_SPARK).alias("window_start"),
+            "n",
+            "n_users",
+        )
+    )
+
+
+@register(
+    "win_session_30m",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             -- Spark merges strictly-within-gap events (next < prev_end),
+             -- so a gap of exactly 30m starts a NEW session in both.
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTES
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTES, '{TS_FMT_DUCK}') AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    tags=("window", "event-time", "session", "W4"),
+    doc="Session windows (30m gap) — session_window() in Spark, "
+    "gaps-and-islands in the oracle; identical merge semantics.",
+)
+def win_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), TS_FMT_SPARK).alias("session_start"),
+            F.date_format(F.col("w.end"), TS_FMT_SPARK).alias("session_end"),
+            "n_events",
+        )
+    )
