@@ -1,0 +1,118 @@
+"""Text-analysis primitives for large-scale corpus processing
+(SURVEY §7.2 M5): tokenization, token statistics, quality scoring,
+language identification, document fingerprinting.
+
+All pure Column expressions — JVM-side, codegen'd, no Python in the hot
+path — with DuckDB-fragment twins for the oracle. At 100 TB these run
+as a single scan projection: no shuffle, no UDF serialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Whitespace tokens (reference-free); BPE-ish lexical tokens: word /
+# number / single punctuation — a deterministic proxy for subword count.
+WORD_RE = "[a-zA-Z]+"
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+# Tiny per-language stopword marker sets for the n-gram/stopword-hit
+# language heuristic. Deliberately small + disjoint so the heuristic is
+# deterministic and SQL-expressible.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "que", "los", "una"],
+    "fr": ["le", "les", "des", "est", "dans"],
+}
+
+STOPWORDS_EN = ["the", "a", "of", "to", "and", "in", "is", "it", "for", "on"]
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization, empty strings dropped."""
+    return F.filter(F.split(text, "\\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_RE), 0))
+
+
+def word_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(WORD_RE), 0))
+
+
+def _count_hits(text: Column, words: list[str]) -> Column:
+    """Occurrences of any marker word (word-bounded) in lowercased text."""
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0))
+
+
+def lang_id(text: Column, langs: dict[str, list[str]] | None = None) -> Column:
+    """Heuristic language id: argmax of marker-word hit counts, 'und'
+    (undetermined) when nothing matches. Ties break by language code
+    order for determinism."""
+    langs = langs or LANG_MARKERS
+    # Build (hits, code) structs, pick max by (hits, reversed code order).
+    best_code = F.lit("und")
+    best_hits = F.lit(0)
+    for code in sorted(langs, reverse=True):  # earlier codes win ties
+        hits = _count_hits(text, langs[code])
+        take = hits >= F.greatest(best_hits, F.lit(1))
+        best_code = F.when(take, F.lit(code)).otherwise(best_code)
+        best_hits = F.when(take, hits).otherwise(best_hits)
+    return best_code
+
+
+def duck_lang_id(text_expr: str, langs: dict[str, list[str]] | None = None) -> str:
+    langs = langs or LANG_MARKERS
+    expr_code, expr_hits = "'und'", "0"
+    for code in sorted(langs, reverse=True):
+        pat = r"\b(" + "|".join(langs[code]) + r")\b"
+        hits = f"len(regexp_extract_all(lower({text_expr}), '{pat}'))"
+        expr_code = (
+            f"CASE WHEN {hits} >= greatest({expr_hits}, 1) THEN '{code}' "
+            f"ELSE {expr_code} END"
+        )
+        expr_hits = f"greatest({expr_hits}, {hits})"
+    return expr_code
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic quality heuristic in [0,1]: rewards moderate
+    length, words over punctuation, and stopword presence (fluency
+    proxy). Exact rational arithmetic → identical across engines."""
+    n_chars = F.length(text)
+    n_words = word_count(text)
+    n_punct = F.size(F.regexp_extract_all(text, F.lit("[^a-zA-Z0-9\\s]"), 0))
+    n_stop = _count_hits(text, STOPWORDS_EN)
+    len_score = F.least(n_chars, F.lit(500)).cast("double") / 500.0
+    word_ratio = n_words.cast("double") / F.greatest(n_words + n_punct, F.lit(1))
+    stop_ratio = F.least(
+        n_stop.cast("double") / F.greatest(n_words, F.lit(1)), F.lit(0.5)
+    ) * 2.0
+    return (len_score + word_ratio + stop_ratio) / 3.0
+
+
+def duck_quality_score(t: str) -> str:
+    n_words = f"len(regexp_extract_all({t}, '{WORD_RE}'))"
+    n_punct = f"len(regexp_extract_all({t}, '[^a-zA-Z0-9\\s]'))"
+    stop_pat = r"\b(" + "|".join(STOPWORDS_EN) + r")\b"
+    n_stop = f"len(regexp_extract_all(lower({t}), '{stop_pat}'))"
+    len_score = f"CAST(least(length({t}), 500) AS DOUBLE) / 500.0"
+    word_ratio = f"CAST({n_words} AS DOUBLE) / greatest({n_words} + {n_punct}, 1)"
+    stop_ratio = f"least(CAST({n_stop} AS DOUBLE) / greatest({n_words}, 1), 0.5) * 2.0"
+    return f"(({len_score}) + ({word_ratio}) + ({stop_ratio})) / 3.0"
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical document fingerprint: lowercase, collapse non-alnum
+    runs, md5. Equal fingerprints == near-identical documents modulo
+    casing/punctuation/whitespace — the exact-dedup key."""
+    normalized = F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+    return F.md5(normalized)
+
+
+def duck_fingerprint(t: str) -> str:
+    return f"md5(trim(regexp_replace(lower({t}), '[^a-z0-9]+', ' ', 'g')))"

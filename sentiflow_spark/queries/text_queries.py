@@ -1,0 +1,231 @@
+"""Text-analysis declared queries over the documents corpus
+(training-data-pipeline operators, SURVEY §7.2 M5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sentiflow_spark.functions.text import (
+    BPE_RE,
+    WORD_RE,
+    duck_fingerprint,
+    duck_lang_id,
+    duck_quality_score,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    word_count,
+)
+from sentiflow_spark.queries.registry import register
+from sentiflow_spark.tables import load
+
+
+@register(
+    "txt_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars_obs,
+           strlen(text) AS n_bytes,
+           len(regexp_extract_all(text, '{WORD_RE}')) AS n_words,
+           len(regexp_extract_all(text, '{BPE_RE}')) AS n_tokens,
+           len(list_distinct(regexp_extract_all(lower(text), '{WORD_RE}'))) AS n_unique_words
+    FROM documents
+    """,
+    tags=("text", "M5", "bench"),
+    doc="Token counting: chars/bytes/words/BPE-ish tokens/unique words.",
+)
+def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars_obs"),
+        F.octet_length(t).alias("n_bytes"),
+        word_count(t).alias("n_words"),
+        token_count(t).alias("n_tokens"),
+        F.size(
+            F.array_distinct(F.regexp_extract_all(F.lower(t), F.lit(WORD_RE), 0))
+        ).alias("n_unique_words"),
+    )
+
+
+@register(
+    "txt_lang_id",
+    oracle=f"""
+    SELECT {duck_lang_id('text')} AS pred_lang, lang, COUNT(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+    tags=("text", "M5"),
+    doc="Heuristic language-ID vs the labeled lang column (confusion counts).",
+)
+def txt_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_id(F.col("text")).alias("pred_lang"), "lang")
+        .groupBy("pred_lang", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "txt_quality_filter",
+    oracle=f"""
+    SELECT doc_id, {duck_quality_score('text')} AS quality
+    FROM documents
+    WHERE {duck_quality_score('text')} >= 0.5
+    """,
+    tags=("text", "M5", "bench"),
+    doc="Quality scoring + threshold filter (the corpus-cleaning primitive).",
+)
+def txt_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    return docs.select("doc_id", q.alias("quality")).filter(F.col("quality") >= 0.5)
+
+
+@register(
+    "txt_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {duck_fingerprint('text')} AS fp FROM documents
+    """,
+    tags=("text", "M5"),
+    doc="Canonical document fingerprint (normalize → md5).",
+)
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "txt_string_funcs",
+    oracle="""
+    SELECT doc_id,
+           upper(substr(text, 1, 12)) AS head_upper,
+           reverse(substr(text, 1, 8)) AS head_rev,
+           replace(substr(text, 1, 30), ' ', '_') AS head_snake,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS id_padded,
+           split_part(text, ' ', 1) AS first_word,
+           instr(text, 'data') AS data_pos,
+           levenshtein(substr(text, 1, 10), 'the fast k') AS lev10,
+           translate(substr(text, 1, 10), 'aeiou', 'AEIOU') AS vowels_up,
+           repeat('-', 3) || trim(substr(text, 1, 6)) AS dashed
+    FROM documents
+    """,
+    tags=("text", "expression", "E5"),
+    doc="String function family (E5 surface + extensions).",
+)
+def txt_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.upper(F.substring(t, 1, 12)).alias("head_upper"),
+        F.reverse(F.substring(t, 1, 8)).alias("head_rev"),
+        F.replace(F.substring(t, 1, 30), F.lit(" "), F.lit("_")).alias("head_snake"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("id_padded"),
+        F.split_part(t, F.lit(" "), F.lit(1)).alias("first_word"),
+        F.instr(t, "data").alias("data_pos"),
+        F.levenshtein(F.substring(t, 1, 10), F.lit("the fast k")).alias("lev10"),
+        F.translate(F.substring(t, 1, 10), "aeiou", "AEIOU").alias("vowels_up"),
+        F.concat(F.repeat(F.lit("-"), 3), F.trim(F.substring(t, 1, 6))).alias("dashed"),
+    )
+
+
+@register(
+    "txt_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mon,
+           CAST(day(o_orderdate) AS INTEGER) AS dom,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow_sunday1,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(o_orderdate + INTERVAL 30 DAYS, '%Y-%m-%d') AS due_date,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER)
+             AS days_since_epoch_start
+    FROM orders
+    """,
+    tags=("text", "expression", "E6", "E7"),
+    doc="Date/time function family (E6/E7 surface). DuckDB dayofweek is "
+    "0=Sunday vs Spark 1=Sunday — normalized in the oracle.",
+)
+def txt_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mon"),
+        F.dayofmonth(d).alias("dom"),
+        F.dayofweek(d).alias("dow_sunday1"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+    )
+
+
+@register(
+    "txt_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 50000.0) AS abs_diff,
+           CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_kilo_ceil,
+           CAST(floor(l_quantity / 10.0) AS BIGINT) AS qty_decade,
+           sqrt(l_quantity) AS qty_sqrt,
+           CAST(sign(l_extendedprice - 50000.0) AS INTEGER) AS side,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
+           greatest(l_discount, l_tax) AS max_rate,
+           least(l_discount, l_tax) AS min_rate,
+           round(CAST(l_extendedprice AS DECIMAL(18,2)) * 2, 0) AS doubled_round
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+    tags=("text", "expression", "math"),
+    doc="Math function family. sqrt is IEEE-correctly-rounded in both "
+    "engines; exp/ln are not guaranteed and stay out of oracle scope.",
+)
+def txt_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    price, qty = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(price - 50000.0).alias("abs_diff"),
+        F.ceil(price / 1000.0).alias("price_kilo_ceil"),
+        F.floor(qty / 10.0).alias("qty_decade"),
+        F.sqrt(qty).alias("qty_sqrt"),
+        F.signum(price - 50000.0).cast("int").alias("side"),
+        (qty.cast("long") % 7).alias("qty_mod7"),
+        F.greatest(F.col("l_discount"), F.col("l_tax")).alias("max_rate"),
+        F.least(F.col("l_discount"), F.col("l_tax")).alias("min_rate"),
+        F.round(price.cast("decimal(18,2)") * 2, 0).alias("doubled_round"),
+    )
+
+
+@register(
+    "txt_array_funcs",
+    oracle="""
+    SELECT lang,
+           list_sort(list_distinct(list(source))) AS sources,
+           len(list_distinct(list(source))) AS n_sources,
+           list_contains(list_distinct(list(source)), 'src0') AS has_src0,
+           array_to_string(list_sort(list_distinct(list(source))), '+') AS joined
+    FROM documents GROUP BY lang
+    """,
+    tags=("text", "expression", "array", "E4"),
+    doc="Array functions: collect_set/sort/size/contains/join (E4 surface).",
+)
+def txt_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sources = F.sort_array(F.collect_set("source"))
+    return docs.groupBy("lang").agg(
+        sources.alias("sources"),
+        F.size(F.collect_set("source")).alias("n_sources"),
+        F.array_contains(F.sort_array(F.collect_set("source")), "src0").alias("has_src0"),
+        F.array_join(F.sort_array(F.collect_set("source")), "+").alias("joined"),
+    )
