@@ -106,6 +106,28 @@ def duck_quality_score(t: str) -> str:
     return f"(({len_score}) + ({word_ratio}) + ({stop_ratio})) / 3.0"
 
 
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (1-based element_at, so the Spark
+    and DuckDB renderings are symmetric)."""
+    toks = F.regexp_extract_all(F.lower(text), F.lit(WORD_RE), 0)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k) for k in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def duck_shingles(t: str, n: int = 3) -> str:
+    toks = f"regexp_extract_all(lower({t}), '{WORD_RE}')"
+    parts = " || ' ' || ".join(f"__t[i+{k}]" if k else "__t[i]" for k in range(n))
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(len({toks})-{n - 1}, 0)), "
+        f"i -> {parts}))".replace("__t", toks)
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Canonical document fingerprint: lowercase, collapse non-alnum
     runs, md5. Equal fingerprints == near-identical documents modulo

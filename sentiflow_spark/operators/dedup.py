@@ -1,0 +1,246 @@
+"""Deduplication operators for large-scale corpus curation
+(SURVEY §7.2 M5 — a first-class extension beyond the reference, whose
+only dedup was a keyed TTL set: ``internal/clients/valkey_client.go:126-159``).
+
+Four families, all shuffle-architected for 100 TB:
+
+- **exact**: canonical fingerprint (normalize→md5) + first-wins pick.
+  One hash-partitioned aggregation; the md5 key is uniform → no skew.
+- **MinHash + LSH**: shingle → k permutation mins → band buckets →
+  candidate pairs. Signature build is one groupBy(doc) over exploded
+  shingles with k partial-aggregable MIN()s; band join is an equi-join
+  on (band_idx, band_hash) — never an all-pairs product. Estimated
+  Jaccard = matching-component fraction; a final exact-Jaccard pass can
+  be layered for verification.
+- **SimHash**: 32-bit sign-aggregated token hash; near-dups share
+  8-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 chunks equal), so
+  candidate generation is again an equi-join, then exact hamming via
+  bit_count(xor).
+- **n-gram Jaccard (exact)**: inverted-index self-join on shingle,
+  count shared per pair, |A∩B| / (|A|+|B|-|A∩B|). At 100 TB you add
+  prefix filtering / df-capping on the index; the plan shape (explode →
+  equi-join → aggregate) is unchanged.
+
+Every hash is the portable md5-derived 32-bit integer
+(functions/hashing.py), so results are engine-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sentiflow_spark.functions.hashing import (
+    MERSENNE_31,
+    md5_i32,
+    minhash_coeffs,
+)
+from sentiflow_spark.functions.text import fingerprint, shingles
+
+NUM_PERM = 16
+BAND_SIZE = 4  # 4 bands × 4 rows: P(candidate) = 1-(1-j^4)^4
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest id per canonical fingerprint."""
+    w = W.partitionBy("fp").orderBy(id_col)
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def exploded_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) inverted-index rows, distinct per doc."""
+    return df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col))).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_perm: int = NUM_PERM
+) -> DataFrame:
+    """id → sig_0..sig_{k-1}. Docs with no shingles get no row (nothing
+    to hash — same convention as the oracle)."""
+    coeffs = minhash_coeffs(num_perm)
+    sh = exploded_shingles(df, text_col, id_col)
+    h = md5_i32(F.col("shingle"))
+    aggs = [
+        F.min((h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = NUM_PERM,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Band the signatures and equi-join on (band_idx, band_key) to get
+    candidate pairs with their estimated Jaccard (matching-signature
+    fraction). Never materializes a cross product."""
+    n_bands = num_perm // band_size
+    bands = sigs.select(
+        F.col(id_col),
+        *[F.col(f"sig_{i}") for i in range(num_perm)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"sig_{b * band_size + r}")
+                                    for r in range(band_size)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, *[f"sig_{i}" for i in range(num_perm)], "band.*")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            *[
+                (F.col(f"a.sig_{i}") == F.col(f"b.sig_{i}")).cast("int").alias(f"m_{i}")
+                for i in range(num_perm)
+            ],
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    match_frac = sum(F.col(f"m_{i}") for i in range(num_perm)) / F.lit(
+        float(num_perm)
+    )
+    return pairs.select("doc_a", "doc_b", match_frac.alias("est_jaccard"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact shingle-set Jaccard via inverted-index self-join."""
+    sh = exploded_shingles(df, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------------ SimHash
+
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4  # 8-bit chunks; pairs sharing >=1 chunk are candidates
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash over distinct word tokens: bit k is set when the
+    signed sum of token-hash bit-k contributions is positive."""
+    from sentiflow_spark.functions.text import WORD_RE
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+            )
+        ).alias("token"),
+    )
+    h = md5_i32(F.col("token"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"bs_{k}")
+        for k in range(SIMHASH_BITS)
+    ]
+    sums = toks.groupBy(id_col).agg(*bit_sums)
+    sim = sum(
+        (F.when(F.col(f"bs_{k}") > 0, F.lit(2**k)).otherwise(F.lit(0)))
+        for k in range(SIMHASH_BITS)
+    ).cast("long")
+    return sums.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Candidate pairs share at least one 8-bit chunk (pigeonhole for
+    hamming ≤ 3 over 4 chunks), then exact hamming via bit_count(xor)."""
+    chunks = sims.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftright(F.col("simhash"), c * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("ch"),
+    ).select(id_col, "simhash", "ch.*")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

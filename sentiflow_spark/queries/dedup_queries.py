@@ -1,0 +1,214 @@
+"""Declared queries for the deduplication family (operators/dedup.py).
+
+The DuckDB oracles re-derive MinHash/SimHash from the same portable
+md5-based integer hash, so signatures, band buckets, and hamming
+distances are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sentiflow_spark.functions.hashing import MERSENNE_31, minhash_coeffs
+from sentiflow_spark.operators.dedup import (
+    NUM_PERM,
+    BAND_SIZE,
+    SIMHASH_BITS,
+    SIMHASH_CHUNKS,
+    dedup_exact,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from sentiflow_spark.queries.registry import register
+from sentiflow_spark.tables import load
+
+# ---------------------------------------------------------- oracle fragments
+
+_DUCK_SHINGLES_CTE = """
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-zA-Z]+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 0)),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+  FROM toks
+),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h FROM sh
+)
+"""
+
+
+def _duck_sigs_cte(num_perm: int = NUM_PERM) -> str:
+    mins = ",\n         ".join(
+        f"MIN((h * {a} + {b}) % {MERSENNE_31}) AS sig_{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_perm))
+    )
+    return f"{_DUCK_SHINGLES_CTE}, sigs AS (\n  SELECT doc_id, {mins}\n  FROM hashed GROUP BY doc_id\n)"
+
+
+def _duck_bands_cte(num_perm: int = NUM_PERM, band_size: int = BAND_SIZE) -> str:
+    n_bands = num_perm // band_size
+    sig_cols = ", ".join(f"sig_{i}" for i in range(num_perm))
+    selects = [
+        f"SELECT doc_id, {sig_cols}, {b} AS band_idx, "
+        f"md5(concat_ws(',', {', '.join(f'sig_{b * band_size + r}' for r in range(band_size))}))"
+        f" AS band_key FROM sigs"
+        for b in range(n_bands)
+    ]
+    return ", bands AS (\n" + "\nUNION ALL\n".join(selects) + "\n)"
+
+
+_DUCK_SIMHASH_CTE = (
+    """
+toksd AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(regexp_extract_all(lower(text), '[a-zA-Z]+'))) AS token
+  FROM documents
+),
+th AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h FROM toksd
+),
+bs AS (
+  SELECT doc_id,
+         """
+    + ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS bs_{k}"
+        for k in range(SIMHASH_BITS)
+    )
+    + """
+  FROM th GROUP BY doc_id
+),
+simhashes AS (
+  SELECT doc_id, CAST("""
+    + " + ".join(
+        f"CASE WHEN bs_{k} > 0 THEN {2**k} ELSE 0 END" for k in range(SIMHASH_BITS)
+    )
+    + """ AS BIGINT) AS simhash
+  FROM bs
+)
+"""
+)
+
+
+@register(
+    "dd_exact_dedup",
+    oracle="""
+    SELECT doc_id, fp FROM (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+             row_number() OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    tags=("dedup", "M5", "bench"),
+    doc="Exact dedup: canonical fingerprint, first-wins survivor set.",
+)
+def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup_exact(docs).select("doc_id", "fp")
+
+
+@register(
+    "dd_minhash_signatures",
+    oracle=f"""
+    WITH {_duck_sigs_cte()}
+    SELECT * FROM sigs
+    """,
+    tags=("dedup", "M5", "minhash", "bench"),
+    doc=f"MinHash signatures ({NUM_PERM} portable permutations over 3-gram shingles).",
+)
+def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return minhash_signatures(docs)
+
+
+@register(
+    "dd_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_duck_sigs_cte()}{_duck_bands_cte()}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ({" + ".join(f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END" for i in range(NUM_PERM))})
+             / {float(NUM_PERM)} AS est_jaccard
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup", "M5", "minhash", "lsh"),
+    doc="MinHash-LSH near-duplicate candidates: band-bucket equi-join "
+    "(4 bands × 4 rows), estimated Jaccard = matching-sig fraction.",
+)
+def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(minhash_signatures(docs))
+
+
+@register(
+    "dd_ngram_jaccard",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT doc_a, doc_b,
+             CAST(shared AS DOUBLE) / (sa.set_size + sb.set_size - shared) AS jaccard
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    ) WHERE jaccard >= 0.6
+    """,
+    tags=("dedup", "M5", "jaccard"),
+    doc="Exact n-gram-set Jaccard via inverted-index self-join "
+    "(prefix-filter/df-cap is the 100TB refinement; plan shape identical).",
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.6)
+
+
+@register(
+    "dd_simhash",
+    oracle=f"""
+    WITH {_DUCK_SIMHASH_CTE}
+    SELECT doc_id, simhash FROM simhashes
+    """,
+    tags=("dedup", "M5", "simhash", "bench"),
+    doc=f"{SIMHASH_BITS}-bit SimHash fingerprints over distinct word tokens.",
+)
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+@register(
+    "dd_simhash_near_pairs",
+    oracle=f"""
+    WITH {_DUCK_SIMHASH_CTE},
+    chunks AS (
+      {" UNION ALL ".join(f"SELECT doc_id, simhash, {c} AS chunk_idx, (simhash >> {c * 8}) & 255 AS chunk_val FROM simhashes" for c in range(SIMHASH_CHUNKS))}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("dedup", "M5", "simhash"),
+    doc="SimHash near-dup pairs: 8-bit chunk buckets (pigeonhole for "
+    "hamming<=3), exact hamming via bit_count(xor).",
+)
+def dd_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return simhash_near_pairs(simhash(docs), max_hamming=3)
