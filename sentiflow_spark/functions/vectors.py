@@ -1,0 +1,66 @@
+"""Embedding-vector primitives (similarity search, SURVEY §7.2 M5).
+
+Cross-engine determinism: cosine over floats is addition-order
+dependent, so vectors are first quantized to integers
+(``round(x * 1000)``) — dot products and norms are then exact int64
+arithmetic, and ``cosine = dot / sqrt(na * nb)`` is a deterministic
+IEEE double in both engines (sqrt is correctly-rounded everywhere).
+Quantization error is ~1e-3 in each component — irrelevant for
+near-dup detection and top-k ranking, and it buys bitwise
+reproducibility across any cluster size.
+
+Spark side uses higher-order array functions (zip_with/aggregate):
+JVM-side, no Python, no UDF pickling — the 100 TB-friendly hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+QUANT = 1000
+
+
+def quantize(vec: Column) -> Column:
+    """array<float> → array<long>, component-wise round(x*1000)."""
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * QUANT, 0).cast("long")
+    )
+
+
+def dot_long(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_sq(a: Column) -> Column:
+    return dot_long(a, a)
+
+
+def cosine_q(dot: Column, norm_a: Column, norm_b: Column) -> Column:
+    """cosine from exact integer parts — identical doubles everywhere."""
+    return dot.cast("double") / F.sqrt((norm_a * norm_b).cast("double"))
+
+
+# --------------------------------------------------------------- DuckDB side
+
+DUCK_QUANTIZE = (
+    "list_transform({v}, x -> CAST(round(CAST(x AS DOUBLE) * " + str(QUANT) + ") AS BIGINT))"
+)
+
+
+def duck_quantize(v: str) -> str:
+    return DUCK_QUANTIZE.format(v=v)
+
+
+def duck_dot(a: str, b: str) -> str:
+    # exact: integer values ≤ ~1e6 per term, 64 terms — exact in double
+    return f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+def duck_cosine(dot: str, na: str, nb: str) -> str:
+    return f"CAST({dot} AS DOUBLE) / sqrt(CAST({na} AS DOUBLE) * CAST({nb} AS DOUBLE))"

@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (SURVEY §7.2 M5).
+
+Two plan shapes:
+
+- **Brute-force top-k** — broadcast the (small) probe set against the
+  full corpus, score every pair, per-probe top-k via window row_number.
+  The right baseline, and the *only* exact method; at 100 TB the scan
+  is embarrassingly parallel and the top-k is a partial
+  TakeOrdered per partition, so no global sort materializes.
+- **IVF-style bucketed search** — restrict scoring to the probe's
+  coarse partition (cluster/bucket id). Here the synthetic ``label``
+  column plays the precomputed centroid assignment (a real deployment
+  k-means-assigns offline and bucket-partitions the table on disk so
+  bucket pruning happens at the parquet-partition level). Trades
+  recall for a ~n_buckets× scan reduction.
+
+Scoring uses quantized-int cosine (functions/vectors.py) — exact,
+engine-reproducible, JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sentiflow_spark.functions.vectors import cosine_q, dot_long, norm_sq, quantize
+
+
+def with_quantized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    q = quantize(F.col(vec_col))
+    return df.withColumn("qvec", q).withColumn("qnorm", norm_sq(F.col("qvec")))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k per probe. probes/corpus must carry qvec+qnorm
+    (see with_quantized); probe ids excluded from their own results."""
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col("qvec").alias("p_qvec"),
+        F.col("qnorm").alias("p_qnorm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col("qvec").alias("c_qvec"),
+        F.col("qnorm").alias("c_qnorm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            cosine_q(
+                dot_long(F.col("p_qvec"), F.col("c_qvec")),
+                F.col("p_qnorm"),
+                F.col("c_qnorm"),
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "cand_id", "cosine", "rank")
+    )
+
+
+def bucketed_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """IVF-style: score only candidates in the probe's bucket."""
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(bucket_col).alias("bucket"),
+        F.col("qvec").alias("p_qvec"),
+        F.col("qnorm").alias("p_qnorm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(bucket_col).alias("bucket"),
+        F.col("qvec").alias("c_qvec"),
+        F.col("qnorm").alias("c_qnorm"),
+    )
+    scored = (
+        c.join(F.broadcast(p), "bucket")
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            cosine_q(
+                dot_long(F.col("p_qvec"), F.col("c_qvec")),
+                F.col("p_qnorm"),
+                F.col("c_qnorm"),
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "cand_id", "cosine", "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """Embedding near-duplicate pairs, blocked by the coarse bucket so
+    the pair space is (n/b)² per bucket instead of n² global."""
+    a = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(bucket_col).alias("bucket"),
+        F.col("qvec").alias("qa"),
+        F.col("qnorm").alias("na"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(bucket_col).alias("bucket"),
+        F.col("qvec").alias("qb"),
+        F.col("qnorm").alias("nb"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_q(
+                dot_long(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

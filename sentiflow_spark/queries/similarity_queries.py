@@ -1,0 +1,126 @@
+"""Declared queries for embedding similarity search
+(operators/similarity.py) over the embeddings table
+(vec_id BIGINT, embedding FLOAT[64], label INT)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sentiflow_spark.functions.vectors import duck_cosine, duck_dot, duck_quantize
+from sentiflow_spark.operators.similarity import (
+    brute_force_topk,
+    bucketed_topk,
+    cosine_neardup_pairs,
+    with_quantized,
+)
+from sentiflow_spark.queries.registry import register
+from sentiflow_spark.tables import load
+
+N_PROBES = 5  # probes = vec_id < 5
+TOP_K = 5
+
+_DUCK_Q_CTE = f"""
+q AS (
+  SELECT vec_id, label,
+         {duck_quantize('embedding')} AS qvec
+  FROM embeddings
+),
+qn AS (
+  SELECT vec_id, label, qvec, {duck_dot('qvec', 'qvec')} AS qnorm FROM q
+)
+"""
+
+_DUCK_SCORE = duck_cosine(
+    duck_dot("p.qvec", "c.qvec"), "p.qnorm", "c.qnorm"
+)
+
+
+@register(
+    "sim_brute_topk",
+    oracle=f"""
+    WITH {_DUCK_Q_CTE},
+    scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, {_DUCK_SCORE} AS cosine
+      FROM qn p JOIN qn c ON c.vec_id <> p.vec_id
+      WHERE p.vec_id < {N_PROBES}
+    )
+    SELECT probe_id, cand_id, cosine, rank FROM (
+      SELECT probe_id, cand_id, cosine,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "M5", "ann", "bench"),
+    doc="Exact brute-force cosine top-k (the ANN baseline/ground truth).",
+)
+def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    return brute_force_topk(emb, probes, k=TOP_K)
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH {_DUCK_Q_CTE},
+    scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, {_DUCK_SCORE} AS cosine
+      FROM qn p JOIN qn c ON c.label = p.label AND c.vec_id <> p.vec_id
+      WHERE p.vec_id < {N_PROBES}
+    )
+    SELECT probe_id, cand_id, cosine, rank FROM (
+      SELECT probe_id, cand_id, cosine,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "M5", "ann"),
+    doc="IVF-style bucketed top-k: score only the probe's coarse "
+    "partition (label = precomputed centroid assignment).",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    return bucketed_topk(emb, probes, k=TOP_K)
+
+
+@register(
+    "sim_neardup_pairs",
+    oracle=f"""
+    WITH {_DUCK_Q_CTE}
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {duck_cosine(duck_dot('a.qvec', 'b.qvec'), 'a.qnorm', 'b.qnorm')} AS cosine
+      FROM qn a JOIN qn b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.9
+    """,
+    tags=("similarity", "M5", "dedup"),
+    doc="Embedding-cosine near-duplicate pairs, bucket-blocked.",
+)
+def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    return cosine_neardup_pairs(emb, threshold=0.9)
+
+
+@register(
+    "sim_centroid_stats",
+    oracle=f"""
+    WITH {_DUCK_Q_CTE}
+    SELECT label, COUNT(*) AS n_vectors,
+           CAST(SUM(qnorm) AS BIGINT) AS total_qnorm,
+           MIN(vec_id) AS min_vec_id
+    FROM qn GROUP BY label
+    """,
+    tags=("similarity", "M5"),
+    doc="Per-bucket stats (the bookkeeping query an IVF index maintains).",
+)
+def sim_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("qnorm").cast("long").alias("total_qnorm"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
