@@ -1,0 +1,96 @@
+"""Multimodal column plumbing (SURVEY §7.2 M5).
+
+Convention for opaque media in a 100 TB corpus: a ``binary`` payload
+column + typed metadata struct, processed with Arrow-batched
+``mapInPandas`` so bytes never round-trip through Python row-by-row.
+Real decoders (PIL/ffmpeg/torchaudio) are not in this environment —
+the decode step is a clearly-marked deterministic stand-in behind an
+import-try (``_decode_image``), while everything Spark-side (schema,
+batch iteration, partitioning, column pruning before the UDF) is real.
+
+Scale notes:
+- the UDF input is pruned to (id, payload) *before* mapInPandas so
+  Arrow only ships the bytes that are needed,
+- feature extraction is per-row independent → embarrassingly parallel,
+  no shuffle; repartition upstream only to balance payload-size skew,
+- output schema is declared, so downstream stays fully relational.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("byte_len", T.LongType(), False),
+        T.StructField("content_hash", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+    ]
+)
+
+
+def attach_binary(docs: DataFrame) -> DataFrame:
+    """documents → multimodal record: payload as binary + typed metadata.
+    (In production the payload column comes from the storage layer;
+    here the text bytes stand in as the opaque media blob.)"""
+    return docs.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit("image/x-fake").alias("mime"),
+            F.octet_length("text").alias("size_bytes"),
+            F.col("source").alias("origin"),
+        ).alias("media_meta"),
+    )
+
+
+def _decode_image(payload: bytes) -> tuple[int, int, int]:
+    """Decode stub. A real deployment plugs PIL/ffmpeg in here; this
+    environment has neither, so dimensions are a deterministic pure
+    function of the bytes (keeps the full pipeline oracle-checkable)."""
+    try:  # pragma: no cover - decoder libs absent in this environment
+        import PIL.Image  # noqa: F401
+
+        raise NotImplementedError(
+            "real image decode is intentionally out of scope here; "
+            "swap _decode_image for a PIL-based implementation"
+        )
+    except ImportError:
+        n = len(payload)
+        width = 1 + n % 64
+        height = 1 + n % 48
+        n_frames = 1 + n % 16
+        return width, height, n_frames
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload."""
+    pruned = media.select("doc_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            dims = [_decode_image(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": payloads.map(len).astype("int64"),
+                    "content_hash": payloads.map(
+                        lambda p: hashlib.sha256(bytes(p)).hexdigest()
+                    ),
+                    "width": pd.Series([d[0] for d in dims], dtype="int32"),
+                    "height": pd.Series([d[1] for d in dims], dtype="int32"),
+                    "n_frames": pd.Series([d[2] for d in dims], dtype="int32"),
+                }
+            )
+
+    return pruned.mapInPandas(batches, FEATURE_SCHEMA)

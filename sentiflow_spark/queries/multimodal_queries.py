@@ -1,0 +1,81 @@
+"""Declared queries for multimodal column plumbing
+(operators/multimodal.py). The pandas-UDF feature extraction is a
+deterministic pure function of the payload bytes, so even the
+mapInPandas stage is oracle-checkable."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sentiflow_spark.operators.multimodal import attach_binary, extract_features
+from sentiflow_spark.queries.registry import register
+from sentiflow_spark.tables import load
+
+
+@register(
+    "mm_metadata",
+    oracle="""
+    SELECT doc_id, 'image/x-fake' AS mime, strlen(text) AS size_bytes,
+           source AS origin
+    FROM documents
+    """,
+    tags=("multimodal", "M5"),
+    doc="Binary payload + typed metadata convention (flattened for the oracle).",
+)
+def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_binary(load(spark, sf_dir, "documents"))
+    return media.select("doc_id", "media_meta.mime", "media_meta.size_bytes",
+                        "media_meta.origin")
+
+
+@register(
+    "mm_feature_extract",
+    oracle="""
+    SELECT doc_id,
+           strlen(text) AS byte_len,
+           sha256(text) AS content_hash,
+           CAST(1 + strlen(text) % 64 AS INTEGER) AS width,
+           CAST(1 + strlen(text) % 48 AS INTEGER) AS height,
+           CAST(1 + strlen(text) % 16 AS INTEGER) AS n_frames
+    FROM documents
+    """,
+    tags=("multimodal", "M5", "pandas-udf", "bench"),
+    doc="mapInPandas (Arrow-batched) media feature extraction with the "
+    "deterministic decode stub — the full UDF round trip is hash-checked.",
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_binary(load(spark, sf_dir, "documents"))
+    return extract_features(media)
+
+
+@register(
+    "mm_join_features_back",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id, strlen(text) AS byte_len,
+             CAST(1 + strlen(text) % 64 AS INTEGER) AS width
+      FROM documents
+    )
+    SELECT d.lang, COUNT(*) AS n_media,
+           CAST(SUM(f.byte_len) AS BIGINT) AS total_bytes,
+           MAX(f.width) AS max_width
+    FROM documents d JOIN feats f USING (doc_id)
+    GROUP BY d.lang
+    """,
+    tags=("multimodal", "M5"),
+    doc="Features rejoin the relational layer: UDF output is a plain "
+    "DataFrame for downstream aggregation.",
+)
+def mm_join_features_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    feats = extract_features(attach_binary(docs))
+    return (
+        docs.join(feats, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("byte_len").cast("long").alias("total_bytes"),
+            F.max("width").alias("max_width"),
+        )
+    )

@@ -1,0 +1,103 @@
+"""Declared queries that execute UNDER STRUCTURED STREAMING (file
+source + availableNow trigger) and return the materialized result, so
+the driver's oracle checks streaming execution against batch SQL —
+the strongest form of the reference's streaming-semantics parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sentiflow_spark.operators.projections import to_raw_content
+from sentiflow_spark.pipeline.stubs import DUCK_LABEL, DUCK_SCORE
+from sentiflow_spark.queries.registry import register
+from sentiflow_spark.streaming.dag import (
+    load_stream,
+    run_to_table,
+    streaming_sentiment_flow,
+    watermarked_dedup,
+    windowed_counts,
+)
+
+from pyspark.sql import functions as F
+
+ROUTER_T = 256
+_DUCK_RAW = (
+    "SELECT sha256(concat_ws(':', lang, source, doc_id)) AS content_id, "
+    "source, lang AS topic, text FROM documents"
+)
+
+
+@register(
+    "st_pipeline_e2e",
+    oracle=f"""
+    WITH raw AS ({_DUCK_RAW}),
+    long_b AS (SELECT * FROM raw WHERE strlen(text) > {ROUTER_T}),
+    united AS (
+      SELECT content_id, source, topic, text, FALSE AS was_summarized,
+             CAST(NULL AS VARCHAR) AS original_text
+      FROM raw WHERE strlen(text) <= {ROUTER_T}
+      UNION ALL
+      SELECT content_id, source, topic, substr(text, 1, 128) AS text,
+             TRUE AS was_summarized, text AS original_text
+      FROM long_b
+      WHERE substr(text, 1, 128) <> '' AND substr(text, 1, 128) <> text
+    )
+    SELECT content_id, source, topic,
+           nullif(text, '') AS text,
+           nullif(original_text, '') AS original_text,
+           was_summarized,
+           CASE WHEN length(text) % 47 = 0 THEN 0.0 ELSE {DUCK_SCORE} END
+             AS sentiment_score,
+           CASE WHEN length(text) % 47 = 0 THEN NULL
+                ELSE {DUCK_LABEL.format(s=DUCK_SCORE)} END AS sentiment_label,
+           CASE WHEN length(text) % 47 = 0 THEN 0.0 ELSE abs({DUCK_SCORE}) END
+             AS confidence
+    FROM united
+    """,
+    tags=("streaming", "e2e", "M3"),
+    doc="The sentiment dataflow executed as a Structured Streaming query "
+    "(file source, availableNow) — streaming results hash-match batch SQL.",
+)
+def st_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_stream(spark, sf_dir, "documents")
+    raw = to_raw_content(
+        docs,
+        topic=F.col("lang"),
+        source=F.col("source"),
+        post_id=F.col("doc_id"),
+        text=F.col("text"),
+    )
+    return run_to_table(streaming_sentiment_flow(raw, router_threshold=ROUTER_T))
+
+
+@register(
+    "st_tumbling_counts",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "event-time", "M3", "W4"),
+    doc="Watermarked tumbling-window aggregation under streaming "
+    "execution (complete mode so every window is emitted).",
+)
+def st_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_stream(spark, sf_dir, "events")
+    return run_to_table(windowed_counts(ev), output_mode="complete")
+
+
+@register(
+    "st_dedup_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    tags=("streaming", "dedup", "M3", "A3", "J5"),
+    doc="dropDuplicatesWithinWatermark (the Valkey 24h dedup-set analog; "
+    "RocksDB state at scale). Key columns only, so the surviving-row "
+    "choice cannot affect the hash.",
+)
+def st_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_stream(spark, sf_dir, "events")
+    deduped = watermarked_dedup(ev, ["user_id", "event_type"], retention="720 hours")
+    return run_to_table(deduped.select("user_id", "event_type"))
