@@ -110,12 +110,16 @@ def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles (1-based element_at, so the Spark
     and DuckDB renderings are symmetric)."""
     toks = F.regexp_extract_all(F.lower(text), F.lit(WORD_RE), 0)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + k) for k in range(n)]
+    m = F.size(toks) - (n - 1)
+    grams = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
+    # guard: sequence(1, m<1) would count DOWN in Spark, and element_at
+    # past the end throws under ANSI — short docs yield [] instead
     return F.array_distinct(grams)
 
 

@@ -236,6 +236,45 @@ def pl_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from sentiflow_spark.pipeline.topics import duck_category_from_lang as _duck_cat
+
+
+@register(
+    "pl_topic_generation",
+    oracle=f"""
+    WITH topics AS (
+      SELECT text AS title,
+             concat_ws(' ', string_split(text, ' ')[1], string_split(text, ' ')[2])
+               AS topic,
+             {_duck_cat('lang')} AS category,
+             'https://doc/' || doc_id AS url
+      FROM documents
+    ),
+    deduped AS (
+      SELECT title, topic, category, url FROM (
+        SELECT *, row_number() OVER (PARTITION BY url ORDER BY title) AS rn
+        FROM topics WHERE url <> ''
+      ) WHERE rn = 1
+    ),
+    stored AS (SELECT 'https://doc/' || doc_id AS url FROM documents WHERE doc_id % 5 = 0)
+    SELECT d.title, d.topic, d.category, d.url
+    FROM deduped d
+    WHERE NOT EXISTS (SELECT 1 FROM stored s WHERE s.url = d.url)
+    """,
+    tags=("pipeline", "U1", "A2", "J4", "P7"),
+    doc="Topic-generation job: U1 stub extraction → A2 url dedup → J4 "
+    "anti-join vs a read-once stored snapshot (topic_generation.go:20-58).",
+)
+def pl_topic_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.pipeline.topics import generate_topics
+
+    docs = load(spark, sf_dir, "documents")
+    stored = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.concat(F.lit("https://doc/"), F.col("doc_id")).alias("url")
+    )
+    return generate_topics(docs, stored)
+
+
 @register(
     "pl_result_ttl",
     oracle="""
