@@ -1,0 +1,72 @@
+"""Physical-plan introspection: the guardrails that keep every operator
+scale-shaped. Tests assert on these instead of eyeballing .explain():
+
+- filters/column pruning reached the parquet scan (PushedFilters /
+  ReadSchema),
+- dimension joins went broadcast (no shuffle of the fact side),
+- the hot path stays inside WholeStageCodegen (no Python row loop),
+- no CartesianProduct sneaks into a plan that should be an equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def simple_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
+    """True if some scan's PushedFilters mentions the fragment."""
+    plan = formatted_plan(df)
+    return any(
+        fragment in line
+        for line in plan.splitlines()
+        if "PushedFilters" in line
+    )
+
+
+def scan_read_columns(df: DataFrame, table_hint: str = "") -> list[list[str]]:
+    """ReadSchema column lists for each parquet scan (column pruning)."""
+    out = []
+    for line in formatted_plan(df).splitlines():
+        line = line.strip()
+        if line.startswith("ReadSchema") and (not table_hint or table_hint in line):
+            cols = line.split("struct<", 1)[-1].rstrip(">").split(",")
+            out.append([c.split(":")[0].strip() for c in cols if c])
+    return out
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Shuffle count (Exchange nodes, minus broadcast exchanges)."""
+    plan = simple_plan(df)
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    )
+
+
+def count_broadcast_joins(df: DataFrame) -> int:
+    return simple_plan(df).count("BroadcastHashJoin")
+
+
+def has_cartesian(df: DataFrame) -> bool:
+    return "CartesianProduct" in simple_plan(df)
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Whole-stage-codegen spans ('*(n)' markers in the simple plan)."""
+    return sum(1 for line in simple_plan(df).splitlines() if line.lstrip().startswith("+- *(") or line.lstrip().startswith("*("))
+
+
+def python_eval_count(df: DataFrame) -> int:
+    """Python row-UDF evaluation nodes (BatchEvalPython) — should be 0
+    everywhere; ArrowEvalPython/mapInPandas is the sanctioned slow path."""
+    return simple_plan(df).count("BatchEvalPython")

@@ -141,7 +141,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
            last_value(l_partkey)  OVER w AS last_part,
            max(l_linenumber)      OVER w AS n_lines
     FROM lineitem
-    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
     tags=("window",),
@@ -151,7 +151,9 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     w = (
         W.partitionBy("l_orderkey")
-        .orderBy("l_linenumber")
+        # l_linenumber repeats within an order in the synthetic data, so a
+        # bare ORDER BY l_linenumber leaves first/last tie-nondeterministic
+        .orderBy("l_linenumber", "l_partkey")
         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     )
     return li.select(

@@ -1,0 +1,79 @@
+"""Plan-shape guardrails: these tests pin the physical properties that
+make the operators scale — if a refactor adds a shuffle, drops a
+broadcast, un-pushes a filter, or introduces a Python row loop or a
+cartesian product, this fails before any benchmark notices."""
+
+from __future__ import annotations
+
+import pytest
+
+from sentiflow_spark.plans import introspect as I
+from sentiflow_spark.queries.registry import load_all
+
+REGISTRY = load_all()
+
+
+def q(spark, sf_dir, name):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_flagship_pipeline_shuffle_free(spark, sf_dir):
+    """The whole 4-stage sentiment dataflow is map-side only: model
+    micro-batches broadcast, nothing repartitions the content stream."""
+    df = q(spark, sf_dir, "pl_e2e_results")
+    assert I.count_exchanges(df) == 0
+    assert I.count_broadcast_joins(df) == 3
+    assert not I.has_cartesian(df)
+
+
+def test_q1_single_shuffle_pruned_scan(spark, sf_dir):
+    df = q(spark, sf_dir, "rel_q1_pricing_summary")
+    assert I.count_exchanges(df) == 1  # just the final aggregation
+    cols = I.scan_read_columns(df)[0]
+    assert set(cols) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }  # 7 of 11 columns — pruning reached the scan
+
+
+def test_q6_filters_pushed(spark, sf_dir):
+    df = q(spark, sf_dir, "rel_q6_forecast_revenue")
+    assert I.has_pushed_filter(df, "l_shipdate")
+    assert I.has_pushed_filter(df, "l_discount")
+    assert I.has_pushed_filter(df, "l_quantity")
+
+
+def test_q5_star_join_broadcasts_dims(spark, sf_dir):
+    df = q(spark, sf_dir, "rel_q5_local_supplier")
+    assert I.count_broadcast_joins(df) >= 3  # supplier/nation/region at minimum
+    assert I.count_exchanges(df) <= 3
+    assert not I.has_cartesian(df)
+
+
+def test_lsh_pairs_no_cartesian(spark, sf_dir):
+    """LSH candidate generation must stay an equi-join on band buckets."""
+    df = q(spark, sf_dir, "dd_minhash_lsh_pairs")
+    assert not I.has_cartesian(df)
+
+
+def test_simhash_pairs_no_cartesian(spark, sf_dir):
+    df = q(spark, sf_dir, "dd_simhash_near_pairs")
+    assert not I.has_cartesian(df)
+
+
+def test_no_python_row_udfs_anywhere(spark, sf_dir):
+    """Row-at-a-time Python UDFs are banned from every declared query;
+    the only Python is Arrow-batched mapInPandas (multimodal)."""
+    for name, entry in REGISTRY.items():
+        if "streaming" in entry.tags:
+            continue  # streaming queries execute on collection, not lazily
+        df = entry.fn(spark, sf_dir)
+        assert I.python_eval_count(df) == 0, name
+
+
+@pytest.mark.parametrize("name", ["rel_topk_global", "rel_q3_shipping_priority"])
+def test_topk_uses_take_ordered(spark, sf_dir, name):
+    """Global LIMIT+ORDER BY compiles to TakeOrderedAndProject — a
+    per-partition top-k + merge, not a total sort."""
+    df = q(spark, sf_dir, name)
+    assert "TakeOrderedAndProject" in I.simple_plan(df)
