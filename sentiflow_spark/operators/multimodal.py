@@ -94,3 +94,49 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return pruned.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_hash", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every: int = 4) -> DataFrame:
+    """Frame sampling for video-like payloads: emit every ``every``-th
+    frame (a 1→N row explosion inside mapInPandas, the UDTF shape).
+    The frame decode is the same deterministic stand-in as
+    ``_decode_image`` — frame count derives from the byte length and
+    each frame's content hash from (payload, index) — so the whole
+    explode+hash round trip stays oracle-checkable. Scale note: output
+    can be ``every×``…``16×`` the input row count but each output row
+    is tiny (id + hash), so no repartition is needed before downstream
+    aggregation."""
+    pruned = media.select("doc_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            idxs: list[int] = []
+            hashes: list[str] = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                blob = bytes(p)
+                n_frames = 1 + len(blob) % 16  # mirrors _decode_image
+                for i in range(0, n_frames, every):
+                    ids.append(did)
+                    idxs.append(i)
+                    hashes.append(
+                        hashlib.sha256(blob + b"#" + str(i).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_hash": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return pruned.mapInPandas(batches, FRAME_SCHEMA)

@@ -79,3 +79,26 @@ def mm_join_features_back(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("width").alias("max_width"),
         )
     )
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+           sha256(text || '#' || CAST(i AS VARCHAR)) AS frame_hash
+    FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(0, (1 + strlen(text) % 16) - 1, 4)) AS i
+      FROM documents
+    )
+    """,
+    tags=("multimodal", "M5", "pandas-udf", "udtf"),
+    doc="Frame sampling (1→N explosion inside mapInPandas — the UDTF "
+    "shape): every 4th frame of each payload, hashed; deterministic "
+    "decode stub keeps it oracle-checkable.",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.operators.multimodal import sample_frames
+
+    media = attach_binary(load(spark, sf_dir, "documents"))
+    return sample_frames(media, every=4)

@@ -529,3 +529,148 @@ def rel_case_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.isnull("c_acctbal").alias("bal_missing"),
     )
+
+
+@register(
+    "rel_asof_join",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type IN ('click', 'error')
+    ), w AS (
+      SELECT event_id, user_id, event_type, ts_us,
+             max(CASE WHEN event_type = 'click' THEN ts_us END)
+               OVER (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS asof_click_us
+      FROM t
+    )
+    SELECT event_id, user_id, ts_us, asof_click_us FROM w
+    WHERE event_type = 'error'
+    """,
+    tags=("relational", "join", "asof"),
+    doc="As-of (backward) join: each error event picks the most recent "
+    "click by the same user at-or-before its timestamp. Expressed as a "
+    "union + range-frame window — one shuffle on user_id, no "
+    "row-explosion, scales to any probe/build ratio (the classic "
+    "union+window as-of pattern; value-based RANGE frame makes "
+    "same-microsecond ties deterministic in both engines).",
+)
+def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "error"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    asof = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts_us"))
+    ).over(w)
+    return (
+        ev.withColumn("asof_click_us", asof)
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts_us", "asof_click_us")
+    )
+
+
+@register(
+    "rel_approx_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_uniques,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+    tags=("relational", "aggregate", "sketch"),
+    doc="approx_count_distinct (HyperLogLog++, rsd=2%) checked against "
+    "the exact count — the oracle pins that the sketch lands within 5% "
+    "(HLL is deterministic for fixed data, so this is a stable "
+    "assertion, while the raw estimate would not match DuckDB's "
+    "different sketch). At 100 TB the sketch is the only option: fixed "
+    "memory per group vs an unbounded distinct hash set.",
+)
+def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("exact_uniques"),
+        F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+    )
+    err = F.abs(F.col("_approx") - F.col("exact_uniques")) / F.col("exact_uniques")
+    return g.select("event_type", "exact_uniques", (err <= 0.05).alias("within_5pct"))
+
+
+@register(
+    "rel_skew_salted_agg",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           {duck_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("relational", "aggregate", "skew"),
+    doc="Two-phase salted aggregation: l_returnflag has only 3 values "
+    "(maximally hot keys), so the partial aggregate runs per "
+    "(key, salt) across 16 reducers and a second tiny aggregate merges "
+    "the partials — exactly equal to the unsalted plan because decimal "
+    "sums/counts are commutative.",
+)
+def rel_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.operators.skew import salted_aggregate
+
+    li = load(spark, sf_dir, "lineitem")
+    return salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        partial_aggs={
+            "_pn": F.count(F.lit(1)),
+            "_ps": F.sum(F.col("l_extendedprice").cast(MONEY)),
+        },
+        final_aggs={
+            "n_rows": F.sum("_pn"),
+            "sum_price": F.sum("_ps").cast("double"),
+        },
+        n_salts=16,
+        salt_on=["l_orderkey", "l_linenumber", "l_partkey"],
+    )
+
+
+@register(
+    "rel_skew_salted_join",
+    oracle=f"""
+    SELECT s_name, COUNT(*) AS n_items,
+           {duck_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+    tags=("relational", "join", "skew"),
+    doc="Skew-safe shuffle join: supplier replicated 8x with salt ids, "
+    "lineitem scattered by a hash-derived (deterministic, retry-safe) "
+    "salt, joined on (key, salt) — each hot supplier key spreads over "
+    "8 tasks. The pattern for build sides too big to broadcast.",
+)
+def rel_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    joined = salted_join(
+        li,
+        sup,
+        "l_suppkey",
+        "s_suppkey",
+        n_salts=8,
+        salt_on=["l_orderkey", "l_linenumber", "l_partkey"],
+    )
+    return joined.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+    )

@@ -95,14 +95,17 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              {duck_cosine(duck_dot('a.qvec', 'b.qvec'), 'a.qnorm', 'b.qnorm')} AS cosine
       FROM qn a JOIN qn b ON a.label = b.label AND a.vec_id < b.vec_id
-    ) WHERE cosine >= 0.9
+    ) WHERE cosine >= 0.35
     """,
     tags=("similarity", "M5", "dedup"),
-    doc="Embedding-cosine near-duplicate pairs, bucket-blocked.",
+    doc="Embedding-cosine near-duplicate pairs, bucket-blocked. "
+    "Threshold 0.35 sits at ~p99.9 of the synthetic random-vector "
+    "cosine distribution (max ~0.47), so the check exercises nonzero "
+    "matches; real corpora would use ~0.9.",
 )
 def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = with_quantized(load(spark, sf_dir, "embeddings"))
-    return cosine_neardup_pairs(emb, threshold=0.9)
+    return cosine_neardup_pairs(emb, threshold=0.35)
 
 
 @register(

@@ -101,3 +101,28 @@ def st_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_stream(spark, sf_dir, "events")
     deduped = watermarked_dedup(ev, ["user_id", "event_type"], retention="720 hours")
     return run_to_table(deduped.select("user_id", "event_type"))
+
+
+@register(
+    "st_count_flush",
+    oracle="""
+    SELECT event_type, event_id,
+           row_number() OVER (PARTITION BY event_type ORDER BY event_id)
+             - 1 AS seq,
+           (row_number() OVER (PARTITION BY event_type ORDER BY event_id)
+             - 1) // 25 AS flush_id
+    FROM events
+    """,
+    tags=("streaming", "stateful", "M3", "W1"),
+    doc="Custom stateful operator (applyInPandasWithState): the "
+    "reference's count-based flush buffer — every 25th row per key "
+    "closes a flush batch; per-key GroupState carries the running "
+    "count across micro-batches.",
+)
+def st_count_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.streaming.dag import count_flush_batches
+
+    ev = load_stream(spark, sf_dir, "events")
+    return run_to_table(
+        count_flush_batches(ev, key_col="event_type", id_col="event_id", batch_size=25)
+    )

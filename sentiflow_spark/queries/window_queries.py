@@ -286,3 +286,39 @@ def win_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           date_diff('day', DATE '1992-01-01', o_orderdate) AS order_day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY date_diff('day', DATE '1992-01-01', o_orderdate)
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS spend_30d
+    FROM orders
+    """,
+    tags=("window", "frame"),
+    doc="Value-based RANGE frame: trailing-30-day spend per customer. "
+    "RANGE (unlike ROWS) includes all peers of the current value, so "
+    "same-day ties are deterministic without a tiebreak column.",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "order_day", F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("order_day")
+        .rangeBetween(-30, W.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "order_day",
+        F.sum(F.col("o_totalprice").cast(MONEY)).over(w).cast("double").alias(
+            "spend_30d"
+        ),
+    )

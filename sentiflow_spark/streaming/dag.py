@@ -116,6 +116,60 @@ def watermarked_dedup(
     return events.withWatermark(ts_col, retention).dropDuplicatesWithinWatermark(keys)
 
 
+def count_flush_batches(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    batch_size: int = 25,
+) -> DataFrame:
+    """W1: the reference's count-based flush buffer
+    (``internal/utils/batching.go:15-70`` — emit a batch every
+    ``BATCH_SIZE`` rows per key) as a custom stateful streaming
+    operator via ``applyInPandasWithState``. The per-key GroupState
+    holds one counter (8 bytes/key — RocksDB-trivial at scale); each
+    row gets its position ``seq`` in the key's lifetime stream and the
+    flush batch ``flush_id`` it would ship in. Rows are ordered by
+    ``id_col`` within a micro-batch so assignment is deterministic and
+    batch-SQL-checkable; across micro-batches the state carries the
+    running count, preserving exactly the buffer semantics."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("flush_id", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def assign(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(id_col, kind="mergesort", ignore_index=True)
+        seq = pd.RangeIndex(n, n + len(rows)).to_series(index=rows.index)
+        state.update((n + len(rows),))
+        yield pd.DataFrame(
+            {
+                key_col: rows[key_col],
+                id_col: rows[id_col],
+                "seq": seq,
+                "flush_id": seq // batch_size,
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        assign,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_counts(
     events: DataFrame, window: str = "1 hour", ts_col: str = "ts"
 ) -> DataFrame:

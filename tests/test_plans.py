@@ -77,3 +77,28 @@ def test_topk_uses_take_ordered(spark, sf_dir, name):
     per-partition top-k + merge, not a total sort."""
     df = q(spark, sf_dir, name)
     assert "TakeOrderedAndProject" in I.simple_plan(df)
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The union+window as-of pattern shuffles once on user_id —
+    no row-explosion, no join node at all."""
+    df = q(spark, sf_dir, "rel_asof_join")
+    assert I.count_exchanges(df) <= 2
+    assert not I.has_cartesian(df)
+
+
+def test_salted_join_is_shuffled_hash(spark, sf_dir):
+    """Salting must produce a shuffled hash join on (key, salt) — not a
+    broadcast (which would defeat the demo) or a cartesian."""
+    df = q(spark, sf_dir, "rel_skew_salted_join")
+    plan = I.simple_plan(df)
+    assert "ShuffledHashJoin" in plan
+    assert not I.has_cartesian(df)
+
+
+def test_frame_sample_prunes_before_udf(spark, sf_dir):
+    """mapInPandas input is pruned to (doc_id, payload): Arrow ships
+    only the needed bytes."""
+    df = q(spark, sf_dir, "mm_frame_sample")
+    cols = I.scan_read_columns(df)[0]
+    assert set(cols) == {"doc_id", "text"}
