@@ -36,7 +36,11 @@ from sentiflow_spark.functions.hashing import (
     md5_i32,
     minhash_coeffs,
 )
-from sentiflow_spark.functions.text import fingerprint, shingles
+from sentiflow_spark.functions.text import (
+    fingerprint,
+    shingles_from_tokens,
+    word_tokens,
+)
 
 NUM_PERM = 16
 BAND_SIZE = 4  # 4 bands × 4 rows: P(candidate) = 1-(1-j^4)^4
@@ -54,9 +58,13 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def exploded_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, shingle) inverted-index rows, distinct per doc."""
-    return df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col))).alias("shingle")
+    """(id, shingle) inverted-index rows, distinct per doc. The token
+    array is materialized in its own projection so the tokenizer regex
+    runs once per document, not once per element_at reference (16x at
+    sf0.1 — see shingles_from_tokens)."""
+    tokd = df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("_toks"))
+    return tokd.select(
+        F.col(id_col), F.explode(shingles_from_tokens(F.col("_toks"))).alias("shingle")
     )
 
 
@@ -67,12 +75,15 @@ def minhash_signatures(
     to hash — same convention as the oracle)."""
     coeffs = minhash_coeffs(num_perm)
     sh = exploded_shingles(df, text_col, id_col)
-    h = md5_i32(F.col("shingle"))
+    # materialize the md5 once per shingle; the k permutations are then
+    # k cheap int ops per row instead of k md5 evaluations
+    hashed = sh.select(F.col(id_col), md5_i32(F.col("shingle")).alias("_h"))
+    h = F.col("_h")
     aggs = [
         F.min((h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"sig_{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(

@@ -92,7 +92,7 @@ def mm_join_features_back(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     """,
-    tags=("multimodal", "M5", "pandas-udf", "udtf"),
+    tags=("multimodal", "M5", "pandas-udf", "udtf", "bench"),
     doc="Frame sampling (1→N explosion inside mapInPandas — the UDTF "
     "shape): every 4th frame of each payload, hashed; deterministic "
     "decode stub keeps it oracle-checkable.",

@@ -548,7 +548,7 @@ def rel_case_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, ts_us, asof_click_us FROM w
     WHERE event_type = 'error'
     """,
-    tags=("relational", "join", "asof"),
+    tags=("relational", "join", "asof", "bench"),
     doc="As-of (backward) join: each error event picks the most recent "
     "click by the same user at-or-before its timestamp. Expressed as a "
     "union + range-frame window — one shuffle on user_id, no "
@@ -651,7 +651,7 @@ def rel_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
     GROUP BY s_name
     """,
-    tags=("relational", "join", "skew"),
+    tags=("relational", "join", "skew", "bench"),
     doc="Skew-safe shuffle join: supplier replicated 8x with salt ids, "
     "lineitem scattered by a hash-derived (deterministic, retry-safe) "
     "salt, joined on (key, salt) — each hot supplier key spreads over "
