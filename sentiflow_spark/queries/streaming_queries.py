@@ -126,3 +126,63 @@ def st_count_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(
         count_flush_batches(ev, key_col="event_type", id_col="event_id", batch_size=25)
     )
+
+
+@register(
+    "st_sliding_counts",
+    oracle="""
+    WITH assigned AS (
+      SELECT date_trunc('hour', ts) AS w_start, user_id FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, user_id FROM events
+    )
+    SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n
+    FROM assigned GROUP BY w_start
+    """,
+    tags=("streaming", "event-time", "M3", "W4"),
+    doc="Sliding 2h/1h window under streaming execution (complete "
+    "mode; the approx-distinct column is dropped for the oracle since "
+    "HLL estimates differ per engine).",
+)
+def st_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.streaming.dag import sliding_counts
+
+    ev = load_stream(spark, sf_dir, "events")
+    return run_to_table(
+        sliding_counts(ev), output_mode="complete"
+    ).select("window_start", "n")
+
+
+@register(
+    "st_session_counts",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTES
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTES, '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "event-time", "session", "M3", "W4"),
+    doc="Session windows (30m gap) under streaming execution — state-"
+    "store session merge hash-matches the batch gaps-and-islands SQL.",
+)
+def st_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.streaming.dag import session_counts
+
+    ev = load_stream(spark, sf_dir, "events")
+    return run_to_table(session_counts(ev), output_mode="complete")

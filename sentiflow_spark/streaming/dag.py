@@ -184,3 +184,48 @@ def windowed_counts(
             "n",
         )
     )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """W4: sliding event-time window under streaming (each event lands
+    in window/slide windows; state per open window)."""
+    return (
+        events.withWatermark(ts_col, "1 hour")
+        .groupBy(F.window(ts_col, window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n",
+            "n_users_approx",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", ts_col: str = "ts"
+) -> DataFrame:
+    """W4: session windows (gap-merged per user) under streaming — the
+    state store merges overlapping sessions as events arrive."""
+    return (
+        events.withWatermark(ts_col, "1 hour")
+        .groupBy(F.session_window(ts_col, gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
