@@ -64,3 +64,47 @@ def duck_dot(a: str, b: str) -> str:
 
 def duck_cosine(dot: str, na: str, nb: str) -> str:
     return f"CAST({dot} AS DOUBLE) / sqrt(CAST({na} AS DOUBLE) * CAST({nb} AS DOUBLE))"
+
+
+# ------------------------------------------- random-hyperplane LSH (cosine)
+
+def rp_hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes from a fixed LCG (no RNG), so both
+    engines and every run agree. sign(v·h) bits concatenate into the
+    SimHash-for-vectors bucket id; P[bit equal] = 1 - angle/pi."""
+    planes = []
+    state = seed
+    for _ in range(n_planes):
+        comps = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+            comps.append(1 if (state >> 32) & 1 else -1)
+        planes.append(comps)
+    return planes
+
+
+def rp_bucket(qvec: Column, planes: list[list[int]]) -> Column:
+    """Bucket id: bit k = sign(qvec · h_k). Exact int64 dots — no
+    float sign ambiguity across engines."""
+    bits = []
+    for k, h in enumerate(planes):
+        harr = F.array(*[F.lit(c).cast("long") for c in h])
+        d = F.aggregate(
+            F.zip_with(qvec, harr, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(d > 0, F.lit(2**k)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def duck_rp_bucket(qvec_expr: str, planes: list[list[int]]) -> str:
+    terms = []
+    for k, h in enumerate(planes):
+        arr = "[" + ",".join(f"{c}.0" for c in h) + "]"
+        dot = f"list_dot_product(CAST({qvec_expr} AS DOUBLE[]), {arr})"
+        terms.append(f"CASE WHEN {dot} > 0 THEN {2**k} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"

@@ -144,3 +144,44 @@ def cosine_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def rph_neardup_pairs(
+    corpus: DataFrame,
+    planes: list[list[int]],
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs: data-independent cosine
+    blocking (vs the IVF/label blocking above, which needs a trained
+    partitioner). With b planes the pair space shrinks ~2^b-fold while
+    high-cosine pairs mostly share all sign bits. Candidate generation
+    is an equi-join on the bucket id — the 100 TB path; recall is
+    tunable via multiple independent bucket tables (OR-construction)."""
+    from sentiflow_spark.functions.vectors import rp_bucket
+
+    bucketed = corpus.withColumn("rp_bucket", rp_bucket(F.col("qvec"), planes))
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"),
+        F.col("rp_bucket"),
+        F.col("qvec").alias("qa"),
+        F.col("qnorm").alias("na"),
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"),
+        F.col("rp_bucket"),
+        F.col("qvec").alias("qb"),
+        F.col("qnorm").alias("nb"),
+    )
+    return (
+        a.join(b, "rp_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_q(
+                dot_long(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -295,3 +295,26 @@ def pl_result_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts") + F.expr("INTERVAL 24 HOURS"), "yyyy-MM-dd HH:mm:ss"
         ).alias("ttl"),
     )
+
+
+@register(
+    "pl_nested_flatten",
+    oracle="SELECT event_type, event_id, user_id FROM events",
+    tags=("pipeline", "projection", "P1", "nested"),
+    doc="P1 parity (reddit_client.go:220-244): pack rows into an "
+    "array-of-structs per key (the data.children[].data shape), then "
+    "flatten back with explode + struct-field projection. The oracle "
+    "is the identity — pack followed by unpack must lose nothing; "
+    "sort_array makes the nested ordering deterministic.",
+)
+def pl_nested_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    packed = ev.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("event_id", "user_id"))).alias(
+            "children"
+        )
+    )
+    return packed.select("event_type", F.explode("children").alias("c")).select(
+        "event_type", F.col("c.event_id").alias("event_id"),
+        F.col("c.user_id").alias("user_id")
+    )

@@ -7,7 +7,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sentiflow_spark.functions.vectors import duck_cosine, duck_dot, duck_quantize
+from sentiflow_spark.functions.vectors import (
+    duck_cosine,
+    duck_dot,
+    duck_quantize,
+    duck_rp_bucket,
+    rp_hyperplanes,
+)
 from sentiflow_spark.operators.similarity import (
     brute_force_topk,
     bucketed_topk,
@@ -127,3 +133,35 @@ def sim_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qnorm").cast("long").alias("total_qnorm"),
         F.min("vec_id").alias("min_vec_id"),
     )
+
+
+_RP_PLANES = rp_hyperplanes(8, 64)
+
+
+@register(
+    "sim_rph_pairs",
+    oracle=f"""
+    WITH {_DUCK_Q_CTE},
+    bucketed AS (
+      SELECT vec_id, qvec, qnorm,
+             {duck_rp_bucket("qvec", _RP_PLANES)} AS rp_bucket
+      FROM qn
+    )
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {duck_cosine(duck_dot('a.qvec', 'b.qvec'), 'a.qnorm', 'b.qnorm')} AS cosine
+      FROM bucketed a JOIN bucketed b
+        ON a.rp_bucket = b.rp_bucket AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.3
+    """,
+    tags=("similarity", "M5", "lsh", "dedup"),
+    doc="Random-hyperplane LSH near-dup pairs: 8 deterministic "
+    "sign-bit planes → 256 buckets → equi-join candidates → exact "
+    "cosine filter. Data-independent cosine blocking (the scale "
+    "alternative to trained IVF buckets).",
+)
+def sim_rph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.operators.similarity import rph_neardup_pairs
+
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    return rph_neardup_pairs(emb, _RP_PLANES, threshold=0.3)

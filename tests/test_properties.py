@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis): algebraic invariants that must
+hold for ANY data, not just the synthetic fixtures — salting never
+changes an aggregate, pack/unpack round-trips, scores stay bounded,
+LSH bucketing never separates identical vectors."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sentiflow_spark.functions.numeric import MONEY
+from sentiflow_spark.functions.text import quality_score
+from sentiflow_spark.functions.vectors import rp_bucket, rp_hyperplanes
+from sentiflow_spark.operators.skew import salted_aggregate
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # hot key space
+        st.integers(min_value=-10_000, max_value=10_000),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@SETTINGS
+@given(rows=rows_strategy, n_salts=st.integers(min_value=1, max_value=8))
+def test_salted_aggregate_equals_plain(spark, rows, n_salts):
+    df = spark.createDataFrame(rows, ["k", "v"])
+    plain = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("v").cast(MONEY)).alias("s"))
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["n"], r["s"])
+        for r in salted_aggregate(
+            df,
+            keys=["k"],
+            partial_aggs={"_pn": F.count(F.lit(1)), "_ps": F.sum(F.col("v").cast(MONEY))},
+            final_aggs={"n": F.sum("_pn"), "s": F.sum("_ps")},
+            n_salts=n_salts,
+            salt_on=["v"],
+        ).collect()
+    }
+    assert salted == plain
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="ascii", exclude_characters="\x00"
+            ),
+            max_size=200,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_quality_score_bounded(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    scores = [r["q"] for r in df.select(quality_score(F.col("text")).alias("q")).collect()]
+    assert all(0.0 <= s <= 1.0 for s in scores)
+
+
+@SETTINGS
+@given(
+    vec=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=8, max_size=8
+    )
+)
+def test_rp_bucket_identical_vectors_collide(spark, vec):
+    """LSH soundness: equal vectors are ALWAYS in the same bucket (so
+    exact duplicates can never be missed)."""
+    planes = rp_hyperplanes(4, 8)
+    df = spark.createDataFrame([(1, vec), (2, list(vec))], ["id", "qvec"])
+    got = df.select(rp_bucket(F.col("qvec").cast("array<long>"), planes).alias("b")).collect()
+    assert got[0]["b"] == got[1]["b"]
+    assert 0 <= got[0]["b"] < 16
+
+
+def test_nested_pack_unpack_roundtrip(spark, sf_dir):
+    """pl_nested_flatten's core invariant at fixture scale: pack into
+    array-of-structs then explode loses nothing."""
+    from sentiflow_spark.queries.registry import load_all
+
+    flat = load_all()["pl_nested_flatten"].fn(spark, sf_dir)
+    from sentiflow_spark.tables import load
+
+    base = load(spark, sf_dir, "events").select("event_type", "event_id", "user_id")
+    assert flat.exceptAll(base).count() == 0
+    assert base.exceptAll(flat).count() == 0
