@@ -79,20 +79,41 @@ def duck_lang_id(text_expr: str, langs: dict[str, list[str]] | None = None) -> s
     return expr_code
 
 
-def quality_score(text: Column) -> Column:
+def quality_components(text: Column) -> dict[str, Column]:
+    """The (regex-heavy) raw counts behind quality_score. Project these
+    in their OWN select in hot paths, then combine with
+    quality_from_components — otherwise the score expression's multiple
+    references to n_words re-run the tokenizer regex per reference
+    (same CollapseProject pitfall as shingles_from_tokens)."""
+    return {
+        "n_chars": F.length(text),
+        "n_words": word_count(text),
+        "n_punct": F.size(F.regexp_extract_all(text, F.lit("[^a-zA-Z0-9\\s]"), 0)),
+        "n_stop": _count_hits(text, STOPWORDS_EN),
+    }
+
+
+def quality_from_components(
+    n_chars: Column, n_words: Column, n_punct: Column, n_stop: Column
+) -> Column:
     """Deterministic quality heuristic in [0,1]: rewards moderate
     length, words over punctuation, and stopword presence (fluency
     proxy). Exact rational arithmetic → identical across engines."""
-    n_chars = F.length(text)
-    n_words = word_count(text)
-    n_punct = F.size(F.regexp_extract_all(text, F.lit("[^a-zA-Z0-9\\s]"), 0))
-    n_stop = _count_hits(text, STOPWORDS_EN)
     len_score = F.least(n_chars, F.lit(500)).cast("double") / 500.0
     word_ratio = n_words.cast("double") / F.greatest(n_words + n_punct, F.lit(1))
     stop_ratio = F.least(
         n_stop.cast("double") / F.greatest(n_words, F.lit(1)), F.lit(0.5)
     ) * 2.0
     return (len_score + word_ratio + stop_ratio) / 3.0
+
+
+def quality_score(text: Column) -> Column:
+    """One-shot quality score (fine for single-reference projections;
+    see quality_components for the hot-path two-step)."""
+    c = quality_components(text)
+    return quality_from_components(
+        c["n_chars"], c["n_words"], c["n_punct"], c["n_stop"]
+    )
 
 
 def duck_quality_score(t: str) -> str:

@@ -185,3 +185,89 @@ def rph_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def kmeans_lite(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic distributed k-means over quantized embeddings —
+    the trainer that produces real IVF centroid assignments (the
+    ``label`` column stands in elsewhere). Iterative, so it is the one
+    operator family that is genuinely not single-SQL-expressible
+    (registered without an oracle; invariants are unit-tested instead).
+
+    Shape per iteration (classic Spark k-means, driver-coordinated):
+    - centroids live on the DRIVER (k × dim doubles — tiny) and enter
+      the plan as a broadcast k-row DataFrame,
+    - assignment = crossJoin(broadcast(centroids)) + per-point argmin
+      via a min_by aggregate — a map-side-only pass over the corpus,
+    - update = groupBy(cluster).avg — one small shuffle of k partials
+      per partition (partial aggregation makes it k rows per task).
+
+    Init is the k lowest-id vectors (deterministic, no RNG); distance
+    is squared euclidean on the quantized ints, exact in double for
+    this dimensionality."""
+    dim_df = corpus.select(F.col(id_col).alias("vid"), F.col("qvec"))
+    spark = corpus.sparkSession
+
+    def assign(centroids_rows: list[tuple[int, list[float]]]) -> DataFrame:
+        cent = spark.createDataFrame(
+            [(c, [float(x) for x in vec]) for c, vec in centroids_rows],
+            "cluster INT, cvec ARRAY<DOUBLE>",
+        )
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("qvec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+        scored = dim_df.crossJoin(F.broadcast(cent)).select(
+            "vid", "cluster", dist.alias("dist")
+        )
+        # per-point argmin, ties to the lowest cluster id (deterministic)
+        return scored.groupBy("vid").agg(
+            F.min_by(
+                F.struct("cluster", "dist"), F.struct("dist", "cluster")
+            ).alias("best")
+        ).select("vid", F.col("best.cluster").alias("cluster"),
+                 F.col("best.dist").alias("dist"))
+
+    init = [
+        (i, [float(x) for x in row["qvec"]])
+        for i, row in enumerate(
+            dim_df.orderBy("vid").limit(k).collect()
+        )
+    ]
+    centroids = init
+    assigned = assign(centroids)
+    for _ in range(iters):
+        # per-dimension mean with map-side partial aggregation: the
+        # shuffle carries k × dim partial rows per task, independent of
+        # corpus size — the 100 TB-safe centroid update
+        update = (
+            assigned.join(dim_df, "vid")
+            .select(
+                "cluster",
+                F.posexplode(F.col("qvec").cast("array<double>")).alias("pos", "x"),
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cvec")
+            )
+        )
+        centroids = [
+            (row["cluster"], list(row["cvec"])) for row in update.collect()
+        ]
+        assigned = assign(centroids)
+    return assigned.select(
+        F.col("vid").alias(id_col), "cluster", F.col("dist").alias("sq_dist")
+    )

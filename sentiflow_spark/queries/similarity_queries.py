@@ -165,3 +165,20 @@ def sim_rph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = with_quantized(load(spark, sf_dir, "embeddings"))
     return rph_neardup_pairs(emb, _RP_PLANES, threshold=0.3)
+
+
+@register(
+    "sim_kmeans_assign",
+    oracle=None,  # iterative — genuinely not single-SQL-expressible;
+    # invariants are pinned in tests/test_kmeans.py instead
+    tags=("similarity", "M5", "iterative"),
+    doc="Deterministic distributed k-means (k=8, 3 iterations) over "
+    "quantized embeddings — the trainer behind real IVF bucketing. "
+    "Driver holds only the k centroids; assignment is a broadcast "
+    "argmin map, update a partial-aggregated per-dimension mean.",
+)
+def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.operators.similarity import kmeans_lite
+
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    return kmeans_lite(emb, k=8, iters=3)

@@ -80,9 +80,22 @@ def txt_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Quality scoring + threshold filter (the corpus-cleaning primitive).",
 )
 def txt_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.functions.text import (
+        quality_components,
+        quality_from_components,
+    )
+
     docs = load(spark, sf_dir, "documents")
-    q = quality_score(F.col("text"))
-    return docs.select("doc_id", q.alias("quality")).filter(F.col("quality") >= 0.5)
+    comps = quality_components(F.col("text"))
+    counted = docs.select(
+        "doc_id", *[c.alias(name) for name, c in comps.items()]
+    )
+    q = quality_from_components(
+        F.col("n_chars"), F.col("n_words"), F.col("n_punct"), F.col("n_stop")
+    )
+    return counted.select("doc_id", q.alias("quality")).filter(
+        F.col("quality") >= 0.5
+    )
 
 
 @register(
