@@ -242,3 +242,57 @@ def txt_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(F.sort_array(F.collect_set("source")), "src0").alias("has_src0"),
         F.array_join(F.sort_array(F.collect_set("source")), "+").alias("joined"),
     )
+
+
+@register(
+    "txt_json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_parsed,
+           to_json(struct_pack(t := event_type, u := user_id)) AS packed
+    FROM events
+    """,
+    tags=("text", "expression", "json"),
+    doc="JSON function family: from_json with a declared schema (typed "
+    "struct access) and to_json serialization — byte-identical output "
+    "in both engines (same key order, no whitespace).",
+)
+def txt_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k_parsed"),
+        F.to_json(
+            F.struct(F.col("event_type").alias("t"), F.col("user_id").alias("u"))
+        ).alias("packed"),
+    )
+
+
+@register(
+    "txt_map_funcs",
+    oracle="""
+    SELECT event_id,
+           ['type', 'uid'] AS ks,
+           event_type AS type_val,
+           CAST(user_id AS VARCHAR) AS uid_val
+    FROM events
+    """,
+    tags=("text", "expression", "map"),
+    doc="Map function family: create_map / map_keys / element_at; the "
+    "oracle states the ground-truth values directly.",
+)
+def txt_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"),
+        F.col("event_type"),
+        F.lit("uid"),
+        F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("ks"),
+        F.element_at(m, "type").alias("type_val"),
+        F.element_at(m, "uid").alias("uid_val"),
+    )

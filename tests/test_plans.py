@@ -102,3 +102,22 @@ def test_frame_sample_prunes_before_udf(spark, sf_dir):
     df = q(spark, sf_dir, "mm_frame_sample")
     cols = I.scan_read_columns(df)[0]
     assert set(cols) == {"doc_id", "text"}
+
+
+# queries that intentionally contain a (broadcast-bounded) cross join:
+# tiny probe/centroid sets against the corpus, or a deliberate CROSS
+# JOIN demo query
+CARTESIAN_OK = {"rel_join_cross", "rel_scalar_subquery"}
+
+
+def test_no_unbounded_cartesian_anywhere(spark, sf_dir):
+    """Registry-wide sweep: no query may plan a CartesianProduct unless
+    whitelisted as an intentional bounded cross join — pair generation
+    must always be an equi-join (LSH bands, chunks, buckets)."""
+    for name, entry in REGISTRY.items():
+        if "streaming" in entry.tags or name in CARTESIAN_OK:
+            continue
+        if "iterative" in entry.tags:
+            continue  # executes eagerly (driver loop)
+        df = entry.fn(spark, sf_dir)
+        assert not I.has_cartesian(df), name
