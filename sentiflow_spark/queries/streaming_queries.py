@@ -186,3 +186,29 @@ def st_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_stream(spark, sf_dir, "events")
     return run_to_table(session_counts(ev), output_mode="complete")
+
+
+@register(
+    "st_interval_join",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS left_id,
+           b.event_id AS right_id,
+           strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS left_ts_s,
+           strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS right_ts_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'error'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 4 HOURS
+    """,
+    tags=("streaming", "join", "M3", "interval"),
+    doc="Stream-stream self-join with event-time interval bounds "
+    "(clicks followed by same-user errors within 4 hours), executed "
+    "under streaming with two watermarked sides — state stays bounded "
+    "because the interval bounds event time in both directions.",
+)
+def st_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.streaming.dag import interval_self_join
+
+    ev = load_stream(spark, sf_dir, "events")
+    return run_to_table(interval_self_join(ev, interval="4 hours"))

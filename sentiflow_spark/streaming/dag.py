@@ -229,3 +229,48 @@ def session_counts(
             "n_events",
         )
     )
+
+
+def interval_self_join(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "error",
+    interval: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream join with an event-time interval bound: each
+    left-type event pairs with the same user's right-type events in
+    [ts, ts + interval]. Both sides carry watermarks and the join
+    condition bounds event time in BOTH directions, so the state store
+    can expire buffered rows — the only way a stream-stream join stays
+    bounded-memory at 100 TB/day."""
+    a = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("left_id"),
+            F.col(ts_col).alias("left_ts"),
+        )
+        .withWatermark("left_ts", "1 hour")
+    )
+    b = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("b_user_id"),
+            F.col("event_id").alias("right_id"),
+            F.col(ts_col).alias("right_ts"),
+        )
+        .withWatermark("right_ts", "1 hour")
+    )
+    return a.join(
+        b,
+        (F.col("user_id") == F.col("b_user_id"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {interval}")),
+    ).select(
+        "user_id",
+        "left_id",
+        "right_id",
+        F.date_format("left_ts", "yyyy-MM-dd HH:mm:ss").alias("left_ts_s"),
+        F.date_format("right_ts", "yyyy-MM-dd HH:mm:ss").alias("right_ts_s"),
+    )
