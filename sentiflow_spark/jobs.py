@@ -1,0 +1,155 @@
+"""Runnable job entry points — the reference's three binaries
+(``cmd/producer``, ``cmd/consumer``, ``cmd/topic-generator``,
+SURVEY §3) as one CLI:
+
+    python -m sentiflow_spark.jobs ingest   --sf-dir D --out PATH
+    python -m sentiflow_spark.jobs pipeline --sf-dir D --out PATH
+    python -m sentiflow_spark.jobs stream   --sf-dir D --out PATH
+    python -m sentiflow_spark.jobs topics   --sf-dir D --out PATH [--stored PATH]
+
+- **ingest** (producer analog): documents → RawContent projection
+  (sha256 content ids, nested metadata) → parquet append. With
+  ``--kafka-brokers`` it writes the same rows to the raw-content topic
+  instead (sources/kafka_io.py), which is the production wiring.
+- **pipeline** (consumer DAG, batch deployment): RawContent → route →
+  summarize → score → shape → TTL stamp → idempotent MERGE into the
+  serving table (streaming/sinks.py) — replayable: re-running converges
+  to the same table state.
+- **stream** (consumer DAG, streaming deployment): the same transforms
+  under Structured Streaming with an ``availableNow`` trigger and a
+  ``foreachBatch`` MERGE sink; swap the file source for Kafka via
+  ``--kafka-brokers`` in production.
+- **topics** (topic-generator analog): headlines → stub/LLM topic
+  extraction → dedup → anti-join vs the stored snapshot (read-once, the
+  reference's staleness semantics) → MERGE upsert.
+
+Every job prints one JSON line with row counts so orchestrators can
+assert on output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _spark(app: str) -> SparkSession:
+    from sentiflow_spark.session import get_spark
+
+    return get_spark(app)
+
+
+def job_ingest(args: argparse.Namespace) -> dict:
+    from sentiflow_spark.pipeline.batch import documents_as_raw_content
+    from sentiflow_spark.tables import load
+
+    spark = _spark("sentiflow-ingest")
+    raw = documents_as_raw_content(load(spark, args.sf_dir, "documents"))
+    if args.kafka_brokers:
+        from pyspark.sql import functions as F
+
+        # K1 batch publish: keyed JSON, at-least-once + deterministic
+        # keys (downstream dedups by content_id, SURVEY §3.1)
+        payload = raw.select(
+            F.col("content_id").cast("string").alias("key"),
+            F.to_json(F.struct(*raw.columns)).alias("value"),
+        )
+        (
+            payload.write.format("kafka")
+            .option("kafka.bootstrap.servers", args.kafka_brokers)
+            .option("topic", "raw-content")
+            .save()
+        )
+        return {"job": "ingest", "rows": raw.count(), "sink": "kafka"}
+    raw.write.mode("append").parquet(args.out)
+    return {"job": "ingest", "rows": spark.read.parquet(args.out).count(),
+            "sink": args.out}
+
+
+def job_pipeline(args: argparse.Namespace) -> dict:
+    from sentiflow_spark.pipeline.batch import (
+        documents_as_raw_content,
+        sentiment_pipeline,
+    )
+    from sentiflow_spark.streaming.sinks import merge_upsert, stamp_ttl
+    from sentiflow_spark.tables import load
+
+    spark = _spark("sentiflow-pipeline")
+    raw = documents_as_raw_content(load(spark, args.sf_dir, "documents"))
+    results = stamp_ttl(sentiment_pipeline(raw, router_threshold=args.router_threshold))
+    merge_upsert(spark, results, args.out, key="content_id")
+    return {"job": "pipeline", "rows": spark.read.parquet(args.out).count(),
+            "sink": args.out}
+
+
+def job_stream(args: argparse.Namespace) -> dict:
+    import tempfile
+
+    from sentiflow_spark.pipeline.batch import documents_as_raw_content
+    from sentiflow_spark.streaming.dag import load_stream, streaming_sentiment_flow
+    from sentiflow_spark.streaming.sinks import results_sink
+
+    spark = _spark("sentiflow-stream")
+    docs = load_stream(spark, args.sf_dir, "documents")
+    flow = streaming_sentiment_flow(
+        documents_as_raw_content(docs), router_threshold=args.router_threshold
+    )
+    ckpt = args.checkpoint or tempfile.mkdtemp(prefix="sf_ckpt_")
+    q = (
+        flow.writeStream.foreachBatch(results_sink(args.out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {"job": "stream", "rows": spark.read.parquet(args.out).count(),
+            "sink": args.out, "checkpoint": ckpt}
+
+
+def job_topics(args: argparse.Namespace) -> dict:
+    from sentiflow_spark.pipeline.topics import generate_topics
+    from sentiflow_spark.streaming.sinks import merge_upsert
+    from sentiflow_spark.tables import load
+
+    spark = _spark("sentiflow-topics")
+    headlines = load(spark, args.sf_dir, "documents")
+    if args.stored and os.path.isdir(args.stored):
+        stored = spark.read.parquet(args.stored)
+    else:  # first run: empty snapshot with the right schema
+        stored = spark.createDataFrame([], "url STRING")
+    topics = generate_topics(headlines, stored)
+    merge_upsert(spark, topics, args.out, key="url")
+    return {"job": "topics", "rows": spark.read.parquet(args.out).count(),
+            "sink": args.out}
+
+
+JOBS = {
+    "ingest": job_ingest,
+    "pipeline": job_pipeline,
+    "stream": job_stream,
+    "topics": job_topics,
+}
+
+
+def main(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser(prog="sentiflow_spark.jobs")
+    ap.add_argument("job", choices=sorted(JOBS))
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR))
+    ap.add_argument("--out", required=True, help="output table path")
+    ap.add_argument("--stored", default=None, help="stored-topics snapshot path")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--router-threshold", type=int, default=256)
+    ap.add_argument("--kafka-brokers", default=None)
+    args = ap.parse_args(argv)
+    result = JOBS[args.job](args)
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()
