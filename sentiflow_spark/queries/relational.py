@@ -674,3 +674,60 @@ def rel_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dsum(F.col("l_extendedprice")).alias("sum_price"),
     )
+
+
+@register(
+    "rel_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.75) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("relational", "aggregate", "percentile"),
+    doc="Exact percentiles (median/quartiles) per group — linear "
+    "interpolation over integer quantities is bit-identical in both "
+    "engines. The approximate companion at 100 TB is "
+    "approx_percentile (t-digest), checked like rel_approx_distinct.",
+)
+def rel_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+    )
+
+
+@register(
+    "rel_sql_api",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    tags=("relational", "sql", "subquery", "tpch"),
+    doc="The spark.sql() entry point with a correlated EXISTS (TPC-H "
+    "Q4 shape) — Catalyst decorrelates it into a left-semi join; the "
+    "DataFrame and SQL APIs build the same plans, this pins the SQL "
+    "surface explicitly.",
+)
+def rel_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    )
