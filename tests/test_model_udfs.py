@@ -138,3 +138,34 @@ def test_retry_envelope_recovers():
         assert _with_retries(flaky_then_ok, []) == [{"ok": True}]
     finally:
         mu.BACKOFF_BASE_S = orig
+
+
+def test_score_adapter_runs_in_streaming(spark, sf_dir):
+    """The mapInPandas service adapter composes with Structured
+    Streaming: the same UDF scores micro-batches inside a streaming
+    query (the production deployment shape)."""
+    from sentiflow_spark.streaming.dag import load_stream, run_to_table
+
+    def transport(batch):
+        return [
+            {
+                "content_id": r["content_id"],
+                "sentiment_score": 0.5,
+                "sentiment_label": "positive",
+                "confidence": 0.5,
+            }
+            for r in batch
+        ]
+
+    docs = load_stream(spark, sf_dir, "documents")
+    raw = to_raw_content(
+        docs,
+        topic=F.col("lang"),
+        source=F.col("source"),
+        post_id=F.col("doc_id"),
+        text=F.col("text"),
+    )
+    scored = score_via_service(raw.select("content_id", "text"), transport)
+    out = run_to_table(scored)
+    assert out.count() == 500
+    assert out.filter(F.col("sentiment_label") == "positive").count() == 500
