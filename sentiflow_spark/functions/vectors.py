@@ -85,7 +85,10 @@ def rp_hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[int]]:
 
 def rp_bucket(qvec: Column, planes: list[list[int]]) -> Column:
     """Bucket id: bit k = sign(qvec · h_k). Exact int64 dots — no
-    float sign ambiguity across engines."""
+    float sign ambiguity across engines. Bucket id is a LONG so up to
+    62 planes are safe (an int cast would wrap beyond 31)."""
+    if len(planes) > 62:
+        raise ValueError(f"rp_bucket supports at most 62 planes, got {len(planes)}")
     bits = []
     for k, h in enumerate(planes):
         harr = F.array(*[F.lit(c).cast("long") for c in h])
@@ -98,7 +101,7 @@ def rp_bucket(qvec: Column, planes: list[list[int]]) -> Column:
     out = bits[0]
     for b in bits[1:]:
         out = out + b
-    return out.cast("int")
+    return out.cast("long")
 
 
 def duck_rp_bucket(qvec_expr: str, planes: list[list[int]]) -> str:

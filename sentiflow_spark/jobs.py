@@ -66,8 +66,14 @@ def job_ingest(args: argparse.Namespace) -> dict:
             .save()
         )
         return {"job": "ingest", "rows": raw.count(), "sink": "kafka"}
+    n_batch = raw.count()
     raw.write.mode("append").parquet(args.out)
-    return {"job": "ingest", "rows": spark.read.parquet(args.out).count(),
+    # "rows" is ALWAYS this run's batch size (same semantics as the
+    # Kafka branch); the cumulative table count is reported separately.
+    # Append mirrors the producer's at-least-once publish — replays
+    # duplicate content_ids and downstream dedups by key (SURVEY §3.1).
+    return {"job": "ingest", "rows": n_batch,
+            "rows_total": spark.read.parquet(args.out).count(),
             "sink": args.out}
 
 

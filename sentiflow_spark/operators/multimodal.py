@@ -112,8 +112,9 @@ def sample_frames(media: DataFrame, every: int = 4) -> DataFrame:
     ``_decode_image`` — frame count derives from the byte length and
     each frame's content hash from (payload, index) — so the whole
     explode+hash round trip stays oracle-checkable. Scale note: output
-    can be ``every×``…``16×`` the input row count but each output row
-    is tiny (id + hash), so no repartition is needed before downstream
+    is at most ``ceil(16 / every)×`` the input row count (4× at the
+    default; 16× only at every=1) and each output row is tiny
+    (id + hash), so no repartition is needed before downstream
     aggregation."""
     pruned = media.select("doc_id", "payload")
 

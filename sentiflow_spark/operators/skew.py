@@ -79,7 +79,10 @@ def salted_join(
     broadcast threshold but is far smaller than ``fact``."""
     salts = F.array(*[F.lit(i) for i in range(n_salts)])
     build_rep = build.withColumn(_SALT, F.explode(salts))
-    fact_s = fact.withColumn(_SALT, _salt_col(salt_on or [fact_key], n_salts))
+    # default salt source: ALL fact columns — never just the join key,
+    # which would give every row of a hot key the same salt and defeat
+    # the whole point
+    fact_s = fact.withColumn(_SALT, _salt_col(salt_on or list(fact.columns), n_salts))
     joined = fact_s.join(
         build_rep.hint("shuffle_hash"),
         (fact_s[fact_key] == build_rep[build_key])

@@ -82,13 +82,17 @@ def http_transport(url: str, timeout_s: float = 10.0) -> Transport:
 
 def _with_retries(call: Transport, batch: list[dict[str, Any]]) -> list[dict[str, Any]]:
     """Exponential backoff with jitter, mirroring the reference's
-    envelope. Raises the last error so Spark's task retry (the outer
-    at-least-once loop) takes over."""
+    envelope. Only TRANSIENT transport errors (connection/timeouts)
+    are retried; a malformed response (json.loads → ValueError) is
+    deterministic and re-raises immediately — retrying it would burn
+    minutes of in-task backoff sleep on an error that cannot succeed.
+    The final raise hands off to Spark's task retry (the outer
+    at-least-once loop)."""
     delay = BACKOFF_BASE_S
     for attempt in range(1, MAX_ATTEMPTS + 1):
         try:
             return call(batch)
-        except (urllib.error.URLError, OSError, ValueError):
+        except (urllib.error.URLError, OSError):
             if attempt == MAX_ATTEMPTS:
                 raise
             time.sleep(min(delay, BACKOFF_CAP_S) * (0.5 + random.random() / 2))

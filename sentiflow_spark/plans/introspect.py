@@ -33,13 +33,28 @@ def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
 
 
 def scan_read_columns(df: DataFrame, table_hint: str = "") -> list[list[str]]:
-    """ReadSchema column lists for each parquet scan (column pruning)."""
+    """Top-level ReadSchema column lists for each parquet scan (column
+    pruning). Splits only on depth-0 commas so nested struct columns
+    (a:struct<b:int,c:int>) stay one entry."""
     out = []
     for line in formatted_plan(df).splitlines():
         line = line.strip()
         if line.startswith("ReadSchema") and (not table_hint or table_hint in line):
-            cols = line.split("struct<", 1)[-1].rstrip(">").split(",")
-            out.append([c.split(":")[0].strip() for c in cols if c])
+            body = line.split("struct<", 1)[-1].rstrip(">")
+            cols, depth, cur = [], 0, ""
+            for ch in body:
+                if ch == "<":
+                    depth += 1
+                elif ch == ">":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    cols.append(cur)
+                    cur = ""
+                    continue
+                cur += ch
+            if cur:
+                cols.append(cur)
+            out.append([c.split(":")[0].strip() for c in cols if c.strip()])
     return out
 
 
@@ -62,11 +77,19 @@ def has_cartesian(df: DataFrame) -> bool:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    """Whole-stage-codegen spans ('*(n)' markers in the simple plan)."""
-    return sum(1 for line in simple_plan(df).splitlines() if line.lstrip().startswith("+- *(") or line.lstrip().startswith("*("))
+    """Distinct whole-stage-codegen spans ('*(n)' markers anywhere in
+    the simple plan — including ':-' branch children of joins)."""
+    import re
+
+    return len(set(re.findall(r"\*\((\d+)\)", simple_plan(df))))
 
 
 def python_eval_count(df: DataFrame) -> int:
-    """Python row-UDF evaluation nodes (BatchEvalPython) — should be 0
-    everywhere; ArrowEvalPython/mapInPandas is the sanctioned slow path."""
-    return simple_plan(df).count("BatchEvalPython")
+    """Row-at-a-time Python UDF evaluation nodes — should be 0
+    everywhere. Counts BatchEvalPython AND ArrowEvalPython: with
+    spark.sql.execution.pythonUDF.arrow.enabled a banned @udf plans as
+    ArrowEvalPython, which is still a per-row Python loop; the
+    sanctioned Arrow-batch path (mapInPandas) plans as MapInPandas and
+    is not matched."""
+    plan = simple_plan(df)
+    return plan.count("BatchEvalPython") + plan.count("ArrowEvalPython")

@@ -14,7 +14,6 @@ from sentiflow_spark.functions.text import (
     duck_quality_score,
     fingerprint,
     lang_id,
-    quality_score,
     token_count,
     word_count,
 )

@@ -107,18 +107,32 @@ def test_retry_envelope_retries_then_raises():
 
     def flaky(batch):
         calls["n"] += 1
-        raise ValueError("boom")
+        raise OSError("conn refused")
 
     import sentiflow_spark.pipeline.model_udfs as mu
 
     orig = mu.BACKOFF_BASE_S
     mu.BACKOFF_BASE_S = 0.001
     try:
-        with pytest.raises(ValueError):
+        with pytest.raises(OSError):
             _with_retries(flaky, [])
     finally:
         mu.BACKOFF_BASE_S = orig
     assert calls["n"] == mu.MAX_ATTEMPTS
+
+
+def test_retry_envelope_fails_fast_on_malformed_response():
+    """A deterministic contract error (malformed JSON → ValueError)
+    must NOT be retried — it can never succeed."""
+    calls = {"n": 0}
+
+    def malformed(batch):
+        calls["n"] += 1
+        raise ValueError("not json")
+
+    with pytest.raises(ValueError):
+        _with_retries(malformed, [])
+    assert calls["n"] == 1
 
 
 def test_retry_envelope_recovers():
