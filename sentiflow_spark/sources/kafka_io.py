@@ -53,7 +53,14 @@ def read_kafka_json(
     )
     if max_offsets_per_trigger:
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    raw = reader.load()
+    return parse_kafka_json(reader.load(), schema)
+
+
+def parse_kafka_json(raw: DataFrame, schema: T.StructType) -> DataFrame:
+    """P6 decode of Kafka's wire shape (key/value binary + timestamp)
+    into typed columns. Factored from read_kafka_json so the projection
+    is unit-testable without a broker — any DataFrame with Kafka's
+    column layout works."""
     return raw.select(
         F.col("key").cast("string").alias("kafka_key"),
         F.from_json(F.col("value").cast("string"), schema).alias("v"),

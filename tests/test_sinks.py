@@ -83,3 +83,39 @@ def test_streaming_foreach_batch_sink(spark, sf_dir):
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert got.count() == n_events
     assert got.filter(F.col("ttl") <= F.col("created_at")).count() == 0
+
+
+def test_parse_kafka_json_wire_roundtrip(spark):
+    """S1/P6: the Kafka value-decode projection, driven with a
+    synthetic DataFrame in Kafka's wire layout (no broker needed) —
+    to_json → parse round-trips keys, typed fields, and nulls."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from sentiflow_spark.sources.kafka_io import parse_kafka_json
+
+    schema = T.StructType(
+        [
+            T.StructField("content_id", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("a", '{"content_id":"a","score":0.5,"n":1}', ts),
+        ("b", '{"content_id":"b","score":-0.25,"n":2}', ts),
+        ("c", '{"content_id":"c","n":3}', ts),  # score absent → null
+    ]
+    wire = spark.createDataFrame(rows, "key STRING, value STRING, timestamp TIMESTAMP").select(
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        "timestamp",
+    )
+    out = parse_kafka_json(wire, schema).orderBy("kafka_key").collect()
+    assert [r["kafka_key"] for r in out] == ["a", "b", "c"]
+    assert [r["n"] for r in out] == [1, 2, 3]
+    assert out[0]["score"] == 0.5 and out[2]["score"] is None
+    assert all(r["kafka_ts"] == ts for r in out)
