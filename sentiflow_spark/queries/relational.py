@@ -731,3 +731,77 @@ def rel_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "rel_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("relational", "setop", "multiset"),
+    doc="Multiset EXCEPT ALL (exceptAll): per-key multiplicities "
+    "subtract instead of collapsing to distinct — the semantics "
+    "DISTINCT-based EXCEPT (rel_except) cannot express.",
+)
+def rel_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return o.exceptAll(f)
+
+
+@register(
+    "rel_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("relational", "setop", "multiset"),
+    doc="Multiset INTERSECT ALL (intersectAll): keeps min(multiplicity) "
+    "copies per key.",
+)
+def rel_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return o.intersectAll(f)
+
+
+@register(
+    "rel_null_safe_join",
+    oracle="""
+    WITH l AS (
+      SELECT event_id, CASE WHEN user_id % 10 = 0 THEN NULL
+                            ELSE user_id % 7 END AS grp
+      FROM events WHERE event_type = 'click'
+    ), r AS (
+      SELECT CASE WHEN g = 7 THEN NULL ELSE g END AS grp,
+             'bucket_' || CAST(g AS VARCHAR) AS label
+      FROM (SELECT unnest(generate_series(0, 7)) AS g)
+    )
+    SELECT l.event_id, l.grp, r.label
+    FROM l JOIN r ON l.grp IS NOT DISTINCT FROM r.grp
+    """,
+    tags=("relational", "join", "null-safe"),
+    doc="Null-safe equi-join (eqNullSafe / IS NOT DISTINCT FROM): NULL "
+    "keys match each other instead of dropping — still hash-joinable "
+    "(no cartesian), which plain = cannot give.",
+)
+def rel_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        F.when(F.col("user_id") % 10 == 0, F.lit(None))
+        .otherwise(F.col("user_id") % 7)
+        .alias("grp"),
+    )
+    right = spark.range(8).select(
+        F.when(F.col("id") == 7, F.lit(None)).otherwise(F.col("id")).alias("grp"),
+        F.concat(F.lit("bucket_"), F.col("id")).alias("label"),
+    )
+    return left.join(
+        F.broadcast(right), left["grp"].eqNullSafe(right["grp"])
+    ).select("event_id", left["grp"].alias("grp"), "label")
