@@ -212,3 +212,36 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return simhash_near_pairs(simhash(docs), max_hamming=3)
+
+
+@register(
+    "dd_minhash_dedup_survivors",
+    oracle=f"""
+    WITH {_duck_sigs_cte()}{_duck_bands_cte()},
+    near_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      WHERE ({" + ".join(f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END" for i in range(NUM_PERM))})
+              / {float(NUM_PERM)} >= 0.9
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM near_pairs p WHERE p.doc_b = d.doc_id)
+    """,
+    tags=("dedup", "M5", "minhash", "lsh", "e2e"),
+    doc="End-to-end corpus dedup: MinHash-LSH pairs at est_jaccard "
+    ">= 0.9, greedy lowest-id-wins survivor set via anti-join (a doc "
+    "is dropped iff a lower-id near-duplicate exists). The standard "
+    "one-pass approximation of connected-component dedup — exact when "
+    "duplicate clusters are cliques, which near-exact duplicates are.",
+)
+def dd_minhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs)).filter(
+        F.col("est_jaccard") >= 0.9
+    )
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return docs.select("doc_id").join(losers, "doc_id", "left_anti")

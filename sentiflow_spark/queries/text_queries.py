@@ -295,3 +295,30 @@ def txt_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "type").alias("type_val"),
         F.element_at(m, "uid").alias("uid_val"),
     )
+
+
+@register(
+    "txt_train_val_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN CAST(('0x' || substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+                THEN 'train' ELSE 'val' END AS split
+    FROM documents
+    """,
+    tags=("text", "M5", "sampling"),
+    doc="Deterministic 90/10 train/val split by salted-hash-mod — "
+    "reproducible across runs, engines, and cluster sizes (rand()- "
+    "based sampling is none of those); the standard way to split a "
+    "100 TB corpus without a shuffle or a stored assignment table.",
+)
+def txt_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.functions.hashing import md5_i32
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = md5_i32(
+        F.concat(F.lit("split42:"), F.col("doc_id").cast("string"))
+    ) % 100
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 90, "train").otherwise("val").alias("split"),
+    )
