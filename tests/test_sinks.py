@@ -119,3 +119,63 @@ def test_parse_kafka_json_wire_roundtrip(spark):
     assert [r["n"] for r in out] == [1, 2, 3]
     assert out[0]["score"] == 0.5 and out[2]["score"] is None
     assert all(r["kafka_ts"] == ts for r in out)
+
+
+def test_json_file_source_roundtrip(spark, sf_dir):
+    """S6 (GetTopHeadlinesFromFile analog): write headlines as JSON
+    lines, read back with a DECLARED schema (no inference — schema
+    inference requires an extra full pass at 100 TB), and verify
+    nothing is lost, including nested array-of-struct shapes."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from sentiflow_spark.tables import load
+
+    d = tempfile.mkdtemp(prefix="sf_json_")
+    try:
+        docs = load(spark, sf_dir, "documents").limit(100)
+        # NewsAPI-ish nested shape: {status, articles: [{title, url}]}
+        nested = docs.groupBy("lang").agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("text").alias("title"),
+                        F.concat(F.lit("https://doc/"), F.col("doc_id")).alias("url"),
+                    )
+                )
+            ).alias("articles")
+        ).withColumn("status", F.lit("ok"))
+        nested.write.mode("overwrite").json(d)
+
+        schema = T.StructType(
+            [
+                T.StructField("lang", T.StringType()),
+                T.StructField(
+                    "articles",
+                    T.ArrayType(
+                        T.StructType(
+                            [
+                                T.StructField("title", T.StringType()),
+                                T.StructField("url", T.StringType()),
+                            ]
+                        )
+                    ),
+                ),
+                T.StructField("status", T.StringType()),
+            ]
+        )
+        back = spark.read.schema(schema).json(d)
+        flat_in = nested.select("lang", F.explode("articles").alias("a")).select(
+            "lang", "a.title", "a.url"
+        )
+        flat_out = back.select("lang", F.explode("articles").alias("a")).select(
+            "lang", "a.title", "a.url"
+        )
+        assert flat_out.exceptAll(flat_in).count() == 0
+        assert flat_in.exceptAll(flat_out).count() == 0
+        assert back.filter(F.col("status") != "ok").count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
