@@ -37,9 +37,16 @@ def scan_read_columns(df: DataFrame, table_hint: str = "") -> list[list[str]]:
     pruning). Splits only on depth-0 commas so nested struct columns
     (a:struct<b:int,c:int>) stay one entry."""
     out = []
+    location = ""
     for line in formatted_plan(df).splitlines():
         line = line.strip()
-        if line.startswith("ReadSchema") and (not table_hint or table_hint in line):
+        # the table path lives on the Location line preceding ReadSchema,
+        # never on the ReadSchema line itself — remember it for the hint
+        if line.startswith("Location"):
+            location = line
+        if line.startswith("ReadSchema") and (
+            not table_hint or table_hint in location
+        ):
             body = line.split("struct<", 1)[-1].rstrip(">")
             cols, depth, cur = [], 0, ""
             for ch in body:

@@ -64,6 +64,24 @@ def _duck_bands_cte(num_perm: int = NUM_PERM, band_size: int = BAND_SIZE) -> str
     return ", bands AS (\n" + "\nUNION ALL\n".join(selects) + "\n)"
 
 
+def _duck_match_frac(a: str = "a", b: str = "b", num_perm: int = NUM_PERM) -> str:
+    """est_jaccard = matching-signature fraction (shared by the pairs
+    query and the survivor query so the near-pair definition cannot
+    drift between them)."""
+    terms = " + ".join(
+        f"CASE WHEN {a}.sig_{i} = {b}.sig_{i} THEN 1 ELSE 0 END"
+        for i in range(num_perm)
+    )
+    return f"({terms}) / {float(num_perm)}"
+
+
+_DUCK_BAND_PAIRS = """
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+"""
+
+
 _DUCK_SIMHASH_CTE = (
     """
 toksd AS (
@@ -135,11 +153,8 @@ def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_duck_sigs_cte()}{_duck_bands_cte()}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ({" + ".join(f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END" for i in range(NUM_PERM))})
-             / {float(NUM_PERM)} AS est_jaccard
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-     AND a.doc_id < b.doc_id
+           {_duck_match_frac()} AS est_jaccard
+    {_DUCK_BAND_PAIRS}
     """,
     tags=("dedup", "M5", "minhash", "lsh"),
     doc="MinHash-LSH near-duplicate candidates: band-bucket equi-join "
@@ -220,11 +235,8 @@ def dd_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_duck_sigs_cte()}{_duck_bands_cte()},
     near_pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-       AND a.doc_id < b.doc_id
-      WHERE ({" + ".join(f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END" for i in range(NUM_PERM))})
-              / {float(NUM_PERM)} >= 0.9
+      {_DUCK_BAND_PAIRS}
+      WHERE {_duck_match_frac()} >= 0.9
     )
     SELECT d.doc_id FROM documents d
     WHERE NOT EXISTS (SELECT 1 FROM near_pairs p WHERE p.doc_b = d.doc_id)

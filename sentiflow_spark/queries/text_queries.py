@@ -297,11 +297,14 @@ def txt_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from sentiflow_spark.functions.hashing import duck_md5_i32 as _duck_md5_i32
+
+
 @register(
     "txt_train_val_split",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
-           CASE WHEN CAST(('0x' || substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+           CASE WHEN {_duck_md5_i32("'split42:' || CAST(doc_id AS VARCHAR)")} % 100 < 90
                 THEN 'train' ELSE 'val' END AS split
     FROM documents
     """,

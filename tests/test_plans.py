@@ -67,6 +67,9 @@ def test_no_python_row_udfs_anywhere(spark, sf_dir):
     for name, entry in REGISTRY.items():
         if "streaming" in entry.tags:
             continue  # streaming queries execute on collection, not lazily
+        if "iterative" in entry.tags:
+            continue  # driver-loop queries execute eagerly; only the
+            # final assignment plan would be inspected anyway
         df = entry.fn(spark, sf_dir)
         assert I.python_eval_count(df) == 0, name
 
