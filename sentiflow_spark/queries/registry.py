@@ -51,6 +51,7 @@ REGISTRY: dict[str, Query] = {}
 _QUERY_MODULES = (
     "sentiflow_spark.queries.pipeline_queries",
     "sentiflow_spark.queries.relational",
+    "sentiflow_spark.queries.tpch_extra",
     "sentiflow_spark.queries.window_queries",
     "sentiflow_spark.queries.dedup_queries",
     "sentiflow_spark.queries.text_queries",
