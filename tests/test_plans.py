@@ -124,3 +124,54 @@ def test_no_unbounded_cartesian_anywhere(spark, sf_dir):
             continue  # executes eagerly (driver loop)
         df = entry.fn(spark, sf_dir)
         assert not I.has_cartesian(df), name
+
+
+def test_q4_semi_join_with_residual(spark, sf_dir):
+    """The correlated EXISTS plans as ONE left-semi join carrying the
+    non-equi shipdate residual — not a join + distinct, and never a
+    per-row re-scan."""
+    plan = I.simple_plan(q(spark, sf_dir, "rel_q4_order_priority"))
+    assert "LeftSemi" in plan
+    assert "INTERVAL '30' DAY" in plan  # residual rides the semi join
+    assert plan.count("Join") == 1
+
+
+def test_q17_window_decorrelation_single_extra_shuffle(spark, sf_dir):
+    """The per-part AVG subquery costs exactly one partkey shuffle (the
+    window), not a re-aggregation join."""
+    df = q(spark, sf_dir, "rel_q17_small_quantity")
+    assert I.count_exchanges(df) <= 2  # window partition + final 1-row agg
+    assert "Window" in I.simple_plan(df)
+
+
+def test_q18_semi_join_and_take_ordered(spark, sf_dir):
+    plan = I.simple_plan(q(spark, sf_dir, "rel_q18_large_volume"))
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_equi_join_with_bracket_residual(spark, sf_dir):
+    """The OR-of-ANDs bracket predicate stays a residual on a partkey
+    equi-join, and the derivable brand filter is pushed into the
+    part scan."""
+    df = q(spark, sf_dir, "rel_q19_bracket_join")
+    assert not I.has_cartesian(df)
+    assert I.has_pushed_filter(df, "p_brand")
+
+
+def test_q21_decorrelated_no_cartesian(spark, sf_dir):
+    """EXISTS + NOT EXISTS become aggregate joins on orderkey: no
+    cartesian, no nested-loop, and a deterministic top-k."""
+    df = q(spark, sf_dir, "rel_q21_waiting_suppliers")
+    plan = I.simple_plan(df)
+    assert not I.has_cartesian(df)
+    assert "NestedLoop" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q13_join_side_filter_pushed_to_scan(spark, sf_dir):
+    """The ON-clause filter on the outer join's right side prunes the
+    orders scan (outer-join semantics preserved, filter still pushed)."""
+    df = q(spark, sf_dir, "rel_q13_customer_distribution")
+    assert I.has_pushed_filter(df, "o_orderpriority")
+    assert "LeftOuter" in I.simple_plan(df)
