@@ -183,7 +183,7 @@ def rel_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
     GROUP BY o_year
     """,
-    tags=("relational", "tpch", "aggregate", "join"),
+    tags=("relational", "tpch", "aggregate", "join", "bench"),
     doc="TPC-H Q8: national market share = conditional-sum / sum, both "
     "through exact DECIMAL partials so the ratio is bit-identical "
     "across engines and partitionings. Region/nation broadcast; the "
@@ -376,7 +376,7 @@ def rel_q12_ship_lag_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY c_custkey)
     GROUP BY c_count
     """,
-    tags=("relational", "tpch", "outer-join", "aggregate"),
+    tags=("relational", "tpch", "outer-join", "aggregate", "bench"),
     doc="TPC-H Q13: order-count distribution. The join-side filter "
     "lives in the LEFT JOIN's ON clause (filtering o_orderpriority "
     "in WHERE would silently turn the outer join inner); COUNT of a "
@@ -519,7 +519,7 @@ def rel_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                       / COUNT(*))
         FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
     """,
-    tags=("relational", "tpch", "correlated-subquery", "window"),
+    tags=("relational", "tpch", "correlated-subquery", "window", "bench"),
     doc="TPC-H Q17: small-quantity-order revenue. The correlated "
     "per-part AVG is decorrelated into a window aggregate over the "
     "partkey partition (one shuffle, no re-scan per row) — valid "
@@ -561,7 +561,7 @@ def rel_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 10
     """,
-    tags=("relational", "tpch", "semi-join", "topk"),
+    tags=("relational", "tpch", "semi-join", "topk", "bench"),
     doc="TPC-H Q18: large-volume orders. The IN-subquery is a "
     "left-semi join against the HAVING aggregate; the sum reuses the "
     "orderkey partitioning from the semi-join build side. Top-10 by "
@@ -708,7 +708,7 @@ def rel_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY numwait DESC, s_name
     LIMIT 20
     """,
-    tags=("relational", "tpch", "exists", "aggregate"),
+    tags=("relational", "tpch", "exists", "aggregate", "bench"),
     doc="TPC-H Q21 adapted (late = shipped >60 days after order date; "
     "no commit/receipt dates). The EXISTS/NOT-EXISTS pair is "
     "decorrelated into per-order distinct-supplier counts: a late "
@@ -717,29 +717,37 @@ def rel_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "back on orderkey, instead of two correlated re-scans per row.",
 )
 def rel_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single pass over lineitem: both distinct-supplier counts are
+    # window aggregates over the orderkey partition (collect_set drops
+    # the NULLs the when() emits for on-time rows), so the whole
+    # EXISTS/NOT-EXISTS pair costs one shuffle instead of three scans.
+    # Orders with >13 lines don't exist (bounded fan-in), so the
+    # per-partition sets stay tiny at any SF.
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    orders = load(spark, sf_dir, "orders").filter(
-        F.col("o_orderstatus") == "F"
-    ).select("o_orderkey", "o_orderdate")
-    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
     )
-    n_supp = (
-        load(spark, sf_dir, "lineitem")
-        .groupBy(F.col("l_orderkey").alias("all_okey"))
-        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
-    )
-    n_late = late.groupBy(F.col("l_orderkey").alias("late_okey")).agg(
-        F.countDistinct("l_suppkey").alias("n_late")
-    )
+    is_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    w = Window.partitionBy("l_orderkey")
     supp = load(spark, sf_dir, "supplier")
     return (
-        late.join(n_supp, late.l_orderkey == F.col("all_okey"))
-        .join(n_late, late.l_orderkey == F.col("late_okey"))
-        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(supp, late.l_suppkey == supp.s_suppkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn("is_late", is_late)
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .filter(F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
