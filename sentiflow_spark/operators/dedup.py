@@ -270,3 +270,72 @@ def simhash_near_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    near-duplicate pair graph, as ``(node, cluster_id)`` where
+    cluster_id = the minimum doc id reachable from the node.
+
+    LSH/SimHash emit *pairs*; real corpus dedup needs the transitive
+    closure (A~B, B~C ⇒ {A,B,C} is one cluster, even when A≁C), so a
+    keep-one-per-cluster policy sees each duplicate group exactly once.
+
+    Algorithm: distributed min-label propagation with pointer jumping
+    (label ← label of one's label each round), the hash-to-min shape
+    from the MapReduce connected-components literature. Each iteration
+    is two equi-joins + one aggregation, all hash-partitioned on node
+    id — no driver-side graph state, so it scales to any number of
+    edges. Propagation alone needs O(diameter) rounds; pointer jumping
+    compresses chains geometrically, so convergence is
+    O(log diameter) — near-dup clusters are almost-cliques with tiny
+    diameters, so this terminates in 2-3 rounds in practice.
+
+    Each round ends in ``localCheckpoint`` to truncate the lineage
+    (without it the plan doubles per iteration and the job dies on
+    plan-compile time long before data size matters). Convergence is
+    an explicit any-label-changed probe; ``max_iter`` is a safety rail.
+    """
+    both = pairs.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    labels = (
+        both.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = both.join(labels, both.v == labels.node).select(
+            F.col("u").alias("node"), "lbl"
+        )
+        merged = (
+            labels.select("node", "lbl")
+            .union(nbr_min)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        hop = merged.select(
+            F.col("node").alias("pnode"), F.col("lbl").alias("plbl")
+        )
+        jumped = (
+            merged.join(hop, merged.lbl == hop.pnode, "left")
+            .select("node", F.coalesce("plbl", "lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels

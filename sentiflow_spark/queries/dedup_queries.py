@@ -257,3 +257,54 @@ def dd_minhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return docs.select("doc_id").join(losers, "doc_id", "left_anti")
+
+
+@register(
+    "dd_duplicate_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_duck_sigs_cte()}{_duck_bands_cte()},
+    near_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      {_DUCK_BAND_PAIRS}
+      WHERE {_duck_match_frac()} >= 0.9
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM near_pairs
+      UNION
+      SELECT doc_b, doc_a FROM near_pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+    ),
+    comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+    tags=("dedup", "M5", "minhash", "lsh", "iterative", "e2e"),
+    doc="Transitive duplicate clustering: connected components over "
+    "the MinHash-LSH near-pair graph (min reachable doc id = cluster "
+    "id; singletons are their own cluster). Spark side runs "
+    "distributed min-label propagation with pointer jumping "
+    "(operators/dedup.py::connected_components) — an iterative "
+    "driver loop, which the DuckDB oracle mirrors with a recursive "
+    "CTE, so even this non-single-SQL operator is hash-checked.",
+)
+def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.operators.dedup import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs)).filter(
+        F.col("est_jaccard") >= 0.9
+    )
+    cc = connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(cc, docs.doc_id == cc.node, "left")
+        .select(
+            "doc_id", F.coalesce("lbl", "doc_id").alias("cluster_id")
+        )
+    )

@@ -100,3 +100,59 @@ def test_nested_pack_unpack_roundtrip(spark, sf_dir):
     base = load(spark, sf_dir, "events").select("event_type", "event_id", "user_id")
     assert flat.exceptAll(base).count() == 0
     assert base.exceptAll(flat).count() == 0
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed pointer-jumping CC must equal a driver union-find
+    on arbitrary random graphs (chains, cycles, stars — not just the
+    near-clique clusters LSH produces)."""
+    from sentiflow_spark.operators.dedup import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(edges, "doc_a: long, doc_b: long")
+    got = {
+        r["node"]: r["lbl"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_long_chain(spark):
+    """A 40-node path graph: worst-case diameter for label
+    propagation; pointer jumping must still converge inside the
+    iteration cap and label every node with the chain's minimum."""
+    from sentiflow_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(40)]
+    labels = connected_components(
+        spark.createDataFrame(chain, "doc_a: long, doc_b: long")
+    )
+    assert {r["lbl"] for r in labels.collect()} == {0}
