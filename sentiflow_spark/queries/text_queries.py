@@ -325,3 +325,36 @@ def txt_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(bucket < 90, "train").otherwise("val").alias("split"),
     )
+
+
+@register(
+    "txt_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_duck_md5_i32("'strat42:' || CAST(doc_id AS VARCHAR)")} % 1000
+          < CASE lang WHEN 'en' THEN 250 WHEN 'zh' THEN 1000 ELSE 600 END
+    """,
+    tags=("text", "M5", "sampling"),
+    doc="Stratified downsampling by salted-hash-mod with per-language "
+    "keep rates (rebalance a web corpus dominated by one language: "
+    "en kept at 25%, zh at 100%, rest at 60%). A pure map-side "
+    "filter — no shuffle, no stored sample table, reproducible on "
+    "any cluster size; the literal rate map plays the role of a "
+    "broadcast dimension (compiled into the plan like the "
+    "reference's CategoryToSubreddits map, "
+    "internal/producer/fetch.go:19-29).",
+)
+def txt_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.functions.hashing import md5_i32
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = md5_i32(
+        F.concat(F.lit("strat42:"), F.col("doc_id").cast("string"))
+    ) % 1000
+    rate = (
+        F.when(F.col("lang") == "en", 250)
+        .when(F.col("lang") == "zh", 1000)
+        .otherwise(600)
+    )
+    return docs.filter(bucket < rate).select("doc_id", "lang")

@@ -4,6 +4,7 @@ TTL stamping + retention sweep, and the streaming foreachBatch path."""
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import functions as F
@@ -126,7 +127,6 @@ def test_json_file_source_roundtrip(spark, sf_dir):
     lines, read back with a DECLARED schema (no inference — schema
     inference requires an extra full pass at 100 TB), and verify
     nothing is lost, including nested array-of-struct shapes."""
-    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -183,3 +183,98 @@ def test_json_file_source_roundtrip(spark, sf_dir):
         assert back.filter(~F.col("status").eqNullSafe("ok")).count() == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_csv_roundtrip_preserves_types_and_values(spark, sf_dir):
+    """CSV interchange: quoted/escaped text, timestamps, doubles all
+    survive a write+schema'd-read cycle over the orders table."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from sentiflow_spark.sources.files import read_csv, write_csv
+    from sentiflow_spark.tables import load
+
+    d = tempfile.mkdtemp(prefix="sf_csv_")
+    try:
+        orders = load(spark, sf_dir, "orders").filter("o_orderkey < 500")
+        write_csv(orders, d)
+        back = read_csv(
+            spark,
+            d,
+            T.StructType(
+                [
+                    T.StructField("o_orderkey", T.LongType()),
+                    T.StructField("o_custkey", T.LongType()),
+                    T.StructField("o_orderstatus", T.StringType()),
+                    T.StructField("o_totalprice", T.DoubleType()),
+                    T.StructField("o_orderdate", T.TimestampNTZType()),
+                    T.StructField("o_orderpriority", T.StringType()),
+                ]
+            ),
+        )
+        assert back.schema == orders.schema
+        assert back.exceptAll(orders).count() == 0
+        assert orders.exceptAll(back).count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_orc_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from sentiflow_spark.sources.files import read_orc, write_orc
+    from sentiflow_spark.tables import load
+
+    d = tempfile.mkdtemp(prefix="sf_orc_")
+    try:
+        li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 200")
+        write_orc(li, d)
+        back = read_orc(spark, d)
+        assert back.schema == li.schema
+        assert back.exceptAll(li).count() == 0
+        assert li.exceptAll(back).count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compact_fixes_small_files_and_preserves_rows(spark, sf_dir):
+    """200 tiny input files -> size-targeted output; row multiset
+    unchanged; sorted variant writes disjoint key ranges per file."""
+    import glob
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.sources.files import compact
+    from sentiflow_spark.tables import load
+
+    src = tempfile.mkdtemp(prefix="sf_frag_")
+    dest = tempfile.mkdtemp(prefix="sf_compact_")
+    try:
+        li = load(spark, sf_dir, "lineitem")
+        li.repartition(200).write.mode("overwrite").parquet(src)
+        assert len(glob.glob(f"{src}/part-*")) == 200
+
+        n = compact(spark, src, dest, sort_by=["l_shipdate"])
+        out_files = glob.glob(f"{dest}/part-*")
+        assert len(out_files) == n < 200
+
+        back = spark.read.parquet(dest)
+        assert back.count() == li.count()
+        assert back.exceptAll(li).count() == 0
+
+        # range-partitioned output: per-file [min,max] shipdate windows
+        # don't interleave (what makes file-level skipping effective)
+        spans = (
+            back.withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg(F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi"))
+            .collect()
+        )
+        spans = sorted([(r["lo"], r["hi"]) for r in spans])
+        for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+            assert hi_prev <= lo_next
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dest, ignore_errors=True)
