@@ -212,3 +212,36 @@ def st_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_stream(spark, sf_dir, "events")
     return run_to_table(interval_self_join(ev, interval="4 hours"))
+
+
+@register(
+    "st_static_enrich",
+    oracle="""
+    SELECT doc_id, lang,
+           n_chars * CAST(boost AS DOUBLE) AS weighted_chars
+    FROM documents
+    JOIN (VALUES ('en', 1.0), ('es', 1.5), ('de', 1.5),
+                 ('fr', 1.5), ('zh', 2.0)) AS dim(lang, boost)
+      USING (lang)
+    """,
+    tags=("streaming", "join", "M3"),
+    doc="Stream-static dimension enrichment: an unbounded stream "
+    "joined to a bounded dimension table (the reference's "
+    "CategoryToSubreddits pattern, internal/producer/fetch.go:19-29, "
+    "done stream-side). The static side broadcasts once per "
+    "micro-batch; no state store, no watermark — the streaming "
+    "join shape used for every slowly-changing lookup at scale.",
+)
+def st_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = spark.createDataFrame(
+        [("en", 1.0), ("es", 1.5), ("de", 1.5), ("fr", 1.5), ("zh", 2.0)],
+        "lang: string, boost: double",
+    )
+    docs = load_stream(spark, sf_dir, "documents")
+    return run_to_table(
+        docs.join(F.broadcast(dim), "lang").select(
+            "doc_id",
+            "lang",
+            (F.col("n_chars") * F.col("boost")).alias("weighted_chars"),
+        )
+    )
