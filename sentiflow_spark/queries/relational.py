@@ -805,3 +805,44 @@ def rel_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return left.join(
         F.broadcast(right), left["grp"].eqNullSafe(right["grp"])
     ).select("event_id", left["grp"].alias("grp"), "label")
+
+
+@register(
+    "rel_approx_percentile",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5)  AS exact_p50,
+           quantile_cont(value, 0.95) AS exact_p95,
+           TRUE AS p50_in_band, TRUE AS p95_in_band
+    FROM events GROUP BY event_type
+    """,
+    tags=("relational", "aggregate", "sketch"),
+    doc="approx_percentile (Greenwald-Khanna, accuracy=10000) checked "
+    "with a rank-band oracle: the p50 estimate must land in the exact "
+    "[p45, p55] value band and p95 in [p90, p99] — rank error is what "
+    "GK actually bounds (~N/accuracy), so this is stable at every SF, "
+    "where a fixed relative-value tolerance breaks on spread-out "
+    "tails in tiny groups. Exact quantiles interpolate identically to "
+    "DuckDB quantile_cont, so they are emitted as values. At 100 TB "
+    "the sketch aggregates in fixed memory per group and merges "
+    "map-side; an exact percentile needs a full sort per group.",
+)
+def rel_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.45, 0.5, 0.55))").alias("_e50"),
+        F.expr("percentile(value, array(0.90, 0.95, 0.99))").alias("_e95"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("_a50"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("_a95"),
+    )
+    return g.select(
+        "event_type",
+        F.col("_e50")[1].alias("exact_p50"),
+        F.col("_e95")[1].alias("exact_p95"),
+        F.col("_a50").between(F.col("_e50")[0], F.col("_e50")[2]).alias(
+            "p50_in_band"
+        ),
+        F.col("_a95").between(F.col("_e95")[0], F.col("_e95")[2]).alias(
+            "p95_in_band"
+        ),
+    )

@@ -358,3 +358,51 @@ def txt_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(600)
     )
     return docs.filter(bucket < rate).select("doc_id", "lang")
+
+
+@register(
+    "txt_ngram_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-zA-Z]+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT unnest(list_transform(
+               generate_series(1, greatest(len(t) - 1, 0)),
+               i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM grams GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 25
+    """,
+    tags=("text", "M5", "ngram", "aggregate"),
+    doc="Corpus bigram frequency, top-25 with lexicographic tiebreak — "
+    "the building block for n-gram LMs / contamination checks over a "
+    "training corpus. Tokenize → inline bigram assembly (zip of the "
+    "token array with its own tail — no explode-then-self-join) → "
+    "explode → count. One shuffle on the bigram key; counts partial-"
+    "aggregate map-side, and the top-k is TakeOrderedAndProject.",
+)
+def txt_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.functions.text import word_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(word_tokens(F.col("text")).alias("t"))
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(25)
+    )

@@ -322,3 +322,56 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spend_30d"
         ),
     )
+
+
+@register(
+    "win_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS effective_from,
+           strftime(LEAD(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S') AS effective_to
+    FROM changes
+    """,
+    tags=("window", "scd2", "time"),
+    doc="SCD type-2 interval construction: collapse each user's event "
+    "stream into validity windows [effective_from, effective_to) that "
+    "change only when event_type changes (run-length encoding via "
+    "lag-compare, interval close via lead; NULL effective_to = "
+    "current). Both windows share the (user_id → ts, event_id) sort, "
+    "so the whole rewrite is ONE shuffle + one sort — the standard "
+    "way to build a type-2 dimension from a 100 TB change log. "
+    "event_id breaks ts ties deterministically.",
+)
+def win_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.withColumn(
+        "prev_type", F.lag("event_type").over(w)
+    ).filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("effective_from"),
+        F.date_format(F.lead("ts").over(w2), "yyyy-MM-dd HH:mm:ss").alias(
+            "effective_to"
+        ),
+    )
