@@ -278,3 +278,59 @@ def test_compact_fixes_small_files_and_preserves_rows(spark, sf_dir):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(dest, ignore_errors=True)
+
+
+def test_streaming_checkpoint_incremental_recovery(spark, sf_dir):
+    """The reference hand-manages Kafka offsets + transactional
+    producers for exactly-once (internal/clients/kafka_client/
+    producer.go:58-61); Structured Streaming's checkpoint replaces all
+    of it. Pin that: run a file-source stream to a parquet sink with
+    availableNow, add new input, rerun with the SAME checkpoint — the
+    second run must process ONLY the new files (no reprocessing, no
+    duplicates, no loss)."""
+    import glob
+    import tempfile
+
+    from sentiflow_spark.tables import load
+
+    src = tempfile.mkdtemp(prefix="sf_ck_src_")
+    out = tempfile.mkdtemp(prefix="sf_ck_out_")
+    ckpt = tempfile.mkdtemp(prefix="sf_ck_ckpt_")
+    try:
+        docs = load(spark, sf_dir, "documents")
+        schema = docs.schema
+        docs.filter("doc_id < 200").coalesce(1).write.mode("append").parquet(src)
+
+        def run_once():
+            q = (
+                spark.readStream.schema(schema)
+                .parquet(src)
+                .withColumn("text_len", F.length("text"))
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once()
+        first = spark.read.parquet(out)
+        n_first = first.count()
+        assert n_first == docs.filter("doc_id < 200").count()
+        files_after_first = set(glob.glob(f"{out}/part-*"))
+
+        docs.filter("doc_id >= 200").coalesce(1).write.mode("append").parquet(src)
+        run_once()
+
+        final = spark.read.parquet(out)
+        assert final.count() == docs.count()  # no loss
+        assert final.select("doc_id").distinct().count() == docs.count()  # no dupes
+        # run 2 wrote only the new slice
+        new_files = set(glob.glob(f"{out}/part-*")) - files_after_first
+        n_new = spark.read.parquet(*new_files).count() if new_files else 0
+        assert n_new == docs.filter("doc_id >= 200").count()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
