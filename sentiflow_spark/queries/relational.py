@@ -30,7 +30,7 @@ from sentiflow_spark.functions.numeric import (
     duck_revenue,
     revenue,
 )
-from sentiflow_spark.queries.registry import register
+from sentiflow_spark.queries.registry import REGISTRY, register
 from sentiflow_spark.tables import load
 
 
@@ -846,3 +846,27 @@ def rel_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p95_in_band"
         ),
     )
+
+
+@register(
+    "rel_lateral_topn",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c_name, c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+    """,
+    tags=("relational", "sql-api", "lateral", "topk"),
+    doc="LATERAL correlated subquery (per-nation top-2 customers by "
+    "balance), run through spark.sql with the IDENTICAL text DuckDB "
+    "executes — the declarative SQL surface, not a DataFrame "
+    "translation. Catalyst decorrelates the per-row LIMIT into a "
+    "rank-window over the custkey-tiebroken sort, so execution is "
+    "one shuffle, not a re-scan per nation row.",
+)
+def rel_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = REGISTRY["rel_lateral_topn"].oracle
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(q)
