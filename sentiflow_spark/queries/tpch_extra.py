@@ -6,7 +6,8 @@ the synthetic star schema — correlated EXISTS (Q4), multi-nation
 bidirectional joins (Q7), market-share conditional aggregation (Q8),
 adapted profit analysis (Q9), returned-item top-k (Q10), ship-lag
 buckets (adapted Q12), outer-join distribution (Q13), promo share
-(Q14), max-revenue scalar subquery (Q15), adapted supplier-count with
+(Q14), max-revenue scalar subquery (Q15), adapted global-share
+threshold (Q11), adapted supplier-count with
 NOT IN (Q16), correlated per-group average (Q17), HAVING semi-join
 (Q18), disjunctive bracket join (Q19), nested-agg supplier selection
 (adapted Q20), double-correlated EXISTS/NOT EXISTS (Q21), and
@@ -847,4 +848,70 @@ def rel_q2_min_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
+    )
+
+
+@register(
+    "rel_q11_important_share",
+    oracle="""
+    WITH vals AS (
+      SELECT s_nationkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(6,2))
+                      * CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS nation_value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN part     ON p_partkey = l_partkey
+      GROUP BY s_nationkey)
+    SELECT n_name,
+           nation_value,
+           nation_value
+             / (SELECT CAST(SUM(CAST(nation_value AS DECIMAL(25,4)))
+                            AS DOUBLE) FROM vals) AS share
+    FROM vals JOIN nation ON n_nationkey = s_nationkey
+    WHERE nation_value
+          > 0.03 * (SELECT CAST(SUM(CAST(nation_value AS DECIMAL(25,4)))
+                                AS DOUBLE) FROM vals)
+    """,
+    tags=("relational", "tpch", "scalar-subquery", "aggregate"),
+    doc="TPC-H Q11 adapted: no partsupp/ps_supplycost, so 'inventory "
+    "value' per supplier nation = sum(l_quantity * p_retailprice) "
+    "from shipped lineitems; same shape: grouped aggregate compared "
+    "against a scalar fraction of the same aggregate's global total "
+    "(computed once and broadcast as a 1-row join, not re-derived "
+    "per group). nation_value is decimal-exact, so the 0.03 "
+    "threshold compare and the share division are bit-stable.",
+)
+def rel_q11_important_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part")
+    nat = load(spark, sf_dir, "nation")
+    vals = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("s_nationkey")
+        .agg(
+            F.sum(
+                F.col("l_quantity").cast("decimal(6,2)")
+                * F.col("p_retailprice").cast(MONEY)
+            )
+            .cast("double")
+            .alias("nation_value")
+        )
+    )
+    total = vals.agg(
+        F.sum(F.col("nation_value").cast("decimal(25,4)"))
+        .cast("double")
+        .alias("total_value")
+    )
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("nation_value") > 0.03 * F.col("total_value"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            "nation_value",
+            (F.col("nation_value") / F.col("total_value")).alias("share"),
+        )
     )
