@@ -334,3 +334,42 @@ def test_streaming_checkpoint_incremental_recovery(spark, sf_dir):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_json_source_preserves_malformed_rows(spark):
+    """Ingest must never silently drop undecodable records (the
+    reference logs-and-continues on JSON errors, e.g.
+    internal/consumers/summary_consumer.go unmarshal paths; at scale
+    a dropped row is unrecoverable). PERMISSIVE mode nulls the
+    columns instead; rescue the raw line via _corrupt_record so bad
+    input stays countable AND re-processable."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    d = tempfile.mkdtemp(prefix="sf_badjson_")
+    try:
+        good = ['{"id": 1, "v": "a"}', '{"id": 2, "v": "b"}']
+        bad = ['{"id": 3, "v": ', "not json at all"]
+        with open(f"{d}/data.json", "w") as f:
+            f.write("\n".join(good + bad))
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("v", T.StringType()),
+                T.StructField("_corrupt_record", T.StringType()),
+            ]
+        )
+        from sentiflow_spark.sources.files import read_json
+
+        back = read_json(spark, d, schema).cache()
+        assert back.count() == 4  # nothing dropped
+        ok_rows = back.filter(F.col("_corrupt_record").isNull())
+        assert sorted(r["id"] for r in ok_rows.collect()) == [1, 2]
+        corrupt = back.filter(F.col("_corrupt_record").isNotNull())
+        assert corrupt.count() == 2
+        # the raw text survives for quarantine/replay
+        assert sorted(r["_corrupt_record"] for r in corrupt.collect()) == sorted(bad)
+        back.unpersist()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
