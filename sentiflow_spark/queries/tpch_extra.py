@@ -127,10 +127,13 @@ def rel_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY supp_nation, cust_nation, l_year
     """,
     tags=("relational", "tpch", "join"),
-    doc="TPC-H Q7: bidirectional two-nation trade volume. Both nation "
-    "joins broadcast (fixed 25 rows); the disjunctive nation-pair "
-    "predicate is applied after the broadcasts so the fact-side "
-    "shuffles stay pure equi-joins on orderkey/custkey.",
+    doc="TPC-H Q7: bidirectional two-nation trade volume. The nation "
+    "dimension is pre-filtered to the two target nations and folded "
+    "into supplier/customer BEFORE the fact joins (Catalyst cannot "
+    "decompose the OR-of-pairs predicate across joins itself), so "
+    "~92% of lineitem drops at the first join; the residual OR only "
+    "distinguishes direction. Fact-side shuffles stay pure "
+    "equi-joins on suppkey/orderkey/custkey.",
 )
 def rel_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
@@ -139,21 +142,32 @@ def rel_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
     supp = load(spark, sf_dir, "supplier")
-    n1 = load(spark, sf_dir, "nation").select(
+    # Pre-filter both nation sides to the two target nations: Catalyst
+    # cannot decompose the OR-of-pairs predicate across two joins, and
+    # the membership filter is what turns the broadcast joins into
+    # semi-filters that drop ~92% of the fact rows before any shuffle.
+    two = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n1 = two.select(
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
     )
-    n2 = load(spark, sf_dir, "nation").select(
+    n2 = two.select(
         F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
     )
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    supp2 = supp.join(
+        F.broadcast(n1), supp.s_nationkey == F.col("s_nkey")
+    ).select("s_suppkey", "supp_nation")
+    cust2 = cust.join(
+        F.broadcast(n2), cust.c_nationkey == F.col("c_nkey")
+    ).select("c_custkey", "cust_nation")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        li.join(supp2, li.l_suppkey == supp2.s_suppkey)  # ~92% of li gone
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust2, orders.o_custkey == cust2.c_custkey)
         .filter(pair)
         .withColumn("l_year", F.year("l_shipdate"))
         .groupBy("supp_nation", "cust_nation", "l_year")
