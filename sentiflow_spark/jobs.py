@@ -134,7 +134,47 @@ def job_topics(args: argparse.Namespace) -> dict:
             "sink": args.out}
 
 
+def job_dedup(args: argparse.Namespace) -> dict:
+    """Corpus dedup as a runnable job (the training-data-pipeline
+    extension, SURVEY §7.2 M5): exact fingerprint dedup, then
+    MinHash-LSH near-pair graph, connected-component clusters,
+    keep-lowest-id-per-cluster; survivors written out with their
+    cluster id for audit."""
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from sentiflow_spark.tables import load
+
+    spark = _spark("sentiflow-dedup")
+    docs = load(spark, args.sf_dir, "documents")
+    n_in = docs.count()
+    pairs = lsh_candidate_pairs(minhash_signatures(docs)).filter(
+        F.col("est_jaccard") >= args.jaccard
+    )
+    clusters = connected_components(pairs)
+    labeled = docs.join(
+        clusters, docs.doc_id == clusters.node, "left"
+    ).withColumn("cluster_id", F.coalesce("lbl", "doc_id"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy("doc_id")
+    survivors = (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(*docs.columns, "cluster_id")
+    )
+    survivors.write.mode("overwrite").parquet(args.out)
+    n_out = spark.read.parquet(args.out).count()
+    return {"job": "dedup", "rows_in": n_in, "rows_out": n_out,
+            "removed": n_in - n_out, "sink": args.out}
+
+
 JOBS = {
+    "dedup": job_dedup,
     "ingest": job_ingest,
     "pipeline": job_pipeline,
     "stream": job_stream,
@@ -151,6 +191,7 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--router-threshold", type=int, default=256)
     ap.add_argument("--kafka-brokers", default=None)
+    ap.add_argument("--jaccard", type=float, default=0.9, help="near-dup threshold (dedup job)")
     args = ap.parse_args(argv)
     result = JOBS[args.job](args)
     print(json.dumps(result))

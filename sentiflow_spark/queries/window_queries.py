@@ -375,3 +375,37 @@ def win_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "effective_to"
         ),
     )
+
+
+@register(
+    "win_cume_dist_nth",
+    oracle="""
+    SELECT user_id, event_id,
+           cume_dist() OVER w AS cd,
+           nth_value(value, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS third_value
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+    tags=("window", "rank"),
+    doc="cume_dist + nth_value, completing the ranking-function "
+    "family. cume_dist divides two ints derived from the same sort "
+    "(deterministic doubles); nth_value needs the explicit "
+    "whole-partition ROWS frame — the default frame stops at "
+    "CURRENT ROW, which would null the first two rows per key. "
+    "(value, event_id) makes the order total, so both functions are "
+    "partition-order independent.",
+)
+def win_cume_dist_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("value", 3).over(wf).alias("third_value"),
+    )

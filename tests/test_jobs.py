@@ -61,3 +61,32 @@ def test_topics_job_anti_join_semantics(spark, sf_dir):
         assert r2["rows"] == r1["rows"]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dedup_job_matches_cluster_query(spark, sf_dir):
+    """The dedup job's survivor set = one doc per cluster of the
+    oracle-checked dd_duplicate_clusters query (lowest doc_id wins),
+    and survivors carry their cluster_id for audit."""
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.queries.registry import load_all
+
+    d = tempfile.mkdtemp(prefix="sf_jobs_")
+    try:
+        r = _run(["dedup", "--sf-dir", sf_dir, "--out", f"{d}/dedup"])
+        assert r["rows_in"] == r["rows_out"] + r["removed"]
+
+        clusters = load_all()["dd_duplicate_clusters"].fn(spark, sf_dir)
+        expected = {
+            row["m"]
+            for row in clusters.groupBy("cluster_id")
+            .agg(F.min("doc_id").alias("m"))
+            .collect()
+        }
+        out = spark.read.parquet(f"{d}/dedup")
+        got = {row["doc_id"] for row in out.select("doc_id").collect()}
+        assert got == expected
+        # every survivor is the minimum of its own cluster label
+        assert out.filter(F.col("doc_id") != F.col("cluster_id")).count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
