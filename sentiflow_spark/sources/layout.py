@@ -61,3 +61,72 @@ def colocated_join(
     HashPartitioning(bucket_key) output partitionings on both scans and
     plans a SortMergeJoin with zero Exchange nodes."""
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def zorder_value(scaled_cols: Sequence, bits: int = 16):
+    """Morton (Z-order) key: interleave the low ``bits`` bits of the
+    given integer Column expressions, as a pure Column expression
+    (stays in whole-stage codegen — no UDF).
+
+    Sorting by one column gives perfect file-level min/max skipping on
+    that column and none on the others; sorting by the Z-value gives
+    every interleaved column a bounded range within each file, so
+    predicates on ANY of them skip files. The standard multi-column
+    data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER does the
+    same). Inputs MUST already be scaled to [0, 2**bits): columns
+    with unequal bit widths would let the wide column own every
+    significant interleave bit and the narrow one would not cluster
+    at all — ``write_zordered`` does the min-max scaling.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(scaled_cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(scaled_cols):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` clustered by the Z-order of ``cols`` into
+    ``n_files`` range-partitioned, internally sorted files.
+
+    Each column is min-max scaled to the full [0, 2**bits) range
+    first (one tiny aggregate over the input) so every column gets
+    equal weight at every interleave level regardless of its domain
+    width. At 100 TB the min/max pass is a cheap columnar-stats scan;
+    for monotonically growing keys use a fixed published range
+    instead so files stay comparable across write batches.
+    """
+    from pyspark.sql import functions as F
+
+    top = (1 << bits) - 1
+    stats = df.agg(
+        *[F.min(c).alias(f"{c}_lo") for c in cols],
+        *[F.max(c).alias(f"{c}_hi") for c in cols],
+    ).collect()[0]
+    scaled = []
+    for c in cols:
+        lo, hi = stats[f"{c}_lo"], stats[f"{c}_hi"]
+        width = max(float(hi - lo), 1.0)
+        scaled.append(
+            F.round((F.col(c) - F.lit(lo)) / F.lit(width) * top).cast("long")
+        )
+    z = zorder_value(scaled, bits=bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -86,3 +86,60 @@ def test_partition_filter_prunes_scan(spark, sf_dir):
         assert df.count() == expected
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_zorder_bounds_both_keys_per_file(spark, sf_dir):
+    """Z-order layout: each output file covers a bounded range of BOTH
+    interleaved keys, where a plain single-key sort leaves the second
+    key spanning ~the whole domain in every file — the property that
+    makes min/max skipping work for predicates on either column."""
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.sources.layout import write_zordered
+    from sentiflow_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    zdir = tempfile.mkdtemp(prefix="sf_z_")
+    sdir = tempfile.mkdtemp(prefix="sf_s_")
+    try:
+        write_zordered(li, zdir, ["l_partkey", "l_suppkey"], n_files=16, bits=11)
+        (
+            li.repartitionByRange(16, "l_partkey")
+            .sortWithinPartitions("l_partkey")
+            .write.mode("overwrite")
+            .parquet(sdir)
+        )
+
+        def domain(col):
+            lo, hi = li.agg(F.min(col), F.max(col)).collect()[0]
+            return float(hi - lo)
+
+        def avg_span(path, col):
+            spans = (
+                spark.read.parquet(path)
+                .withColumn("f", F.input_file_name())
+                .groupBy("f")
+                .agg((F.max(col) - F.min(col)).alias("span"))
+                .agg(F.avg("span"))
+                .collect()[0][0]
+            )
+            return spans / domain(col)
+
+        z_p = avg_span(zdir, "l_partkey")
+        z_s = avg_span(zdir, "l_suppkey")
+        s_p = avg_span(sdir, "l_partkey")
+        s_s = avg_span(sdir, "l_suppkey")
+
+        assert len(glob.glob(f"{zdir}/part-*")) == 16
+        # single-key sort: partkey tight, suppkey unbounded
+        assert s_p <= 0.15 and s_s >= 0.9
+        # z-order: BOTH bounded well below the single-sort's loose key
+        assert z_p <= 0.6 and z_s <= 0.6
+        assert z_s < s_s / 1.5
+    finally:
+        shutil.rmtree(zdir, ignore_errors=True)
+        shutil.rmtree(sdir, ignore_errors=True)
