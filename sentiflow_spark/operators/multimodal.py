@@ -141,3 +141,54 @@ def sample_frames(media: DataFrame, every: int = 4) -> DataFrame:
             )
 
     return pruned.mapInPandas(batches, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("in_bytes", T.LongType(), False),
+        T.StructField("out_bytes", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def resample_bytes(payload: bytes, n: int) -> bytes:
+    """Deterministic stand-in for pixel resampling: cycle the source
+    bytes to exactly ``n`` (truncate when shrinking, tile when
+    growing). Swap for a PIL ``Image.resize`` in a real deployment —
+    the Spark-side contract (binary in, binary out, exact target
+    size) is what this module pins."""
+    if not payload:
+        return b"\x00" * n
+    reps = -(-n // len(payload))
+    return (payload * reps)[:n]
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 24) -> DataFrame:
+    """Arrow-batched 'resize': every payload becomes exactly
+    ``width*height`` bytes. Input pruned to (doc_id, payload) so the
+    Arrow exchange ships only what the UDF reads; output carries the
+    REAL resized binary plus size metadata, so downstream operators
+    (storage, hashing, further UDFs) exercise true binary columns."""
+    pruned = media.select("doc_id", "payload")
+    n = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            out = [resample_bytes(p, n) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series([width] * len(out), dtype="int32"),
+                    "height": pd.Series([height] * len(out), dtype="int32"),
+                    "in_bytes": pd.Series([len(p) for p in payloads], dtype="int64"),
+                    "out_bytes": pd.Series([len(o) for o in out], dtype="int64"),
+                    "payload": out,
+                }
+            )
+
+    return pruned.mapInPandas(batches, RESIZE_SCHEMA)

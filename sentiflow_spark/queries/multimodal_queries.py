@@ -102,3 +102,26 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = attach_binary(load(spark, sf_dir, "documents"))
     return sample_frames(media, every=4)
+
+
+@register(
+    "mm_resize",
+    oracle="""
+    SELECT doc_id, CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
+           CAST(strlen(text) AS BIGINT) AS in_bytes,
+           CAST(768 AS BIGINT) AS out_bytes
+    FROM documents
+    """,
+    tags=("multimodal", "M5", "pandas-udf"),
+    doc="Image resize plumbing: mapInPandas maps every binary payload "
+    "to an exactly-sized output payload (deterministic byte resample "
+    "standing in for pixel resampling). The oracle checks the size "
+    "metadata; the resized BINARY content itself is pinned by "
+    "tests/test_multimodal-style byte assertions (test_sinks), since "
+    "SQL can't express byte-exact blob cycling portably.",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.operators.multimodal import resize_images
+
+    media = attach_binary(load(spark, sf_dir, "documents"))
+    return resize_images(media, width=32, height=24).drop("payload")

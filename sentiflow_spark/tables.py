@@ -33,17 +33,32 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _NANOS_TS_COLS = {"events": ("ts",)}
 
 
+# DataFrame memo keyed by (Spark application id, sf_dir, table): Spark
+# DataFrames are immutable plans, so reusing one across queries is
+# safe and skips the per-call file listing + footer schema read —
+# with 100+ registry queries × several load()s each, that repeated
+# listing was ~a third of the bench suite's wall time. Keying on the
+# applicationId (unique per context) keeps a restarted session from
+# seeing plans bound to a dead JVM.
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table. Plain parquet scan — Catalyst handles
     column pruning + predicate pushdown downstream."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
+    hit = _CACHE.get(key)
+    if hit is not None:
+        return hit
     nanos_cols = _NANOS_TS_COLS.get(name, ())
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in nanos_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"CAST({c} DIV 1000 AS BIGINT)")))
+    _CACHE[key] = df
     return df
 
 
