@@ -22,6 +22,16 @@ from sentiflow_spark.operators.dedup import (
     simhash,
     simhash_near_pairs,
 )
+from sentiflow_spark.functions.vectors import (
+    duck_cosine as _v_duck_cosine,
+    duck_dot as _v_duck_dot,
+    duck_quantize as _v_duck_quantize,
+)
+
+_duck_quantize_sql = _v_duck_quantize("embedding")
+_duck_dot_sql = _v_duck_dot("qvec", "qvec")
+_duck_cos_sql = _v_duck_cosine(_v_duck_dot("a.qvec", "b.qvec"), "a.qnorm", "b.qnorm")
+
 from sentiflow_spark.queries.registry import register
 from sentiflow_spark.tables import load
 
@@ -307,4 +317,79 @@ def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", F.coalesce("lbl", "doc_id").alias("cluster_id")
         )
+    )
+
+
+@register(
+    "dd_multi_signal_pairs",
+    oracle=f"""
+    WITH {_duck_sigs_cte()}{_duck_bands_cte()},
+    text_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      {_DUCK_BAND_PAIRS}
+      WHERE {_duck_match_frac()} >= 0.9
+    ),
+    q AS (
+      SELECT vec_id, label, {_duck_quantize_sql} AS qvec FROM embeddings
+    ),
+    qn AS (
+      SELECT vec_id, label, qvec, {_duck_dot_sql} AS qnorm FROM q
+    ),
+    emb_pairs AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM qn a JOIN qn b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_duck_cos_sql} >= 0.35
+    )
+    SELECT COALESCE(t.doc_a, e.doc_a) AS doc_a,
+           COALESCE(t.doc_b, e.doc_b) AS doc_b,
+           CASE WHEN t.doc_a IS NOT NULL AND e.doc_a IS NOT NULL THEN 'both'
+                WHEN t.doc_a IS NOT NULL THEN 'text'
+                ELSE 'embedding' END AS signal
+    FROM text_pairs t
+    FULL OUTER JOIN emb_pairs e
+      ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b
+    """,
+    tags=("dedup", "similarity", "M5", "multi-signal"),
+    doc="Multi-signal near-duplicate candidates: the text channel "
+    "(MinHash-LSH, est_jaccard >= 0.9) full-outer-joined with the "
+    "embedding channel (label-blocked cosine >= 0.35) on the pair "
+    "key, labeled by provenance ('text'/'embedding'/'both'). The "
+    "production dedup pattern: surface-form and semantic duplicates "
+    "are different populations, and the union with provenance feeds "
+    "per-channel thresholds/audits. Both channels stay equi-join "
+    "blocked (bands / label buckets), so the union is two bounded "
+    "pair sets, never a cross product.",
+)
+def dd_multi_signal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        with_quantized,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    text_pairs = (
+        lsh_candidate_pairs(minhash_signatures(docs))
+        .filter(F.col("est_jaccard") >= 0.9)
+        .select("doc_a", "doc_b")
+    )
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    emb_pairs = cosine_neardup_pairs(emb, threshold=0.35).select(
+        F.col("id_a").alias("e_a"), F.col("id_b").alias("e_b")
+    )
+    joined = text_pairs.join(
+        emb_pairs,
+        (text_pairs.doc_a == emb_pairs.e_a) & (text_pairs.doc_b == emb_pairs.e_b),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce("doc_a", "e_a").alias("doc_a"),
+        F.coalesce("doc_b", "e_b").alias("doc_b"),
+        F.when(
+            F.col("doc_a").isNotNull() & F.col("e_a").isNotNull(), "both"
+        )
+        .when(F.col("doc_a").isNotNull(), "text")
+        .otherwise("embedding")
+        .alias("signal"),
     )
