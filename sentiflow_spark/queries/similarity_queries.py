@@ -182,3 +182,78 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = with_quantized(load(spark, sf_dir, "embeddings"))
     return kmeans_lite(emb, k=8, iters=3)
+
+
+_N_BUCKETS = 24
+_PROBE_USER = 1
+
+
+def _duck_profile_cte() -> str:
+    sums = ", ".join(
+        "CAST(SUM(CASE WHEN CAST(hour(ts) AS INT) = {i} "
+        "THEN CAST(value AS DECIMAL(18,2)) "
+        "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS h{i}".format(i=i)
+        for i in range(_N_BUCKETS)
+    )
+    return f"profiles AS (SELECT user_id, {sums} FROM events GROUP BY user_id)"
+
+
+@register(
+    "sim_series_topk",
+    oracle=f"""
+    WITH {_duck_profile_cte()},
+    probe AS (SELECT * FROM profiles WHERE user_id = {_PROBE_USER}),
+    dists AS (
+      SELECT c.user_id,
+             {" + ".join(f"(c.h{i} - p.h{i}) * (c.h{i} - p.h{i})" for i in range(_N_BUCKETS))}
+               AS dist2
+      FROM profiles c, probe p
+      WHERE c.user_id <> {_PROBE_USER}
+    )
+    SELECT user_id, dist2 FROM dists
+    ORDER BY dist2, user_id
+    LIMIT 5
+    """,
+    tags=("similarity", "M5", "timeseries", "topk"),
+    doc="Time-series similarity search (the EDBT'19 distributed "
+    "streaming-similarity theme): each user's activity becomes a "
+    "24-bucket hour-of-day profile (24 decimal-exact conditional "
+    "sums — pure partial aggregation, one shuffle on user_id), the "
+    "probe profile broadcasts as a 1-row cross join, and squared "
+    "Euclidean distance folds over zip_with — JVM-side end to end. "
+    "At 100 TB: profile build is the only data-sized stage; the "
+    "distance scan is |users| × 24 doubles. Top-5 with user_id "
+    "tiebreak → TakeOrderedAndProject.",
+)
+def sim_series_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hour = F.hour("ts").cast("int")
+    buckets = [
+        F.sum(
+            F.when(hour == i, F.col("value").cast("decimal(18,2)")).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        )
+        .cast("double")
+        .alias(f"h{i}")
+        for i in range(_N_BUCKETS)
+    ]
+    profiles = ev.groupBy("user_id").agg(*buckets)
+    vec = F.array(*[F.col(f"h{i}") for i in range(_N_BUCKETS)])
+    pv = profiles.select(F.col("user_id").alias("p_uid"), vec.alias("p_vec")).filter(
+        F.col("p_uid") == _PROBE_USER
+    )
+    cand = profiles.select("user_id", vec.alias("c_vec")).filter(
+        F.col("user_id") != _PROBE_USER
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("c_vec"), F.col("p_vec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.crossJoin(F.broadcast(pv))
+        .select("user_id", dist2.alias("dist2"))
+        .orderBy(F.asc("dist2"), F.asc("user_id"))
+        .limit(5)
+    )
