@@ -870,3 +870,76 @@ def rel_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(q)
+
+
+@register(
+    "rel_asof_cogroup",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type IN ('click', 'error')
+    ), w AS (
+      SELECT event_id, user_id, event_type, ts_us,
+             max(CASE WHEN event_type = 'click' THEN ts_us END)
+               OVER (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS asof_click_us
+      FROM t
+    )
+    SELECT event_id, user_id, ts_us, asof_click_us FROM w
+    WHERE event_type = 'error'
+    """,
+    tags=("relational", "join", "asof", "pandas-udf", "cogroup"),
+    doc="Same as-of semantics as rel_asof_join, implemented via "
+    "cogrouped applyInPandas (groupBy(user_id).cogroup + "
+    "pandas.merge_asof per key) — the two-sided Arrow-batch API for "
+    "per-key logic no built-in operator expresses. Here the native "
+    "union+window plan IS expressible and is the production path "
+    "(JVM-side, ~an order of magnitude cheaper); this query pins the "
+    "cogroup surface itself: both sides co-shuffle on user_id once, "
+    "pandas sees each key's sorted slices, output hash-matches the "
+    "window formulation exactly (ties included, allow_exact_matches).",
+)
+def rel_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "error"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        )
+    )
+    errors = ev.filter(F.col("event_type") == "error").drop("event_type")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us").alias("click_us")
+    )
+
+    def asof(err: pd.DataFrame, clk: pd.DataFrame) -> pd.DataFrame:
+        if err.empty:
+            return err.assign(asof_click_us=pd.Series(dtype="float64"))[
+                ["event_id", "user_id", "ts_us", "asof_click_us"]
+            ]
+        err = err.sort_values(["ts_us", "event_id"])
+        clk = clk.sort_values("click_us")
+        out = pd.merge_asof(
+            err,
+            clk[["click_us"]].rename(columns={"click_us": "asof_click_us"}),
+            left_on="ts_us",
+            right_on="asof_click_us",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return out[["event_id", "user_id", "ts_us", "asof_click_us"]]
+
+    return (
+        errors.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            asof,
+            "event_id bigint, user_id bigint, ts_us bigint, asof_click_us bigint",
+        )
+    )
