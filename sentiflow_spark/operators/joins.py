@@ -53,3 +53,53 @@ def anti_join_stored(new_rows: DataFrame, stored: DataFrame, key: str | list[str
     AQE converts it to broadcast when the stored side is small."""
     keys = [key] if isinstance(key, str) else list(key)
     return new_rows.join(stored.select(*keys).dropDuplicates(keys), keys, "left_anti")
+
+
+def binned_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_val: str,
+    tolerance: float,
+    equi_keys: "Sequence[tuple[str, str]]" = (),
+    how_residual=None,
+) -> DataFrame:
+    """Fact-fact proximity join: pairs where
+    ``|left_val - right_val| <= tolerance``, without a nested loop.
+
+    The naive theta join is a cartesian at scale (Spark plans
+    BroadcastNestedLoop or CartesianProduct for pure non-equi
+    conditions — O(n*m) comparisons). Binning makes it an equi-join:
+    bucket both sides by ``floor(val / tolerance)``; any qualifying
+    pair is at most one bin apart, so exploding the left side into
+    its 3 candidate bins and equi-joining on the bin id bounds the
+    comparisons to true neighbors. Shuffle is hash(bin) — add the
+    residual predicate after the join. The standard trick behind
+    range-join optimizers (e.g. the bin-based range joins documented
+    for Spark-based lakehouse engines); cost scales with pair
+    density, not |L|×|R|.
+
+    ``equi_keys``: (left_col, right_col) pairs to fold into the
+    equi-join condition alongside the bin — any exact-match
+    constraint (same user, same day) MUST ride the shuffle key, not
+    the residual: as a residual it would cross-join everything
+    sharing a value bin before filtering, and the shuffle would
+    carry the blowup. ``how_residual``: optional extra Column
+    predicate applied with the tolerance residual (for genuinely
+    non-equi extras only).
+    """
+    lbin = F.floor(F.col(left_val) / tolerance)
+    l3 = left.withColumn(
+        "_bin", F.explode(F.array(lbin - 1, lbin, lbin + 1))
+    )
+    r = right.withColumn("_bin", F.floor(F.col(right_val) / tolerance))
+    cond = l3["_bin"] == r["_bin"]
+    for lk, rk in equi_keys:
+        cond = cond & (l3[lk] == r[rk])
+    joined = l3.join(r, cond).drop("_bin")
+    residual = (
+        F.abs(F.col(left_val) - F.col(right_val)) <= tolerance
+    )
+    if how_residual is not None:
+        residual = residual & how_residual
+    return joined.filter(residual)

@@ -943,3 +943,49 @@ def rel_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id bigint, user_id bigint, ts_us bigint, asof_click_us bigint",
         )
     )
+
+
+@register(
+    "rel_binned_range_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS error_id
+    FROM events a JOIN events b
+      ON a.event_type = 'click' AND b.event_type = 'error'
+     AND abs(a.value - b.value) <= 5.0
+     AND a.user_id = b.user_id
+    """,
+    tags=("relational", "join", "range", "binned"),
+    doc="Fact-fact proximity join (same-user click/error pairs whose "
+    "values lie within 5.0), executed as a BINNED range join: both "
+    "sides bucket by floor(value/tol), the probe side explodes into "
+    "its 3 neighbor bins, and the join is a hash equi-join on "
+    "(user_id, bin) with the |diff|<=tol residual after — the naive "
+    "theta form is a cartesian whose cost is |clicks|x|errors|; "
+    "binning scales with true pair density, and the same-user "
+    "constraint rides the shuffle key (as a residual it would "
+    "cross-join every user sharing a bin). Plan guardrail pins "
+    "no-cartesian.",
+)
+def rel_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.operators.joins import binned_range_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("l_user"),
+        F.col("value").alias("l_value"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("r_user"),
+        F.col("value").alias("r_value"),
+    )
+    out = binned_range_join(
+        clicks,
+        errors,
+        "l_value",
+        "r_value",
+        5.0,
+        equi_keys=[("l_user", "r_user")],
+    )
+    return out.select("click_id", "error_id")
