@@ -173,7 +173,27 @@ def job_dedup(args: argparse.Namespace) -> dict:
             "removed": n_in - n_out, "sink": args.out}
 
 
+
+def job_compact(args: argparse.Namespace) -> dict:
+    """Small-file maintenance as a runnable job: rewrite --src into
+    size-targeted files at --out (sources/files.py::compact), sorted
+    by --sort-by when given for min/max file skipping."""
+    from sentiflow_spark.sources.files import compact, dir_bytes
+
+    spark = _spark("sentiflow-compact")
+    if not args.src:
+        raise SystemExit("compact requires --src")
+    sort_by = args.sort_by.split(",") if args.sort_by else ()
+    n = compact(
+        spark, args.src, args.out,
+        target_file_mb=args.target_file_mb, sort_by=sort_by,
+    )
+    return {"job": "compact", "files_out": n,
+            "bytes": dir_bytes(spark, args.out), "sink": args.out}
+
+
 JOBS = {
+    "compact": job_compact,
     "dedup": job_dedup,
     "ingest": job_ingest,
     "pipeline": job_pipeline,
@@ -192,6 +212,9 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--router-threshold", type=int, default=256)
     ap.add_argument("--kafka-brokers", default=None)
     ap.add_argument("--jaccard", type=float, default=0.9, help="near-dup threshold (dedup job)")
+    ap.add_argument("--src", default=None, help="input directory (compact job)")
+    ap.add_argument("--sort-by", default=None, help="comma-separated sort keys (compact job)")
+    ap.add_argument("--target-file-mb", type=int, default=128)
     args = ap.parse_args(argv)
     result = JOBS[args.job](args)
     print(json.dumps(result))

@@ -63,6 +63,29 @@ def test_topics_job_anti_join_semantics(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_compact_job_rewrites_fragmented_dir(spark, sf_dir):
+    """CLI wiring for the maintenance job: a 64-file fragmented copy of
+    lineitem is rewritten to size-targeted files with rows preserved."""
+    d = tempfile.mkdtemp(prefix="sf_jobs_")
+    try:
+        src = f"{d}/fragmented"
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        li.repartition(64).write.parquet(src)
+        r = _run([
+            "compact", "--src", src, "--out", f"{d}/compacted",
+            "--sort-by", "l_shipdate", "--target-file-mb", "128",
+        ])
+        assert r["files_out"] >= 1
+        assert r["bytes"] > 0
+        out = spark.read.parquet(f"{d}/compacted")
+        assert out.count() == li.count()
+        import glob
+
+        assert len(glob.glob(f"{d}/compacted/*.parquet")) == r["files_out"] < 64
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_dedup_job_matches_cluster_query(spark, sf_dir):
     """The dedup job's survivor set = one doc per cluster of the
     oracle-checked dd_duplicate_clusters query (lowest doc_id wins),
