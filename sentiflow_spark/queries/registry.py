@@ -56,6 +56,7 @@ _QUERY_MODULES = (
     "sentiflow_spark.queries.dedup_queries",
     "sentiflow_spark.queries.text_queries",
     "sentiflow_spark.queries.similarity_queries",
+    "sentiflow_spark.queries.retrieval_queries",
     "sentiflow_spark.queries.multimodal_queries",
     "sentiflow_spark.queries.streaming_queries",
 )

@@ -1,0 +1,210 @@
+"""Ranked-retrieval declared queries: TF-IDF term weighting and BM25
+document scoring over the documents corpus (training-data-pipeline
+operators — corpus-level statistics feeding relevance-ranked selection,
+the primitive behind quality-weighted sampling and dedup-aware search).
+
+Reference parity: the reference has no retrieval engine; these are
+declared extensions of the text-analysis family (SURVEY §7.2 M5),
+built on the same tokenizer as ``txt_token_stats``
+(`functions/text.py` WORD_RE).
+
+Cross-engine determinism: Spark's ``ln`` and DuckDB's ``ln`` differ by
+1 ulp on ~6% of inputs (measured), so every score is quantized with
+``round(score, 4)`` before output/ranking — a 1-ulp input wobble
+(~1e-16 relative) cannot cross a 1e-4 rounding boundary for the
+transcendental values involved. BM25's per-term scores are summed as
+DECIMAL(18,4) (exact, order-independent) and cast back to DOUBLE.
+
+Scale notes (100 TB):
+- Term frequencies are map-side partial-aggregated before their
+  (doc_id, term) shuffle; document frequency comes from a COUNT window
+  over the same term-partitioned shuffle instead of a groupBy+join —
+  one shuffle by term serves both, no vocabulary-sized join build.
+- BM25 filters to the query's terms immediately after tokenize, so the
+  per-term shuffle carries only matching postings (query-term selective
+  scan), never the full vocabulary.
+- Corpus scalars (N, total token count) are one-row aggregates
+  broadcast into the scoring stage.
+- Final BM25 top-k is sort+limit (TakeOrderedAndProject — per-partition
+  top-k then a k-row merge on the driver), deterministic because
+  (score DESC, doc_id) is a total order; no global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sentiflow_spark.functions.text import WORD_RE
+from sentiflow_spark.queries.registry import register
+from sentiflow_spark.tables import load
+
+TOP_TERMS = 3
+BM25_TERMS = ("query", "join", "stream")
+BM25_TOP_K = 20
+K1 = 1.2
+B = 0.75
+
+_DUCK_TOKS = f"""
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS term
+  FROM documents
+)"""
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0))
+        ).alias("term"),
+    )
+
+
+@register(
+    "ret_tfidf_topk",
+    oracle=f"""
+    WITH {_DUCK_TOKS},
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    withdf AS (
+      SELECT doc_id, term, tf, COUNT(*) OVER (PARTITION BY term) AS df FROM tf
+    ),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             round(CAST(tf AS DOUBLE) * ln(
+               ((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) + 1.0)
+               / (CAST(df AS DOUBLE) + 1.0)), 4) AS score
+      FROM withdf
+    )
+    SELECT doc_id, term, tf, df, score, rk FROM (
+      SELECT doc_id, term, tf, df, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= {TOP_TERMS}
+    """,
+    tags=("retrieval", "text", "M5", "bench"),
+    doc="Top-3 TF-IDF terms per document (smoothed idf, quantized score).",
+)
+def ret_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        _tokens(docs)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # df via a COUNT window over the term-partitioned tf rows: the one
+    # shuffle by term produces both df and the scoring input (no
+    # vocabulary-sized groupBy+join round trip).
+    withdf = tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    scored = withdf.join(F.broadcast(n)).withColumn(
+        "score",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log((F.col("n") + F.lit(1.0)) / (F.col("df").cast("double") + F.lit(1.0))),
+            4,
+        ),
+    )
+    rk = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= TOP_TERMS)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+    )
+
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@register(
+    "ret_bm25_topk",
+    oracle=f"""
+    WITH {_DUCK_TOKS},
+    dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(dl) AS DOUBLE) AS total_dl
+      FROM dl
+    ),
+    tfq AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ({_TERMS_SQL}) GROUP BY doc_id, term
+    ),
+    withdf AS (
+      SELECT doc_id, term, tf, COUNT(*) OVER (PARTITION BY term) AS df FROM tfq
+    ),
+    scored AS (
+      SELECT w.doc_id,
+             CAST(round(
+               ln(1.0 + (s.n - CAST(w.df AS DOUBLE) + 0.5)
+                        / (CAST(w.df AS DOUBLE) + 0.5))
+               * (CAST(w.tf AS DOUBLE) * {K1 + 1.0!r})
+               / (CAST(w.tf AS DOUBLE)
+                  + CAST({K1!r} AS DOUBLE)
+                    * ((1.0 - CAST({B!r} AS DOUBLE))
+                       + CAST({B!r} AS DOUBLE)
+                         * (CAST(d.dl AS DOUBLE) / (s.total_dl / s.n)))),
+               4) AS DECIMAL(18,4)) AS term_score
+      FROM withdf w JOIN dl d ON d.doc_id = w.doc_id CROSS JOIN stats s
+    )
+    SELECT doc_id, n_terms, score FROM (
+      SELECT doc_id, COUNT(*) AS n_terms,
+             CAST(SUM(term_score) AS DOUBLE) AS score
+      FROM scored GROUP BY doc_id
+    ) ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}
+    """,
+    tags=("retrieval", "text", "M5", "bench"),
+    doc="BM25 ranked retrieval for a fixed term query, top-20 documents.",
+)
+def ret_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # Corpus scalars (N = docs with >=1 token, total token count) come
+    # from the dl aggregate itself — one corpus pass serves dl + stats
+    # instead of separate COUNT scans over documents/toks.
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("dl").cast("double").alias("total_dl"),
+    )
+    tfq = (
+        toks.filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    withdf = tfq.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
+    tfd = F.col("tf").cast("double")
+    dfd = F.col("df").cast("double")
+    dld = F.col("dl").cast("double")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+    )
+    denom = tfd + F.lit(K1) * (
+        (F.lit(1.0) - F.lit(B))
+        + F.lit(B) * (dld / (F.col("total_dl") / F.col("n")))
+    )
+    scored = (
+        withdf.join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "term_score",
+            F.round(idf * (tfd * F.lit(K1 + 1.0)) / denom, 4).cast(
+                "decimal(18,4)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("term_score").cast("double").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+    )
