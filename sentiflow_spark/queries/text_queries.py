@@ -406,3 +406,97 @@ def txt_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(25)
     )
+
+
+SEQ_BUDGET = 2048  # token budget per packed training sequence
+VOCAB_MIN_COUNT = 5
+
+
+@register(
+    "txt_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, len(regexp_extract_all(text, '{BPE_RE}')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens,
+           (cum - n_tokens) // {SEQ_BUDGET} AS seq_id
+    FROM c
+    """,
+    tags=("text", "M5", "sampling", "bench"),
+    doc="Sequence packing for LLM training: assign each document to a "
+    "fixed token-budget training sequence by running-sum fill. The "
+    "running sum is PARTITIONED BY lang (pack within language shards), "
+    "so the window parallelizes across shards instead of serializing "
+    "the corpus through one global ordering — the way a 100 TB corpus "
+    "is actually packed (per shard/file, never globally). Deterministic "
+    "by doc_id order; integer arithmetic end to end.",
+)
+def txt_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        t.withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr(f"(cum - n_tokens) div {SEQ_BUDGET}").alias("seq_id"),
+        )
+    )
+
+
+@register(
+    "txt_vocab_build",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS term
+      FROM documents
+    ),
+    cnt AS (
+      SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+    )
+    SELECT term, n,
+           row_number() OVER (ORDER BY n DESC, term) - 1 AS token_id
+    FROM cnt WHERE n >= {VOCAB_MIN_COUNT}
+    """,
+    tags=("text", "M5"),
+    doc="Tokenizer vocabulary build: corpus term counts -> contiguous "
+    "frequency-ranked token ids (min-count pruned). The count is a "
+    "map-side partial agg over the corpus; the global enumeration runs "
+    "on the post-aggregation vocabulary, which is bounded by distinct "
+    "terms (not corpus size) and is inherently a single total order.",
+)
+def txt_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0))
+        ).alias("term")
+    )
+    cnt = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= VOCAB_MIN_COUNT)
+    )
+    w = W.orderBy(F.desc("n"), F.asc("term"))
+    return cnt.select(
+        "term", "n", (F.row_number().over(w) - F.lit(1)).alias("token_id")
+    )
