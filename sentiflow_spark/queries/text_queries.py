@@ -500,3 +500,104 @@ def txt_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cnt.select(
         "term", "n", (F.row_number().over(w) - F.lit(1)).alias("token_id")
     )
+
+
+@register(
+    "txt_curation_e2e",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT doc_id, lang,
+             {{FP}} AS fp,
+             len(regexp_extract_all(text, '{BPE_RE}')) AS n_tokens,
+             {{QUALITY}} AS quality
+      FROM documents
+    ),
+    dedup AS (
+      SELECT doc_id, lang, n_tokens, quality FROM (
+        SELECT s1.*, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM s1
+      ) WHERE rn = 1
+    ),
+    kept AS (
+      SELECT doc_id, lang, quality, n_tokens FROM dedup
+      WHERE quality >= 0.5
+        AND {{STRAT}} % 1000
+            < CASE lang WHEN 'en' THEN 250 WHEN 'zh' THEN 1000 ELSE 600 END
+    ),
+    packed AS (
+      SELECT doc_id, lang, quality, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM kept
+    )
+    SELECT doc_id, lang, quality, n_tokens,
+           (cum - n_tokens) // {SEQ_BUDGET} AS seq_id
+    FROM packed
+    """.format(
+        FP=duck_fingerprint("text"),
+        QUALITY=duck_quality_score("text"),
+        STRAT=_duck_md5_i32("'strat42:' || CAST(doc_id AS VARCHAR)"),
+    ),
+    tags=("text", "M5", "bench"),
+    doc="End-to-end corpus curation: exact-dedup survivors -> quality "
+    "gate -> stratified language rebalance -> token-budget sequence "
+    "packing, in one plan. Two shuffles total (fingerprint window, "
+    "per-shard packing window); every filter between them is map-side. "
+    "The regex-heavy fingerprint/quality/token counts are materialized "
+    "in one scan projection, each evaluated once (CollapseProject keeps "
+    "non-cheap exprs from being inlined into their consumers).",
+)
+def txt_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from sentiflow_spark.functions.hashing import md5_i32
+    from sentiflow_spark.functions.text import (
+        fingerprint,
+        quality_components,
+        quality_from_components,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    comps = quality_components(F.col("text"))
+    s1 = docs.select(
+        "doc_id",
+        "lang",
+        fingerprint(F.col("text")).alias("fp"),
+        token_count(F.col("text")).alias("n_tokens"),
+        *[c.alias(k) for k, c in comps.items()],
+    )
+    w_fp = W.partitionBy("fp").orderBy("doc_id")
+    dedup = s1.withColumn("rn", F.row_number().over(w_fp)).filter(
+        F.col("rn") == 1
+    )
+    quality = quality_from_components(
+        F.col("n_chars"), F.col("n_words"), F.col("n_punct"), F.col("n_stop")
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 250)
+        .when(F.col("lang") == "zh", 1000)
+        .otherwise(600)
+    )
+    strat = md5_i32(
+        F.concat(F.lit("strat42:"), F.col("doc_id").cast("string"))
+    ) % 1000
+    kept = (
+        dedup.withColumn("quality", quality)
+        .filter(F.col("quality") >= 0.5)
+        .filter(strat < rate)
+    )
+    w_pack = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        kept.withColumn("cum", F.sum("n_tokens").over(w_pack))
+        .select(
+            "doc_id",
+            "lang",
+            "quality",
+            "n_tokens",
+            F.expr(f"(cum - n_tokens) div {SEQ_BUDGET}").alias("seq_id"),
+        )
+    )
