@@ -129,6 +129,29 @@ def st_count_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_running_totals",
+    oracle="""
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq,
+           SUM(CAST(round(value * 100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY event_id) AS cum_cents
+    FROM events
+    """,
+    tags=("streaming", "stateful", "M3", "W1"),
+    doc="Custom stateful operator: per-user lifetime running totals "
+    "(event seq + exact integer-cents cumulative sum) carried across "
+    "micro-batches in per-key GroupState — the streaming form of an "
+    "ever-growing window aggregate, hash-matched against batch window "
+    "SQL.",
+)
+def st_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.streaming.dag import running_user_totals
+
+    ev = load_stream(spark, sf_dir, "events")
+    return run_to_table(running_user_totals(ev))
+
+
+@register(
     "st_sliding_counts",
     oracle="""
     WITH assigned AS (

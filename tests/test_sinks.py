@@ -373,3 +373,38 @@ def test_json_source_preserves_malformed_rows(spark):
         back.unpersist()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_running_totals_tws_gate(spark, sf_dir):
+    """running_user_totals_tws is the transformWithStateInPandas twin
+    of the oracle-checked applyInPandasWithState operator. Its Python
+    driver worker needs google.protobuf: without it the wrapper must
+    fail fast at plan time (ImportError, not a mid-stream crash); with
+    it, the TWS output must equal the twin's."""
+    import pytest
+
+    from sentiflow_spark.streaming.dag import (
+        load_stream,
+        run_to_table,
+        running_user_totals,
+        running_user_totals_tws,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
+
+    ev = load_stream(spark, sf_dir, "events")
+    if not have_protobuf:
+        with pytest.raises(ImportError):
+            running_user_totals_tws(ev)
+        return
+    twin = run_to_table(running_user_totals(ev))
+    tws = run_to_table(running_user_totals_tws(ev))
+    cols = ["user_id", "event_id", "seq", "cum_cents"]
+    assert sorted(map(tuple, twin.select(cols).collect())) == sorted(
+        map(tuple, tws.select(cols).collect())
+    )
