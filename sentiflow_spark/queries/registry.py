@@ -58,6 +58,7 @@ _QUERY_MODULES = (
     "sentiflow_spark.queries.similarity_queries",
     "sentiflow_spark.queries.retrieval_queries",
     "sentiflow_spark.queries.multimodal_queries",
+    "sentiflow_spark.queries.pandas_udf_queries",
     "sentiflow_spark.queries.streaming_queries",
 )
 

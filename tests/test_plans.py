@@ -63,15 +63,34 @@ def test_simhash_pairs_no_cartesian(spark, sf_dir):
 
 def test_no_python_row_udfs_anywhere(spark, sf_dir):
     """Row-at-a-time Python UDFs are banned from every declared query;
-    the only Python is Arrow-batched mapInPandas (multimodal)."""
+    the only Python is Arrow-batched (mapInPandas, @pandas_udf, Arrow
+    UDTF — the latter two carry the 'arrow-udf' tag and are checked
+    separately below)."""
     for name, entry in REGISTRY.items():
         if "streaming" in entry.tags:
             continue  # streaming queries execute on collection, not lazily
         if "iterative" in entry.tags:
             continue  # driver-loop queries execute eagerly; only the
             # final assignment plan would be inspected anyway
+        if "arrow-udf" in entry.tags:
+            continue  # sanctioned Arrow-vectorized Python surface
         df = entry.fn(spark, sf_dir)
         assert I.python_eval_count(df) == 0, name
+
+
+def test_arrow_udf_queries_stay_on_arrow_path(spark, sf_dir):
+    """The declared Python-surface queries must plan as Arrow
+    evaluation (ArrowEvalPython / ArrowEvalPythonUDTF / a Python UDAF
+    inside a real two-stage aggregate) — never pickled-row
+    BatchEvalPython."""
+    checked = 0
+    for name, entry in REGISTRY.items():
+        if "arrow-udf" not in entry.tags:
+            continue
+        plan = I.simple_plan(entry.fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        checked += 1
+    assert checked >= 3
 
 
 @pytest.mark.parametrize("name", ["rel_topk_global", "rel_q3_shipping_priority"])
