@@ -59,6 +59,7 @@ _QUERY_MODULES = (
     "sentiflow_spark.queries.retrieval_queries",
     "sentiflow_spark.queries.multimodal_queries",
     "sentiflow_spark.queries.pandas_udf_queries",
+    "sentiflow_spark.queries.expression_extra",
     "sentiflow_spark.queries.streaming_queries",
 )
 
