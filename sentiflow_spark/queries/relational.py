@@ -989,3 +989,43 @@ def rel_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         equi_keys=[("l_user", "r_user")],
     )
     return out.select("click_id", "error_id")
+
+
+@register(
+    "rel_bloom_prefilter_join",
+    oracle=f"""
+    SELECT c.c_nationkey,
+           COUNT(*) AS order_count,
+           {duck_dsum('o.o_totalprice')} AS total_spend
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY c.c_nationkey
+    """,
+    tags=("relational", "join", "bloom"),
+    doc="Bloom-prefiltered exact join: a 128 KiB bitmap built from the "
+    "filtered dim keys (distributed bit_or partial agg) prunes the "
+    "fact scan BEFORE the join shuffle — pure codegen expressions, no "
+    "UDF, no extra shuffle. False positives are removed by the exact "
+    "join, so the result hash-matches the plain join oracle. At 100 TB "
+    "this is the selective-dim join shape: shuffle volume scales with "
+    "matching rows, not fact size (explicit form of SPARK-32268's "
+    "runtime bloom injection, tunable and applicable to any join).",
+)
+def rel_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.operators.bloom import bloom_prefiltered_join
+
+    dim = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_nationkey")
+    )
+    fact = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    # 2^17 bits ≈ 16 KiB literal: plenty for the ≤~5k filtered dim keys
+    # at bench SFs (fpp < 1e-4) and keeps the task binary small
+    joined = bloom_prefiltered_join(
+        fact, dim, "o_custkey", "c_custkey", num_bits=1 << 17
+    )
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        dsum(F.col("o_totalprice")).alias("total_spend"),
+    )

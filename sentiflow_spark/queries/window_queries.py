@@ -409,3 +409,78 @@ def win_cume_dist_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.nth_value("value", 3).over(wf).alias("third_value"),
     )
+
+
+@register(
+    "win_funnel_steps",
+    oracle="""
+    WITH staged AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id) AS signup_ts,
+             ts, event_type
+      FROM events
+    ), per_user AS (
+      SELECT user_id,
+             MIN(signup_ts) AS signup_ts,
+             MIN(CASE WHEN event_type = 'click' AND ts > signup_ts
+                      THEN ts END) AS click_ts
+      FROM staged GROUP BY user_id
+    ), with_purchase AS (
+      SELECT p.user_id, p.signup_ts, p.click_ts,
+             MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > p.click_ts
+                      THEN e.ts END) AS purchase_ts
+      FROM per_user p JOIN events e ON e.user_id = p.user_id
+      GROUP BY p.user_id, p.signup_ts, p.click_ts
+    )
+    SELECT COUNT(signup_ts) AS n_signup,
+           COUNT(click_ts) AS n_click_after_signup,
+           COUNT(purchase_ts) AS n_purchase_after_click
+    FROM with_purchase
+    """,
+    tags=("window", "funnel", "analytics"),
+    doc="Funnel conversion: users who signed up -> first click AFTER "
+    "the signup -> first purchase AFTER that click. One hash "
+    "partitioning by user_id serves the window AND both groupBys "
+    "(Spark reuses the exchange: window, partial agg, and final agg "
+    "are all user_id-clustered), so the whole funnel is a single "
+    "shuffle of the events scan plus a scalar collect — the shape "
+    "that survives a 100x scale-up. Conditional MIN aggregates "
+    "replace the per-stage self-joins of the textbook funnel SQL.",
+)
+def win_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    by_user = W.partitionBy("user_id")
+    staged = ev.withColumn(
+        "signup_ts",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(by_user),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min("signup_ts").alias("signup_ts"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("signup_ts")),
+                F.col("ts"),
+            )
+        ).alias("click_ts"),
+    )
+    # purchase stage: re-scan events against each user's click_ts; the
+    # join and its aggregate stay in the same user_id clustering
+    with_purchase = (
+        per_user.join(ev, "user_id")
+        .groupBy("user_id", "signup_ts", "click_ts")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("click_ts")),
+                    F.col("ts"),
+                )
+            ).alias("purchase_ts")
+        )
+    )
+    return with_purchase.agg(
+        F.count("signup_ts").alias("n_signup"),
+        F.count("click_ts").alias("n_click_after_signup"),
+        F.count("purchase_ts").alias("n_purchase_after_click"),
+    )
