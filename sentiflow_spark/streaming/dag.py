@@ -40,7 +40,7 @@ from sentiflow_spark.pipeline.stubs import (
 def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """File-source streaming read of a synthetic table (the test/replay
     analog of the Kafka source S1)."""
-    from sentiflow_spark.tables import _NANOS_TS_COLS
+    from sentiflow_spark.tables import _NANOS_TS_COLS, _fix_nanos
 
     nanos_cols = _NANOS_TS_COLS.get(name, ())
     if nanos_cols:
@@ -54,9 +54,7 @@ def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         .option("pathGlobFilter", f"{name}.parquet")
         .parquet(sf_dir)
     )
-    for c in nanos_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"CAST({c} DIV 1000 AS BIGINT)")))
-    return df
+    return _fix_nanos(df, nanos_cols)
 
 
 def run_to_table(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:

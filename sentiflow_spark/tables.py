@@ -27,10 +27,25 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# events.ts is parquet timestamp[ns], which Spark rejects by default
-# (PARQUET_TYPE_ILLEGAL). Read nanos as long and convert — integer DIV,
-# not float division: ns epochs (~1.7e18) exceed double's 2^53 mantissa.
+# Some testdata generations write events.ts as parquet timestamp[ns],
+# which Spark rejects by default (PARQUET_TYPE_ILLEGAL). Read nanos as
+# long and convert — integer DIV, not float division: ns epochs
+# (~1.7e18) exceed double's 2^53 mantissa. Conversion is applied only
+# when the column actually arrives as an integral type; newer testdata
+# ships micros timestamps that Spark reads natively.
 _NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def _fix_nanos(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    for c in cols:
+        dtype = dict(df.dtypes).get(c)
+        if dtype in ("bigint", "long", "int"):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"CAST({c} DIV 1000 AS BIGINT)")))
+        elif dtype == "timestamp_ntz":
+            # value-preserving under the engine's fixed UTC session tz;
+            # keeps downstream unix_micros()/watermark code on one type
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 # DataFrame memo keyed by (Spark application id, sf_dir, table): Spark
@@ -55,9 +70,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos_cols = _NANOS_TS_COLS.get(name, ())
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in nanos_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"CAST({c} DIV 1000 AS BIGINT)")))
+    df = _fix_nanos(spark.read.parquet(f"{sf_dir}/{name}.parquet"), nanos_cols)
     _CACHE[key] = df
     return df
 
