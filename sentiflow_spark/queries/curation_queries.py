@@ -1,0 +1,270 @@
+"""Corpus-curation declared queries — the cleaning stages a large-scale
+LLM training-data pipeline runs between raw crawl and tokenizer: PII
+redaction, benchmark decontamination, repetition filtering,
+distribution rebalancing, and deterministic shard shuffling.
+
+These extend the reference's single-document hygiene (empty-content
+filter, internal/producer/fetch.go:157; low-value summary filter,
+internal/consumers/summary_consumer.go:100-104) to the corpus level.
+Every query is a deterministic Spark plan with a DuckDB oracle; no
+rand(), no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sentiflow_spark.functions.hashing import duck_md5_i32, md5_i32
+from sentiflow_spark.functions.text import (
+    WORD_RE,
+    duck_shingles,
+    shingles_from_tokens,
+    word_tokens,
+)
+from sentiflow_spark.queries.registry import register
+from sentiflow_spark.tables import load
+
+# Both engines run RE2/Java-compatible subsets of these patterns.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+DIGIT_RUN_RE = "[0-9]{7,}"
+
+
+@register(
+    "txt_pii_redact",
+    oracle=f"""
+    WITH dirty AS (
+      SELECT doc_id,
+             text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com asap'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' ref 99' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+                       ELSE '' END AS text
+      FROM documents
+    ),
+    pass1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+             regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+      FROM dirty
+    )
+    SELECT doc_id, n_emails,
+           len(regexp_extract_all(t1, '{DIGIT_RUN_RE}')) AS n_numbers,
+           regexp_replace(t1, '{DIGIT_RUN_RE}', '<NUM>', 'g') AS clean_text
+    FROM pass1
+    """,
+    tags=("text", "M5", "curation"),
+    doc="PII redaction: mask emails then long digit runs, counting "
+    "each (synthetic PII is injected deterministically by doc_id so "
+    "the op is exercised on the clean corpus). Pure map-side "
+    "regexp_replace chain — no shuffle, scales linearly, stays in "
+    "WholeStageCodegen.",
+)
+def txt_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com asap")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" ref 99"), F.lpad(did.cast("string"), 7, "0")),
+        ).otherwise(F.lit("")),
+    )
+    pass1 = docs.select(
+        "doc_id",
+        F.regexp_count(dirty, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_replace(dirty, EMAIL_RE, "<EMAIL>").alias("t1"),
+    )
+    return pass1.select(
+        "doc_id",
+        "n_emails",
+        F.regexp_count(F.col("t1"), F.lit(DIGIT_RUN_RE)).alias("n_numbers"),
+        F.regexp_replace(F.col("t1"), DIGIT_RUN_RE, "<NUM>").alias("clean_text"),
+    )
+
+
+@register(
+    "txt_repetition_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS tok
+      FROM documents
+    ),
+    c AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+    m AS (
+      SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+             MAX(n) AS mx, COUNT(*) AS uniq
+      FROM c GROUP BY 1
+    )
+    SELECT doc_id, n_tokens,
+           CAST(mx AS DOUBLE) / n_tokens AS top_share,
+           1 - CAST(uniq AS DOUBLE) / n_tokens AS dup_frac
+    FROM m
+    WHERE CAST(mx AS DOUBLE) / n_tokens <= 0.09
+      AND 1 - CAST(uniq AS DOUBLE) / n_tokens <= 0.75
+    """,
+    tags=("text", "M5", "curation"),
+    doc="Gopher-style repetition filter: drop documents whose most "
+    "frequent token exceeds 9% of tokens or whose duplicate-token "
+    "fraction exceeds 0.75. explode → (doc,tok) count with map-side "
+    "partial aggregation → per-doc metrics; both shuffles carry only "
+    "(id, token-hash, count)-width rows. The tempting single-pass "
+    "higher-order-function alternative is O(tokens²) per document — "
+    "explode+agg is the shape that survives 100 TB.",
+)
+def txt_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(word_tokens(F.col("text"))).alias("tok"))
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.max("n").alias("mx"),
+        F.count(F.lit(1)).alias("uniq"),
+    )
+    top_share = F.col("mx").cast("double") / F.col("n_tokens")
+    dup_frac = F.lit(1) - F.col("uniq").cast("double") / F.col("n_tokens")
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_tokens",
+            top_share.alias("top_share"),
+            dup_frac.alias("dup_frac"),
+        )
+        .filter((F.col("top_share") <= 0.09) & (F.col("dup_frac") <= 0.75))
+    )
+
+
+@register(
+    "txt_lang_rebalance",
+    oracle=f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+    r AS (
+      SELECT lang, (SELECT MIN(cnt) FROM counts) * 1000000 // cnt AS keep_ppm
+      FROM counts
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r USING (lang)
+    WHERE {duck_md5_i32("'mix42:' || CAST(d.doc_id AS VARCHAR)")} % 1000000 < r.keep_ppm
+    """,
+    tags=("text", "M5", "curation", "sampling"),
+    doc="Distribution rebalancing with DATA-DERIVED rates: downsample "
+    "every language to the rarest language's row count (keep-rate = "
+    "min_count/count in exact integer ppm), selecting rows by salted "
+    "hash-mod. Two-pass: a counts aggregate (tiny result) broadcast "
+    "back onto the fact scan — the broadcast join keeps the second "
+    "pass shuffle-free, so at 100 TB the cost is two scans and no "
+    "repartition. Unlike txt_stratified_sample, the rate map here is "
+    "computed from the corpus, not compiled in.",
+)
+def txt_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    target = counts.agg(F.min("cnt").alias("target"))
+    rates = counts.crossJoin(F.broadcast(target)).select(
+        "lang", F.expr("CAST(target * 1000000 DIV cnt AS BIGINT)").alias("keep_ppm")
+    )
+    bucket = md5_i32(F.concat(F.lit("mix42:"), F.col("doc_id").cast("string"))) % 1000000
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("keep_ppm"))
+        .select("doc_id", "lang")
+    )
+
+
+DECON_NGRAM = 3
+BENCH_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark set
+
+
+@register(
+    "dd_decontaminate",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, unnest({duck_shingles("text", DECON_NGRAM)}) AS gram
+      FROM documents
+    ),
+    h AS (SELECT doc_id, {duck_md5_i32("gram")} AS hh FROM g),
+    bench AS (SELECT DISTINCT hh FROM h WHERE doc_id % {BENCH_MOD} = 0),
+    bad AS (
+      SELECT DISTINCT h.doc_id FROM h JOIN bench USING (hh)
+      WHERE h.doc_id % {BENCH_MOD} <> 0
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id % {BENCH_MOD} <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+    tags=("dedup", "M5", "curation"),
+    doc="Benchmark decontamination: remove training documents sharing "
+    "any word n-gram with the held-out benchmark split (the standard "
+    "n-gram-overlap decontamination step before LLM training). Grams "
+    "are hashed to 64-bit ints so the benchmark gram set stays a few "
+    "bytes per gram — small enough to BROADCAST even for real "
+    "benchmark suites, making the contamination probe a map-side "
+    "semi join over the training scan; only the distinct "
+    "contaminated-id set (bounded by the corpus row count) shuffles.",
+)
+def dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", word_tokens(F.col("text")).alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(shingles_from_tokens(F.col("t"), DECON_NGRAM)).alias("gram"),
+    ).select("doc_id", md5_i32(F.col("gram")).alias("hh"))
+    bench = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select("hh").distinct()
+    contaminated = (
+        grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench), "hh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+    )
+
+
+N_SHARDS = 64
+
+
+@register(
+    "txt_shuffle_shards",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             {duck_md5_i32("'shard42:' || CAST(doc_id AS VARCHAR)")} % {N_SHARDS} AS shard,
+             md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS skey
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS pos
+    FROM keyed
+    """,
+    tags=("text", "M5", "curation", "sampling"),
+    doc="Deterministic corpus shuffle into training shards: every row "
+    "gets a hash shard and a pseudo-random position within it — the "
+    "reproducible global shuffle a trainer consumes (shard files read "
+    "in pos order). One shuffle on the shard key; the per-shard sort "
+    "is bounded by corpus_size/n_shards, so at 100 TB you raise "
+    "N_SHARDS, never the per-task memory. A single global ORDER BY "
+    "row_number would funnel through one window partition — this "
+    "shape is why shards exist.",
+)
+def txt_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        (md5_i32(F.concat(F.lit("shard42:"), F.col("doc_id").cast("string"))) % N_SHARDS).alias(
+            "shard"
+        ),
+        F.md5(F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string"))).alias("skey"),
+    )
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return keyed.select("doc_id", "shard", F.row_number().over(w).alias("pos"))

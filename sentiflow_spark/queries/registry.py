@@ -55,6 +55,7 @@ _QUERY_MODULES = (
     "sentiflow_spark.queries.window_queries",
     "sentiflow_spark.queries.dedup_queries",
     "sentiflow_spark.queries.text_queries",
+    "sentiflow_spark.queries.curation_queries",
     "sentiflow_spark.queries.similarity_queries",
     "sentiflow_spark.queries.retrieval_queries",
     "sentiflow_spark.queries.multimodal_queries",
