@@ -110,7 +110,7 @@ def txt_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(mx AS DOUBLE) / n_tokens <= 0.09
       AND 1 - CAST(uniq AS DOUBLE) / n_tokens <= 0.75
     """,
-    tags=("text", "M5", "curation"),
+    tags=("text", "M5", "curation", "bench"),
     doc="Gopher-style repetition filter: drop documents whose most "
     "frequent token exceeds 9% of tokens or whose duplicate-token "
     "fraction exceeds 0.75. explode → (doc,tok) count with map-side "
@@ -200,7 +200,7 @@ BENCH_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark set
     WHERE d.doc_id % {BENCH_MOD} <> 0
       AND d.doc_id NOT IN (SELECT doc_id FROM bad)
     """,
-    tags=("dedup", "M5", "curation"),
+    tags=("dedup", "M5", "curation", "bench"),
     doc="Benchmark decontamination: remove training documents sharing "
     "any word n-gram with the held-out benchmark split (the standard "
     "n-gram-overlap decontamination step before LLM training). Grams "
