@@ -59,6 +59,50 @@ def extract_topics_stub(headlines: DataFrame) -> DataFrame:
     )
 
 
+def repair_llm_json(col: Column) -> Column:
+    """P7 — LLM-output JSON repair, the Spark rendering of the
+    reference's ``cleanOpenAIResponse``
+    (internal/topic_generation/topic_generation.go:174-198).
+
+    Observable semantics preserved exactly:
+
+    1. trim whitespace;
+    2. slice from the FIRST ``{`` to the LAST ``}`` — empty string when
+       either brace is absent or they are inverted (the reference
+       returns ``""`` and logs);
+    3. normalize curly quotes (U+201C/U+201D) to straight quotes.
+
+    The reference's ```` ```json ```` fence-trim is subsumed by the
+    brace slice (a fence is always outside the outermost braces, so
+    after step 2 the Go TrimPrefix/TrimSuffix are no-ops). Pure
+    codegen'd string expressions — no UDF, no shuffle.
+    """
+    s = F.trim(col)
+    start = F.instr(s, "{")
+    rev_end = F.instr(F.reverse(s), "}")
+    end = F.length(s) - rev_end + 1
+    ok = (start > 0) & (rev_end > 0) & (end > start)
+    body = F.when(ok, F.substring(s, start, end - start + 1)).otherwise(F.lit(""))
+    return F.translate(body, "“”", '""')
+
+
+def duck_repair_llm_json(expr: str) -> str:
+    """DuckDB fragment computing exactly ``repair_llm_json``.
+
+    ``expr`` should be a simple column reference (it is evaluated
+    several times).
+    """
+    s = f"trim({expr})"
+    start = f"strpos({s}, '{{')"
+    rev_end = f"strpos(reverse({s}), '}}')"
+    end = f"(length({s}) - {rev_end} + 1)"
+    body = (
+        f"CASE WHEN {start} > 0 AND {rev_end} > 0 AND {end} > {start} "
+        f"THEN substring({s}, {start}, {end} - {start} + 1) ELSE '' END"
+    )
+    return f"translate({body}, '“”', '\"\"')"
+
+
 def dedup_topics(topics: DataFrame) -> DataFrame:
     """A2: first-wins by url with an explicit deterministic tiebreak
     (the reference keeps encounter order; we order by title)."""

@@ -48,20 +48,28 @@ REGISTRY: dict[str, Query] = {}
 
 # Modules that define queries; imported lazily by load_all() so that
 # importing the registry itself stays cheap.
+# Registry order is rotated per round: the driver's CORRECTNESS window
+# covers the first ~50 entries, so families that have not yet received a
+# driver-verified row go first.  Round 1 checked pipeline_queries +
+# relational + the head of tpch_extra (CORRECTNESS_r01.json); round 2
+# fronts the M5 training-data families (repair/dedup/curation/similarity/
+# retrieval/multimodal/window/pandas_udf/expression_extra).  Round 3
+# should front text/streaming + the tpch_extra tail.
 _QUERY_MODULES = (
-    "sentiflow_spark.queries.pipeline_queries",
-    "sentiflow_spark.queries.relational",
-    "sentiflow_spark.queries.tpch_extra",
-    "sentiflow_spark.queries.window_queries",
+    "sentiflow_spark.queries.repair_queries",
     "sentiflow_spark.queries.dedup_queries",
-    "sentiflow_spark.queries.text_queries",
     "sentiflow_spark.queries.curation_queries",
     "sentiflow_spark.queries.similarity_queries",
     "sentiflow_spark.queries.retrieval_queries",
     "sentiflow_spark.queries.multimodal_queries",
+    "sentiflow_spark.queries.window_queries",
     "sentiflow_spark.queries.pandas_udf_queries",
     "sentiflow_spark.queries.expression_extra",
+    "sentiflow_spark.queries.text_queries",
     "sentiflow_spark.queries.streaming_queries",
+    "sentiflow_spark.queries.pipeline_queries",
+    "sentiflow_spark.queries.relational",
+    "sentiflow_spark.queries.tpch_extra",
 )
 
 
