@@ -45,6 +45,15 @@ def md5_i32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def md5_i60(col: Column) -> Column:
+    """First 60 bits of md5(col) as a non-negative BIGINT — the wide
+    variant for membership probes (e.g. decontamination) where 32 bits
+    would birthday-collide against billions of keys. 15 hex chars keep
+    the value strictly below 2^60, so the BIGINT cast can't overflow in
+    either engine."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def sha256_hex(col: Column) -> Column:
     return F.sha2(col, 256)
 
@@ -63,6 +72,11 @@ def minhash_perm(token_hash: Column, a: int, b: int) -> Column:
 def duck_md5_i32(expr: str) -> str:
     """DuckDB fragment equal to md5_i32: hex-prefix cast parses base-16."""
     return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def duck_md5_i60(expr: str) -> str:
+    """DuckDB fragment equal to md5_i60."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
 def duck_content_id(*exprs: str) -> str:

@@ -16,7 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sentiflow_spark.functions.hashing import duck_md5_i32, md5_i32
+from sentiflow_spark.functions.hashing import (
+    duck_md5_i32,
+    duck_md5_i60,
+    md5_i32,
+    md5_i60,
+)
 from sentiflow_spark.functions.text import (
     WORD_RE,
     duck_shingles,
@@ -146,7 +151,7 @@ def txt_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
     r AS (
-      SELECT lang, (SELECT MIN(cnt) FROM counts) * 1000000 // cnt AS keep_ppm
+      SELECT lang, ((SELECT MIN(cnt) FROM counts) * 1000000) // cnt AS keep_ppm
       FROM counts
     )
     SELECT d.doc_id, d.lang
@@ -167,8 +172,13 @@ def txt_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
     target = counts.agg(F.min("cnt").alias("target"))
+    # exact integer floor-division in Column form; products stay far
+    # below 2^53 (min_count * 1e6), so the double division is exact
     rates = counts.crossJoin(F.broadcast(target)).select(
-        "lang", F.expr("CAST(target * 1000000 DIV cnt AS BIGINT)").alias("keep_ppm")
+        "lang",
+        F.floor((F.col("target") * F.lit(1_000_000)) / F.col("cnt")).cast("long").alias(
+            "keep_ppm"
+        ),
     )
     bucket = md5_i32(F.concat(F.lit("mix42:"), F.col("doc_id").cast("string"))) % 1000000
     return (
@@ -189,7 +199,7 @@ BENCH_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark set
       SELECT doc_id, unnest({duck_shingles("text", DECON_NGRAM)}) AS gram
       FROM documents
     ),
-    h AS (SELECT doc_id, {duck_md5_i32("gram")} AS hh FROM g),
+    h AS (SELECT doc_id, {duck_md5_i60("gram")} AS hh FROM g),
     bench AS (SELECT DISTINCT hh FROM h WHERE doc_id % {BENCH_MOD} = 0),
     bad AS (
       SELECT DISTINCT h.doc_id FROM h JOIN bench USING (hh)
@@ -204,11 +214,15 @@ BENCH_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark set
     doc="Benchmark decontamination: remove training documents sharing "
     "any word n-gram with the held-out benchmark split (the standard "
     "n-gram-overlap decontamination step before LLM training). Grams "
-    "are hashed to 64-bit ints so the benchmark gram set stays a few "
-    "bytes per gram — small enough to BROADCAST even for real "
-    "benchmark suites, making the contamination probe a map-side "
-    "semi join over the training scan; only the distinct "
-    "contaminated-id set (bounded by the corpus row count) shuffles.",
+    "are hashed to 60-bit ints (first 15 hex chars of md5 — wide "
+    "enough that collisions against billions of training grams are "
+    "~n²/2^61, and any residual collision only over-removes, the "
+    "conservative direction). The benchmark gram set is a distinct "
+    "8-byte-key set; the probe is a semi join over the training scan "
+    "and AQE plans it broadcast while the set is under the broadcast "
+    "threshold, shuffle otherwise — no mandatory hint, so a large "
+    "benchmark split can't OOM the build side. Only the distinct "
+    "contaminated-id set (bounded by corpus rows) shuffles after it.",
 )
 def dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -216,11 +230,11 @@ def dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = toks.select(
         "doc_id",
         F.explode(shingles_from_tokens(F.col("t"), DECON_NGRAM)).alias("gram"),
-    ).select("doc_id", md5_i32(F.col("gram")).alias("hh"))
+    ).select("doc_id", md5_i60(F.col("gram")).alias("hh"))
     bench = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select("hh").distinct()
     contaminated = (
         grams.filter(F.col("doc_id") % BENCH_MOD != 0)
-        .join(F.broadcast(bench), "hh", "left_semi")
+        .join(bench, "hh", "left_semi")
         .select("doc_id")
         .distinct()
     )

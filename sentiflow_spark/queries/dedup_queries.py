@@ -166,7 +166,7 @@ def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_duck_match_frac()} AS est_jaccard
     {_DUCK_BAND_PAIRS}
     """,
-    tags=("dedup", "M5", "minhash", "lsh"),
+    tags=("dedup", "M5", "minhash", "lsh", "bench"),
     doc="MinHash-LSH near-duplicate candidates: band-bucket equi-join "
     "(4 bands × 4 rows), estimated Jaccard = matching-sig fraction.",
 )
@@ -251,7 +251,7 @@ def dd_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id FROM documents d
     WHERE NOT EXISTS (SELECT 1 FROM near_pairs p WHERE p.doc_b = d.doc_id)
     """,
-    tags=("dedup", "M5", "minhash", "lsh", "e2e"),
+    tags=("dedup", "M5", "minhash", "lsh", "e2e", "bench"),
     doc="End-to-end corpus dedup: MinHash-LSH pairs at est_jaccard "
     ">= 0.9, greedy lowest-id-wins survivor set via anti-join (a doc "
     "is dropped iff a lower-id near-duplicate exists). The standard "
@@ -292,7 +292,7 @@ def dd_minhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
     FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
     """,
-    tags=("dedup", "M5", "minhash", "lsh", "iterative", "e2e"),
+    tags=("dedup", "M5", "minhash", "lsh", "iterative", "e2e", "bench"),
     doc="Transitive duplicate clustering: connected components over "
     "the MinHash-LSH near-pair graph (min reachable doc id = cluster "
     "id; singletons are their own cluster). Spark side runs "

@@ -17,9 +17,13 @@ DECIMAL(18,4) (exact, order-independent) and cast back to DOUBLE.
 
 Scale notes (100 TB):
 - Term frequencies are map-side partial-aggregated before their
-  (doc_id, term) shuffle; document frequency comes from a COUNT window
-  over the same term-partitioned shuffle instead of a groupBy+join —
-  one shuffle by term serves both, no vocabulary-sized join build.
+  (doc_id, term) shuffle; document frequency is a partial-aggregated
+  `groupBy(term).count()` joined back onto the postings. The join is
+  left to AQE: a small dictionary becomes a broadcast join (postings
+  never shuffle by term), a large one a shuffle join with AQE
+  skew-splitting. A COUNT-over-Window.partitionBy(term) would instead
+  pin every posting of a stopword term into ONE buffering task — the
+  classic term-skew hotspot this shape avoids.
 - BM25 filters to the query's terms immediately after tokenize, so the
   per-term shuffle carries only matching postings (query-term selective
   scan), never the full vocabulary.
@@ -96,10 +100,11 @@ def ret_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    # df via a COUNT window over the term-partitioned tf rows: the one
-    # shuffle by term produces both df and the scoring input (no
-    # vocabulary-sized groupBy+join round trip).
-    withdf = tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
+    # df via partial-agg groupBy + join (AQE picks broadcast when the
+    # term dictionary fits, skew-split shuffle join when it doesn't) —
+    # never a Window over term, which would single-task stopword terms.
+    df_map = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    withdf = tf.join(df_map, "term")
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
     scored = withdf.join(F.broadcast(n)).withColumn(
         "score",
@@ -178,7 +183,10 @@ def ret_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    withdf = tfq.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
+    # same de-skewed df shape as ret_tfidf_topk; with the query-term
+    # prefilter the dictionary is |query| rows → always broadcast.
+    dfq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    withdf = tfq.join(F.broadcast(dfq), "term")
     tfd = F.col("tf").cast("double")
     dfd = F.col("df").cast("double")
     dld = F.col("dl").cast("double")

@@ -4,13 +4,21 @@ The reference batch-upserts into DynamoDB (25-row chunks, retry loops,
 PK-overwrite = upsert; ``internal/db/dynamodb.go:28-103,135-189``) with
 24h TTL attributes. Spark-side equivalent: a ``foreachBatch`` MERGE
 into a keyed table. Without a Delta/Iceberg runtime in this
-environment the merge is realized as parquet key-partition overwrite:
-read-current ∪ new → first-wins by (key, preference for the new batch)
-→ dynamic partition overwrite. The logic is identical to
-``MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`` and is
-**idempotent per batch** (replaying a batch converges to the same
-table state), which together with checkpointing gives the end-to-end
-exactly-once the reference approximates with Kafka transactions.
+environment the merge is realized as a **bucket-scoped parquet
+partition overwrite**: the table is laid out as
+``table/_bucket=<pmod(hash(key), N)>/...``; each merge reads ONLY the
+buckets the batch (and any expired rows) touch, resolves first-wins by
+(key, new-batch-preferred), and rewrites ONLY those partitions via
+dynamic partition overwrite. Per-batch I/O is O(touched buckets), not
+O(table) — at 100 TB serving scale with N sized so a bucket fits an
+executor, a micro-batch rewrites a few buckets instead of the world.
+The logic is identical to ``MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED
+INSERT`` and is **idempotent per batch** (replaying a batch converges
+to the same table state), which together with checkpointing gives the
+end-to-end exactly-once the reference approximates with Kafka
+transactions. (With a Delta/Iceberg runtime this function becomes a
+single ``MERGE INTO`` — the bucket layout maps 1:1 onto their
+clustered-write story.)
 
 TTL (W2): rows are stamped ``created_at``/``ttl`` on write
 (dynamodb.go:34,200-201 parity) and a retention sweep drops expired
@@ -38,22 +46,71 @@ def stamp_ttl(df: DataFrame, now_expr: str = "current_timestamp()") -> DataFrame
     )
 
 
+N_BUCKETS = 64
+
+
+def _bucket_of(key: str, n_buckets: int):
+    """Stable bucket id for a key: pmod(murmur3, N). Deterministic
+    across batches/sessions, so a key always lives in one partition."""
+    return F.pmod(F.hash(F.col(key)), F.lit(n_buckets))
+
+
+def _drop_partition_dirs(spark: SparkSession, table_path: str, buckets: list[int]) -> None:
+    """Remove bucket partition dirs whose merged content became empty
+    (dynamic overwrite only replaces partitions that receive output
+    rows). Goes through the Hadoop FileSystem API so it works on any
+    supported filesystem, not just local paths."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for b in buckets:
+        p = jvm.org.apache.hadoop.fs.Path(f"{table_path}/_bucket={b}")
+        fs = p.getFileSystem(conf)
+        fs.delete(p, True)
+
+
 def merge_upsert(
     spark: SparkSession,
     new_rows: DataFrame,
     table_path: str,
     key: str,
     retention_cutoff_expr: str | None = None,
+    n_buckets: int = N_BUCKETS,
 ) -> None:
-    """Keyed upsert into a parquet table: new rows win over current by
-    key; optionally drop rows past retention. Deterministic +
-    idempotent: applying the same batch twice yields the same table."""
-    if os.path.isdir(table_path):
-        current = spark.read.parquet(table_path).withColumn("_pri", F.lit(1))
+    """Keyed upsert into a hash-bucketed parquet table: new rows win
+    over current by key; optionally drop rows past retention.
+    Deterministic + idempotent: applying the same batch twice yields
+    the same table.
+
+    Scale shape: only buckets present in the batch (plus buckets
+    holding expired rows during a retention sweep) are read and
+    rewritten — partition pruning keeps the read side to those
+    directories and dynamic partition overwrite keeps the write side
+    to the same set. Untouched bucket files are never opened or
+    re-written. The retention probe scans only the ``ttl`` column and
+    parquet min/max stats skip files with no expired rows.
+    """
+    incoming = new_rows.withColumn("_bucket", _bucket_of(key, n_buckets)).withColumn(
+        "_pri", F.lit(0)
+    )
+    exists = os.path.isdir(table_path)
+    touched: set[int] = set()
+    if exists:
+        current = spark.read.parquet(table_path)
+        touched = {r["_bucket"] for r in incoming.select("_bucket").distinct().collect()}
+        if retention_cutoff_expr:
+            expired = (
+                current.filter(F.col("ttl") < F.expr(retention_cutoff_expr))
+                .select("_bucket")
+                .distinct()
+                .collect()
+            )
+            touched |= {r["_bucket"] for r in expired}
+        cur_touched = current.filter(F.col("_bucket").isin(sorted(touched))).withColumn(
+            "_pri", F.lit(1)
+        )
+        union = incoming.unionByName(cur_touched)
     else:
-        current = None
-    incoming = new_rows.withColumn("_pri", F.lit(0))
-    union = incoming if current is None else incoming.unionByName(current)
+        union = incoming
     w = W.partitionBy(key).orderBy("_pri")
     merged = (
         union.withColumn("_rn", F.row_number().over(w))
@@ -62,13 +119,22 @@ def merge_upsert(
     )
     if retention_cutoff_expr:
         merged = merged.filter(F.col("ttl") >= F.expr(retention_cutoff_expr))
-    # write-then-swap: parquet can't read+overwrite the same path in one job
-    tmp = table_path.rstrip("/") + "._staging"
-    merged.write.mode("overwrite").parquet(tmp)
-    import shutil
-
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(table_path)
-    shutil.rmtree(tmp, ignore_errors=True)
+    # Materialize before overwriting: the plan reads the same partition
+    # files the write replaces. localCheckpoint is O(touched buckets),
+    # unlike the previous full-table staging write-then-swap.
+    merged = merged.localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bucket")
+        .parquet(table_path)
+    )
+    if exists:
+        # A touched bucket whose merged content is now empty produces
+        # no output rows, so dynamic overwrite leaves its stale files
+        # in place — clear those partitions explicitly.
+        survivors = {r["_bucket"] for r in merged.select("_bucket").distinct().collect()}
+        _drop_partition_dirs(spark, table_path, sorted(touched - survivors))
 
 
 def results_sink(table_path: str, key: str = "content_id"):

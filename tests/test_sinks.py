@@ -49,6 +49,42 @@ def test_merge_upsert_replay_idempotent(spark):
     assert once == twice == [("a", 1), ("b", 2)]
 
 
+def test_merge_upsert_leaves_untouched_buckets_alone(spark):
+    """The scale property of the bucket-scoped merge: a batch touching
+    one key must not read or rewrite bucket partitions that key doesn't
+    live in — their files (names, bytes, mtimes) stay identical."""
+    import glob
+
+    path = os.path.join(tempfile.mkdtemp(), "tbl")
+    keys = [f"k{i}" for i in range(200)]
+    b1 = spark.createDataFrame([(k, 1) for k in keys], ["content_id", "v"])
+    merge_upsert(spark, b1, path, "content_id")
+    dirs = glob.glob(f"{path}/_bucket=*")
+    assert len(dirs) > 4  # 200 keys spread over many buckets
+
+    def snapshot():
+        return {
+            f: (os.path.getmtime(f), os.path.getsize(f))
+            for f in glob.glob(f"{path}/_bucket=*/part-*")
+        }
+
+    before = snapshot()
+    merge_upsert(
+        spark, spark.createDataFrame([("k0", 99)], ["content_id", "v"]), path, "content_id"
+    )
+    after = snapshot()
+
+    hit = spark.createDataFrame([("k0",)], ["content_id"]).select(
+        F.pmod(F.hash("content_id"), F.lit(64)).alias("b")
+    ).collect()[0]["b"]
+    untouched_before = {f: v for f, v in before.items() if f"/_bucket={hit}/" not in f}
+    untouched_after = {f: v for f, v in after.items() if f"/_bucket={hit}/" not in f}
+    assert untouched_before == untouched_after  # bytes+mtime identical
+    # and the update really landed
+    got = {(r.content_id, r.v) for r in _read(spark, path).collect()}
+    assert ("k0", 99) in got and len(got) == 200
+
+
 def test_ttl_stamp_and_retention(spark):
     path = os.path.join(tempfile.mkdtemp(), "tbl")
     old = stamp_ttl(
