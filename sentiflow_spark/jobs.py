@@ -51,30 +51,30 @@ def job_ingest(args: argparse.Namespace) -> dict:
     spark = _spark("sentiflow-ingest")
     raw = documents_as_raw_content(load(spark, args.sf_dir, "documents"))
     if args.kafka_brokers:
-        from pyspark.sql import functions as F
+        from sentiflow_spark.sources.kafka_io import TOPIC_RAW_CONTENT, keyed_json_payload
 
         # K1 batch publish: keyed JSON, at-least-once + deterministic
         # keys (downstream dedups by content_id, SURVEY §3.1)
-        payload = raw.select(
-            F.col("content_id").cast("string").alias("key"),
-            F.to_json(F.struct(*raw.columns)).alias("value"),
-        )
         (
-            payload.write.format("kafka")
+            keyed_json_payload(raw, "content_id")
+            .write.format("kafka")
             .option("kafka.bootstrap.servers", args.kafka_brokers)
-            .option("topic", "raw-content")
+            .option("topic", TOPIC_RAW_CONTENT)
             .save()
         )
         return {"job": "ingest", "rows": raw.count(), "sink": "kafka"}
     n_batch = raw.count()
     raw.write.mode("append").parquet(args.out)
     # "rows" is ALWAYS this run's batch size (same semantics as the
-    # Kafka branch); the cumulative table count is reported separately.
-    # Append mirrors the producer's at-least-once publish — replays
-    # duplicate content_ids and downstream dedups by key (SURVEY §3.1).
-    return {"job": "ingest", "rows": n_batch,
-            "rows_total": spark.read.parquet(args.out).count(),
-            "sink": args.out}
+    # Kafka branch). Append mirrors the producer's at-least-once publish
+    # — replays duplicate content_ids and downstream dedups by key
+    # (SURVEY §3.1). The cumulative table count costs a full re-scan of
+    # the output, so it's opt-in (--report-total); the default path
+    # never reads the table it just wrote.
+    result = {"job": "ingest", "rows": n_batch, "sink": args.out}
+    if args.report_total:
+        result["rows_total"] = spark.read.parquet(args.out).count()
+    return result
 
 
 def job_pipeline(args: argparse.Namespace) -> dict:
@@ -93,6 +93,36 @@ def job_pipeline(args: argparse.Namespace) -> dict:
             "sink": args.out}
 
 
+def run_gated_rounds(
+    make_query,
+    probe,
+    rounds: int,
+    poll_s: float = 15.0,
+    sleep=None,
+) -> list[str]:
+    """F4 health gate around a sequence of ``availableNow`` runs: each
+    round first asks ``probe()`` whether the model service is healthy;
+    an unhealthy round is SKIPPED (no query started — pending input
+    stays queued in the source/checkpoint, nothing is lost) and the
+    loop sleeps one poll interval (the reference probes every 15 s,
+    internal/monitoring/ai_healthchecks.go:12-48, and skips batches
+    while unhealthy, internal/consumers/summary_consumer.go:67-71).
+    Returns the per-round outcome list ("ran"/"skipped")."""
+    import time as _time
+
+    sleep = sleep or _time.sleep
+    outcomes: list[str] = []
+    for _ in range(rounds):
+        if probe():
+            q = make_query()
+            q.awaitTermination()
+            outcomes.append("ran")
+        else:
+            sleep(poll_s)
+            outcomes.append("skipped")
+    return outcomes
+
+
 def job_stream(args: argparse.Namespace) -> dict:
     import tempfile
 
@@ -101,20 +131,32 @@ def job_stream(args: argparse.Namespace) -> dict:
     from sentiflow_spark.streaming.sinks import results_sink
 
     spark = _spark("sentiflow-stream")
-    docs = load_stream(spark, args.sf_dir, "documents")
-    flow = streaming_sentiment_flow(
-        documents_as_raw_content(docs), router_threshold=args.router_threshold
-    )
     ckpt = args.checkpoint or tempfile.mkdtemp(prefix="sf_ckpt_")
-    q = (
-        flow.writeStream.foreachBatch(results_sink(args.out))
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+
+    def make_query():
+        docs = load_stream(spark, args.sf_dir, "documents")
+        flow = streaming_sentiment_flow(
+            documents_as_raw_content(docs), router_threshold=args.router_threshold
+        )
+        return (
+            flow.writeStream.foreachBatch(results_sink(args.out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    if args.health_url:
+        from sentiflow_spark.pipeline.model_udfs import probe_health
+
+        outcomes = run_gated_rounds(
+            make_query,
+            probe=lambda: probe_health(args.health_url),
+            rounds=args.health_rounds,
+        )
+    else:
+        outcomes = run_gated_rounds(make_query, probe=lambda: True, rounds=1)
     return {"job": "stream", "rows": spark.read.parquet(args.out).count(),
-            "sink": args.out, "checkpoint": ckpt}
+            "sink": args.out, "checkpoint": ckpt, "rounds": outcomes}
 
 
 def job_topics(args: argparse.Namespace) -> dict:
@@ -211,6 +253,12 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--router-threshold", type=int, default=256)
     ap.add_argument("--kafka-brokers", default=None)
+    ap.add_argument("--health-url", default=None,
+                    help="model health endpoint; gates stream rounds (F4)")
+    ap.add_argument("--health-rounds", type=int, default=1,
+                    help="number of gated availableNow rounds (stream job)")
+    ap.add_argument("--report-total", action="store_true",
+                    help="ingest: also report cumulative table count (extra scan)")
     ap.add_argument("--jaccard", type=float, default=0.9, help="near-dup threshold (dedup job)")
     ap.add_argument("--src", default=None, help="input directory (compact job)")
     ap.add_argument("--sort-by", default=None, help="comma-separated sort keys (compact job)")

@@ -80,18 +80,67 @@ def http_transport(url: str, timeout_s: float = 10.0) -> Transport:
     return call
 
 
+def rate_limit_hint(headers) -> float | None:
+    """Server pacing hints → seconds to wait before the next attempt.
+
+    Mirrors the reference's ``parseRateLimitHeaders``
+    (internal/clients/reddit_client.go:247-268): defaults remaining=60
+    / reset=60 s, clamps remaining to ≥1, and paces at reset/remaining.
+    A standard ``Retry-After: <seconds>`` wins outright when present.
+    Returns None when the response carries no pacing information at
+    all (caller falls back to exponential backoff)."""
+    if headers is None:
+        return None
+    retry_after = headers.get("Retry-After")
+    if retry_after is not None:
+        try:
+            return max(0.0, float(retry_after))
+        except ValueError:
+            pass  # HTTP-date form — fall through to X-Ratelimit-*
+    remaining_raw = headers.get("X-Ratelimit-Remaining")
+    reset_raw = headers.get("X-Ratelimit-Reset")
+    if remaining_raw is None and reset_raw is None:
+        return None
+    remaining, reset = 60.0, 60.0
+    try:
+        if remaining_raw is not None:
+            remaining = float(remaining_raw)
+    except ValueError:
+        pass
+    try:
+        if reset_raw is not None:
+            reset = float(reset_raw)
+    except ValueError:
+        pass
+    return max(0.0, reset) / max(1.0, remaining)
+
+
 def _with_retries(call: Transport, batch: list[dict[str, Any]]) -> list[dict[str, Any]]:
     """Exponential backoff with jitter, mirroring the reference's
-    envelope. Only TRANSIENT transport errors (connection/timeouts)
-    are retried; a malformed response (json.loads → ValueError) is
-    deterministic and re-raises immediately — retrying it would burn
-    minutes of in-task backoff sleep on an error that cannot succeed.
-    The final raise hands off to Spark's task retry (the outer
-    at-least-once loop)."""
+    envelope. Only TRANSIENT transport errors (connection/timeouts,
+    5xx, 429) are retried; a malformed response (json.loads →
+    ValueError) or a non-retryable 4xx is deterministic and re-raises
+    immediately — retrying it would burn minutes of in-task backoff
+    sleep on an error that cannot succeed. A 429/503 carrying
+    Retry-After / X-Ratelimit-* headers overrides the computed backoff
+    with the server's own pacing hint (capped at BACKOFF_CAP_S so a
+    hostile header can't park an executor). The final raise hands off
+    to Spark's task retry (the outer at-least-once loop)."""
     delay = BACKOFF_BASE_S
     for attempt in range(1, MAX_ATTEMPTS + 1):
         try:
             return call(batch)
+        except urllib.error.HTTPError as exc:
+            if exc.code not in (429, 503) and exc.code < 500:
+                raise  # deterministic client error: retry can't succeed
+            if attempt == MAX_ATTEMPTS:
+                raise
+            hint = rate_limit_hint(exc.headers) if exc.code in (429, 503) else None
+            if hint is not None:
+                time.sleep(min(hint, BACKOFF_CAP_S))
+            else:
+                time.sleep(min(delay, BACKOFF_CAP_S) * (0.5 + random.random() / 2))
+            delay *= 2
         except (urllib.error.URLError, OSError):
             if attempt == MAX_ATTEMPTS:
                 raise

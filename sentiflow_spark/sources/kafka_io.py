@@ -33,6 +33,27 @@ TOPIC_SENTIMENT_REQUEST = "sentiment-request"
 TOPIC_SENTIMENT_RESULTS = "sentiment-results"
 
 
+def kafka_source_options(
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """S1/S2 consumer contract as an options dict (unit-testable
+    without a broker): earliest offsets ≙ the reference's
+    ``auto.offset.reset=earliest`` (consumer.go:10-40), no data-loss
+    failure so a pruned topic replays from what remains."""
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",
+    }
+    if max_offsets_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def read_kafka_json(
     spark: SparkSession,
     brokers: str,
@@ -44,15 +65,9 @@ def read_kafka_json(
     """S1: subscribe and decode JSON message values (P6) into columns.
     ``minPartitions`` can be raised above the topic partition count to
     fan wide on a big cluster."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", "false")
+    reader = spark.readStream.format("kafka").options(
+        **kafka_source_options(brokers, topic, starting_offsets, max_offsets_per_trigger)
     )
-    if max_offsets_per_trigger:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     return parse_kafka_json(reader.load(), schema)
 
 
@@ -80,15 +95,32 @@ def write_kafka_json(
     idempotent producer (producer.go:97-208) maps to at-least-once
     delivery with deterministic keys; downstream dedups by key, which
     is exactly how the reference recovers too (SURVEY §3.1)."""
-    payload = df.select(
-        F.col(key_col).cast("string").alias("key"),
-        F.to_json(F.struct(*[c for c in df.columns])).alias("value"),
-    )
+    payload = keyed_json_payload(df, key_col)
     return (
         payload.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint)
+        .options(**kafka_sink_options(brokers, topic, checkpoint))
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
+    )
+
+
+def kafka_sink_options(brokers: str, topic: str, checkpoint: str) -> dict[str, str]:
+    """K1 producer contract as an options dict (unit-testable without
+    a broker)."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "topic": topic,
+        "checkpointLocation": checkpoint,
+    }
+
+
+def keyed_json_payload(df: DataFrame, key_col: str) -> DataFrame:
+    """Kafka wire projection for K1 writes: key = the deterministic
+    content key (reference keys messages by content_id so downstream
+    consumers/serving dedup by PK), value = full-row JSON. Factored out
+    of write_kafka_json so batch publishes (jobs.py ingest) share the
+    exact wire shape and tests can drive it without a broker."""
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*[c for c in df.columns])).alias("value"),
     )

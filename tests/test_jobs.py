@@ -113,3 +113,129 @@ def test_dedup_job_matches_cluster_query(spark, sf_dir):
         assert out.filter(F.col("doc_id") != F.col("cluster_id")).count() == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_health_gated_stream_skips_then_resumes(spark, sf_dir):
+    """F4: unhealthy rounds start no streaming query (batches skipped,
+    input retained), healthy rounds drain everything pending — skip
+    then resume loses nothing (summary_consumer.go:67-71 parity)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.jobs import run_gated_rounds
+    from sentiflow_spark.tables import load
+
+    d = tempfile.mkdtemp(prefix="sf_gate_")
+    src, out, ckpt = f"{d}/src", f"{d}/out", f"{d}/ckpt"
+    try:
+        docs = load(spark, sf_dir, "documents")
+        docs.filter("doc_id < 100").write.mode("append").parquet(src)
+
+        schema = docs.schema
+        starts = []
+
+        def make_query():
+            starts.append(1)
+            return (
+                spark.readStream.schema(schema)
+                .parquet(src)
+                .withColumn("text_len", F.length("text"))
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        health = iter([False, False, True, False, True])
+        naps = []
+        outcomes = run_gated_rounds(
+            make_query,
+            probe=lambda: next(health),
+            rounds=3,
+            poll_s=15.0,
+            sleep=naps.append,
+        )
+        # two unhealthy probes -> no query started, two poll sleeps
+        assert outcomes == ["skipped", "skipped", "ran"]
+        assert len(starts) == 1 and naps == [15.0, 15.0]
+        n1 = spark.read.parquet(out).count()
+        assert n1 == 100  # resume drained everything buffered while down
+
+        # more input while unhealthy again; next healthy round picks it up
+        docs.filter("doc_id >= 100").write.mode("append").parquet(src)
+        outcomes2 = run_gated_rounds(
+            make_query, probe=lambda: next(health), rounds=2,
+            poll_s=15.0, sleep=naps.append,
+        )
+        assert outcomes2 == ["skipped", "ran"]
+        assert spark.read.parquet(out).count() == docs.count()
+        assert os.path.isdir(ckpt)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ingest_total_is_opt_in(spark, sf_dir):
+    """Default ingest must not re-scan its own output; --report-total
+    restores the cumulative count."""
+    d = tempfile.mkdtemp(prefix="sf_jobs_")
+    try:
+        r1 = _run(["ingest", "--sf-dir", sf_dir, "--out", f"{d}/raw"])
+        assert r1["rows"] == 500 and "rows_total" not in r1
+        r2 = _run(["ingest", "--sf-dir", sf_dir, "--out", f"{d}/raw", "--report-total"])
+        assert r2["rows"] == 500 and r2["rows_total"] == 1000  # appended twice
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_kafka_contract_options_and_payload(spark):
+    """S1/S2/K1 contract without a broker: option dicts encode the
+    reference consumer/producer semantics (earliest offsets ≙
+    auto.offset.reset=earliest, consumer.go:10-40; keyed writes by
+    content_id) and topic names match constants.go:5-10."""
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.sources.kafka_io import (
+        TOPIC_RAW_CONTENT,
+        TOPIC_SENTIMENT_REQUEST,
+        TOPIC_SENTIMENT_RESULTS,
+        TOPIC_SUMMARY_REQUEST,
+        kafka_sink_options,
+        kafka_source_options,
+        keyed_json_payload,
+    )
+
+    assert TOPIC_RAW_CONTENT == "raw-content"
+    assert TOPIC_SUMMARY_REQUEST == "summary-request"
+    assert TOPIC_SENTIMENT_REQUEST == "sentiment-request"
+    assert TOPIC_SENTIMENT_RESULTS == "sentiment-results"
+
+    src = kafka_source_options("b1:9092,b2:9092", TOPIC_RAW_CONTENT)
+    assert src["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert src["subscribe"] == "raw-content"
+    assert src["startingOffsets"] == "earliest"  # reference default
+    assert src["failOnDataLoss"] == "false"
+    assert "maxOffsetsPerTrigger" not in src
+    capped = kafka_source_options("b", TOPIC_RAW_CONTENT, max_offsets_per_trigger=500)
+    assert capped["maxOffsetsPerTrigger"] == "500"
+
+    snk = kafka_sink_options("b:9092", TOPIC_SENTIMENT_RESULTS, "/ckpt")
+    assert snk == {
+        "kafka.bootstrap.servers": "b:9092",
+        "topic": "sentiment-results",
+        "checkpointLocation": "/ckpt",
+    }
+
+    df = spark.createDataFrame(
+        [("c1", 0.5, "pos"), ("c2", -0.1, "neg")],
+        ["content_id", "sentiment_score", "sentiment_label"],
+    )
+    wire = keyed_json_payload(df, "content_id")
+    assert wire.columns == ["key", "value"]
+    rows = {r["key"]: r["value"] for r in wire.collect()}
+    assert set(rows) == {"c1", "c2"}
+    import json as _json
+
+    v = _json.loads(rows["c1"])
+    assert v == {"content_id": "c1", "sentiment_score": 0.5, "sentiment_label": "pos"}

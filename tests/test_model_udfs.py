@@ -183,3 +183,61 @@ def test_score_adapter_runs_in_streaming(spark, sf_dir):
     out = run_to_table(scored)
     assert out.count() == 500
     assert out.filter(F.col("sentiment_label") == "positive").count() == 500
+
+
+def test_rate_limit_hint_parsing():
+    """parseRateLimitHeaders parity (reddit_client.go:247-268) plus
+    standard Retry-After: explicit seconds win; X-Ratelimit pacing is
+    reset/remaining with the reference's defaults and >=1 clamp; no
+    headers -> None (fall back to exponential backoff)."""
+    from sentiflow_spark.pipeline.model_udfs import rate_limit_hint
+
+    assert rate_limit_hint(None) is None
+    assert rate_limit_hint({}) is None
+    assert rate_limit_hint({"Retry-After": "7"}) == 7.0
+    # unparseable Retry-After falls through to the ratelimit pair
+    assert rate_limit_hint({"Retry-After": "Wed, 21 Oct", "X-Ratelimit-Reset": "30",
+                            "X-Ratelimit-Remaining": "10"}) == 3.0
+    # defaults: remaining=60 when only reset is present
+    assert rate_limit_hint({"X-Ratelimit-Reset": "120"}) == 2.0
+    # remaining clamped to >=1 (the reference's divide-by-zero guard)
+    assert rate_limit_hint({"X-Ratelimit-Reset": "45", "X-Ratelimit-Remaining": "0"}) == 45.0
+    # reset defaults to 60 when only remaining is present
+    assert rate_limit_hint({"X-Ratelimit-Remaining": "30"}) == 2.0
+
+
+def test_retry_envelope_honors_retry_after(monkeypatch):
+    """A 429 with Retry-After sleeps the server's hint (not the
+    exponential schedule) and then succeeds; a plain 400 raises
+    immediately without retrying."""
+    import io
+    import urllib.error
+
+    import sentiflow_spark.pipeline.model_udfs as mu
+
+    naps = []
+    monkeypatch.setattr(mu.time, "sleep", naps.append)
+
+    calls = {"n": 0}
+
+    def limited(batch):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise urllib.error.HTTPError(
+                "http://svc", 429, "Too Many Requests",
+                {"Retry-After": "3"}, io.BytesIO(b""))
+        return [{"ok": True}]
+
+    assert mu._with_retries(limited, []) == [{"ok": True}]
+    assert calls["n"] == 2 and naps == [3.0]
+
+    def bad_request(batch):
+        calls["n"] += 1
+        raise urllib.error.HTTPError("http://svc", 400, "Bad Request", {}, io.BytesIO(b""))
+
+    calls["n"] = 0
+    import pytest
+
+    with pytest.raises(urllib.error.HTTPError):
+        mu._with_retries(bad_request, [])
+    assert calls["n"] == 1  # no retry on deterministic client error
