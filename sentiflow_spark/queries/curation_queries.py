@@ -282,3 +282,146 @@ def txt_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("shard").orderBy("skey", "doc_id")
     return keyed.select("doc_id", "shard", F.row_number().over(w).alias("pos"))
+
+
+# ------------------------------------------------------------- URL dedup
+# Pretraining crawls key documents by URL; the same page arrives under
+# many spellings (case-variant hosts, default ports, tracking params,
+# fragments, trailing slashes). Canonicalize-then-dedup is the standard
+# first curation pass (before any content hashing). The documents table
+# carries no URL, so — exactly like txt_pii_redact's injected PII — a
+# messy URL is synthesized deterministically per doc_id: 5 spelling
+# variants over (doc_id % 40) hosts × (doc_id % 7) paths, so distinct
+# pages collide only after canonicalization.
+
+_TRACKING_RE = "(utm_[a-z]+|fbclid|gclid)=[^&#]*"
+
+_DUCK_RAW_URLS = """
+    SELECT doc_id,
+           CASE CAST(doc_id % 5 AS INTEGER)
+             WHEN 0 THEN 'https://Example' || CAST(doc_id % 40 AS VARCHAR)
+                    || '.COM:443/a/' || CAST(doc_id % 7 AS VARCHAR)
+             WHEN 1 THEN 'https://example' || CAST(doc_id % 40 AS VARCHAR)
+                    || '.com/a/' || CAST(doc_id % 7 AS VARCHAR) || '/'
+             WHEN 2 THEN 'https://example' || CAST(doc_id % 40 AS VARCHAR)
+                    || '.com/a/' || CAST(doc_id % 7 AS VARCHAR)
+                    || '?utm_source=feed&utm_campaign=x'
+             WHEN 3 THEN 'https://example' || CAST(doc_id % 40 AS VARCHAR)
+                    || '.com/a/' || CAST(doc_id % 7 AS VARCHAR)
+                    || '?id=9&fbclid=abc#frag'
+             ELSE 'http://example' || CAST(doc_id % 40 AS VARCHAR)
+                    || '.com:80/a/' || CAST(doc_id % 7 AS VARCHAR) || '?id=9'
+           END AS url
+    FROM documents
+"""
+
+
+def _spark_raw_urls(docs: DataFrame) -> DataFrame:
+    host = (F.col("doc_id") % 40).cast("string")
+    path = (F.col("doc_id") % 7).cast("string")
+    variant = (F.col("doc_id") % 5).cast("int")
+    url = (
+        F.when(variant == 0, F.concat(F.lit("https://Example"), host, F.lit(".COM:443/a/"), path))
+        .when(variant == 1, F.concat(F.lit("https://example"), host, F.lit(".com/a/"), path, F.lit("/")))
+        .when(variant == 2, F.concat(F.lit("https://example"), host, F.lit(".com/a/"), path,
+                                     F.lit("?utm_source=feed&utm_campaign=x")))
+        .when(variant == 3, F.concat(F.lit("https://example"), host, F.lit(".com/a/"), path,
+                                     F.lit("?id=9&fbclid=abc#frag")))
+        .otherwise(F.concat(F.lit("http://example"), host, F.lit(".com:80/a/"), path, F.lit("?id=9")))
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def canonical_url(col):
+    """URL canonicalization as pure codegen'd string expressions (no
+    UDF): drop fragment → strip tracking params (and the separator
+    debris they leave) → lowercase scheme://host and drop default
+    ports → strip one trailing slash on a non-root path. Identical
+    regex semantics in the DuckDB twin below."""
+    u = F.regexp_replace(col, "#.*$", "")
+    u = F.regexp_replace(u, _TRACKING_RE + "&?", "")
+    u = F.regexp_replace(u, "[?&]$", "")
+    scheme = F.lower(F.regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    host = F.when(
+        (scheme == "https") & hostport.endswith(":443"),
+        F.substring(hostport, 1, F.length(hostport) - 4),
+    ).when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.substring(hostport, 1, F.length(hostport) - 3),
+    ).otherwise(hostport)
+    rest = F.regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(.*)$", 1)
+    rest = F.regexp_replace(rest, "/$", "")
+    return F.concat(scheme, F.lit("://"), host, rest)
+
+
+def duck_canonical_url(expr: str) -> str:
+    """DuckDB fragment computing exactly ``canonical_url``."""
+    u = f"regexp_replace({expr}, '#.*$', '')"
+    u = f"regexp_replace({u}, '{_TRACKING_RE}&?', '', 'g')"
+    u = f"regexp_replace({u}, '[?&]$', '')"
+    scheme = f"lower(regexp_extract({u}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+    hostport = f"lower(regexp_extract({u}, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1))"
+    host = (
+        f"CASE WHEN {scheme} = 'https' AND {hostport} LIKE '%:443'"
+        f" THEN substring({hostport}, 1, length({hostport}) - 4)"
+        f" WHEN {scheme} = 'http' AND {hostport} LIKE '%:80'"
+        f" THEN substring({hostport}, 1, length({hostport}) - 3)"
+        f" ELSE {hostport} END"
+    )
+    rest = (
+        f"regexp_replace(regexp_extract({u},"
+        f" '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(.*)$', 1), '/$', '')"
+    )
+    return f"{scheme} || '://' || {host} || {rest}"
+
+
+@register(
+    "txt_url_canonicalize",
+    oracle=f"""
+    WITH raw AS ({_DUCK_RAW_URLS})
+    SELECT doc_id, url, {duck_canonical_url("url")} AS canon
+    FROM raw
+    """,
+    tags=("text", "M5", "curation", "url"),
+    doc="URL canonicalization: fragment/tracking-param removal, "
+    "case/port normalization, trailing-slash strip — pure map-side "
+    "regexp chain, WholeStageCodegen, zero shuffles at any scale.",
+)
+def txt_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    raw = _spark_raw_urls(docs)
+    return raw.select("doc_id", "url", canonical_url(F.col("url")).alias("canon"))
+
+
+@register(
+    "dd_url_dedup",
+    oracle=f"""
+    WITH raw AS ({_DUCK_RAW_URLS}),
+    canon AS (
+      SELECT doc_id, {duck_canonical_url("url")} AS canon FROM raw
+    )
+    SELECT doc_id, canon FROM (
+      SELECT doc_id, canon,
+             ROW_NUMBER() OVER (PARTITION BY canon ORDER BY doc_id) AS rn
+      FROM canon
+    ) WHERE rn = 1
+    """,
+    tags=("dedup", "M5", "curation", "url"),
+    doc="URL-level dedup: first-wins survivor per canonical URL. The "
+    "canonicalization is map-side; the only shuffle is the one "
+    "hash-partitioned window on the canonical key (same shape as "
+    "dd_exact_dedup — no skew risk beyond true per-URL duplicate "
+    "counts, which is the workload's intrinsic output).",
+)
+def dd_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    canon = _spark_raw_urls(docs).select(
+        "doc_id", canonical_url(F.col("url")).alias("canon")
+    )
+    w = Window.partitionBy("canon").orderBy("doc_id")
+    return (
+        canon.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "canon")
+    )
