@@ -601,3 +601,67 @@ def txt_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(cum - n_tokens) div {SEQ_BUDGET}").alias("seq_id"),
         )
     )
+
+
+@register(
+    "txt_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS term
+      FROM documents
+    ),
+    uni AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM uni),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(round(ln(CAST(u.cnt AS DOUBLE) / s.total), 4)
+                  AS DECIMAL(18,4)) AS logp
+      FROM toks t JOIN uni u USING (term) CROSS JOIN tot s
+    )
+    SELECT doc_id, n_tokens, avg_logp FROM (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             round(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 4) AS avg_logp
+      FROM scored GROUP BY doc_id
+    )
+    """,
+    tags=("text", "M5", "curation", "quality"),
+    doc="Unigram-LM quality proxy: per-document mean token log-"
+    "probability under the corpus's own unigram distribution — the "
+    "cheap stand-in for the KenLM-perplexity filter every pretraining "
+    "curation stack runs (gibberish and boilerplate score far from "
+    "the corpus mode). Two partial-agg shuffles build the unigram "
+    "table (vocab-sized) and the per-doc aggregate; the token→unigram "
+    "join is AQE-planned (broadcast while the vocab fits, skew-split "
+    "shuffle otherwise — same de-skewed df shape as ret_tfidf_topk). "
+    "Per-token log-probs are quantized to 1e-4 and summed as "
+    "DECIMAL(18,4) (exact, order-independent) so both engines agree "
+    "bitwise despite ln() ulp drift.",
+)
+def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0))
+        ).alias("term"),
+    )
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = uni.agg(F.sum("cnt").cast("double").alias("total"))
+    scored = (
+        toks.join(uni, "term")
+        .join(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("cnt").cast("double") / F.col("total")), 4)
+            .cast("decimal(18,4)")
+            .alias("logp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("logp").cast("double") / F.count(F.lit(1)), 4).alias("avg_logp"),
+        )
+        .select("doc_id", "n_tokens", "avg_logp")
+    )

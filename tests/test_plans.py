@@ -194,3 +194,21 @@ def test_q13_join_side_filter_pushed_to_scan(spark, sf_dir):
     df = q(spark, sf_dir, "rel_q13_customer_distribution")
     assert I.has_pushed_filter(df, "o_orderpriority")
     assert "LeftOuter" in I.simple_plan(df)
+
+
+def test_tfidf_df_has_no_term_window(spark, sf_dir):
+    """Document frequency must come from a partial-aggregated
+    groupBy+join, never a Window partitioned by term: a term window
+    pins every posting of a stopword term into one buffering task at
+    corpus scale. Guards the de-skewed shape of ret_tfidf_topk /
+    ret_bm25_topk (the only Window allowed is the bounded per-doc /
+    per-query top-k rank)."""
+    reg = load_all()
+    for name, part_key in (("ret_tfidf_topk", "doc_id"), ("ret_bm25_topk", None)):
+        plan = I.simple_plan(reg[name].fn(spark, sf_dir))
+        for line in plan.splitlines():
+            if "Window" not in line or "WindowGroupLimit" in line:
+                continue
+            assert "term" not in line.split("windowspecdefinition")[-1].split("]")[0] or (
+                part_key and f"{part_key}#" in line
+            ), f"{name} has a term-partitioned window:\n{line}"
