@@ -164,9 +164,25 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.6,
+    df_cap: int | None = None,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard via inverted-index self-join."""
+    """Exact shingle-set Jaccard via inverted-index self-join.
+
+    ``df_cap`` is the 100 TB refinement: shingles appearing in more
+    than ``df_cap`` documents are removed from the sets BEFORE the
+    self-join (consistently from both intersection and set sizes, so
+    the metric stays a true Jaccard — over the capped sets). Without
+    it, one boilerplate shingle shared by m documents contributes
+    O(m²) join rows; with it, the join's output is bounded by
+    df_cap × postings. The capped sets are what production near-dup
+    pipelines actually compare (stopword-phrases carry no duplicate
+    signal)."""
     sh = exploded_shingles(df, text_col, id_col)
+    if df_cap is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = (
+            sh.join(dfreq.filter(F.col("_df") <= df_cap), "shingle", "left_semi")
+        )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")

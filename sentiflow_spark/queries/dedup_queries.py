@@ -393,3 +393,43 @@ def dd_multi_signal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("embedding")
         .alias("signal"),
     )
+
+
+DF_CAP = 5
+
+
+@register(
+    "dd_ngram_jaccard_capped",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES_CTE},
+    dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+    keep AS (
+      SELECT sh.doc_id, sh.shingle
+      FROM sh JOIN dfreq USING (shingle) WHERE dfreq.df <= {DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM keep GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM keep a JOIN keep b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT doc_a, doc_b,
+             CAST(shared AS DOUBLE) / (sa.set_size + sb.set_size - shared) AS jaccard
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    ) WHERE jaccard >= 0.6
+    """,
+    tags=("dedup", "M5", "jaccard"),
+    doc=f"DF-capped n-gram Jaccard — the shape that survives 100 TB: "
+    f"shingles appearing in more than {DF_CAP} documents are dropped "
+    "from the sets before the inverted-index self-join (consistently "
+    "from intersections AND set sizes, so the score is a true Jaccard "
+    "over the capped sets). Bounds the join's blow-up from boilerplate "
+    "shingles at df_cap × postings instead of O(m²) per hot shingle; "
+    "the df table itself is one partial-agg pass.",
+)
+def dd_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.6, df_cap=DF_CAP)

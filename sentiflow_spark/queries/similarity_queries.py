@@ -257,3 +257,63 @@ def sim_series_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("dist2"), F.asc("user_id"))
         .limit(5)
     )
+
+
+@register(
+    "sim_ivf_recall",
+    oracle=f"""
+    WITH {_DUCK_Q_CTE},
+    bf AS (
+      SELECT probe_id, cand_id FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {_DUCK_SCORE} DESC, c.vec_id) AS rank
+        FROM qn p JOIN qn c ON c.vec_id <> p.vec_id
+        WHERE p.vec_id < {N_PROBES}
+      ) WHERE rank <= {TOP_K}
+    ),
+    ivf AS (
+      SELECT probe_id, cand_id FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {_DUCK_SCORE} DESC, c.vec_id) AS rank
+        FROM qn p JOIN qn c ON c.label = p.label AND c.vec_id <> p.vec_id
+        WHERE p.vec_id < {N_PROBES}
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT bf.probe_id,
+           CAST(SUM(CASE WHEN i.cand_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits,
+           round(SUM(CASE WHEN i.cand_id IS NULL THEN 0.0 ELSE 1.0 END) / {TOP_K}, 4)
+             AS recall_at_k
+    FROM bf LEFT JOIN ivf i
+      ON i.probe_id = bf.probe_id AND i.cand_id = bf.cand_id
+    GROUP BY bf.probe_id
+    """,
+    tags=("similarity", "M5", "ann", "eval"),
+    doc=f"ANN quality evaluation: recall@{TOP_K} of the IVF-bucketed "
+    "search against the exact brute-force ground truth, per probe — "
+    "the accept/reject gate for any approximate index before it "
+    "replaces the exact path in production. Both sides are "
+    "deterministic (total order on cosine DESC, cand_id), so the "
+    "metric is reproducible; the comparison join carries only "
+    "(probe, candidate) id pairs, k rows per probe.",
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    bf = brute_force_topk(emb, probes, k=TOP_K).select("probe_id", "cand_id")
+    ivf = (
+        bucketed_topk(emb, probes, k=TOP_K)
+        .select("probe_id", "cand_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bf.join(ivf, ["probe_id", "cand_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)).cast("double")) / F.lit(TOP_K), 4
+            ).alias("recall_at_k"),
+        )
+    )
