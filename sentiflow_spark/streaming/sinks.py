@@ -94,20 +94,32 @@ def merge_upsert(
     )
     exists = os.path.isdir(table_path)
     touched: set[int] = set()
+    migrating = False
     if exists:
         current = spark.read.parquet(table_path)
-        touched = {r["_bucket"] for r in incoming.select("_bucket").distinct().collect()}
-        if retention_cutoff_expr:
-            expired = (
-                current.filter(F.col("ttl") < F.expr(retention_cutoff_expr))
-                .select("_bucket")
-                .distinct()
-                .collect()
-            )
-            touched |= {r["_bucket"] for r in expired}
-        cur_touched = current.filter(F.col("_bucket").isin(sorted(touched))).withColumn(
-            "_pri", F.lit(1)
-        )
+        if "_bucket" not in current.columns:
+            # One-time migration of a legacy unbucketed table: every
+            # row is "touched" this merge; subsequent merges are
+            # bucket-scoped. O(table) exactly once, by design.
+            migrating = True
+            cur_touched = current.withColumn(
+                "_bucket", _bucket_of(key, n_buckets)
+            ).withColumn("_pri", F.lit(1))
+        else:
+            touched = {
+                r["_bucket"] for r in incoming.select("_bucket").distinct().collect()
+            }
+            if retention_cutoff_expr:
+                expired = (
+                    current.filter(F.col("ttl") < F.expr(retention_cutoff_expr))
+                    .select("_bucket")
+                    .distinct()
+                    .collect()
+                )
+                touched |= {r["_bucket"] for r in expired}
+            cur_touched = current.filter(
+                F.col("_bucket").isin(sorted(touched))
+            ).withColumn("_pri", F.lit(1))
         union = incoming.unionByName(cur_touched)
     else:
         union = incoming
@@ -129,7 +141,17 @@ def merge_upsert(
         .partitionBy("_bucket")
         .parquet(table_path)
     )
-    if exists:
+    if migrating:
+        # The legacy table's flat part-files live at the table root;
+        # dynamic overwrite only replaced _bucket=* partitions, so
+        # remove the old files or reads would double-count.
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(table_path)
+        fs = root.getFileSystem(conf)
+        for status in fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{table_path}/part-*")):
+            fs.delete(status.getPath(), False)
+    elif exists:
         # A touched bucket whose merged content is now empty produces
         # no output rows, so dynamic overwrite leaves its stale files
         # in place — clear those partitions explicitly.

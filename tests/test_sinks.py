@@ -444,3 +444,37 @@ def test_running_totals_tws_gate(spark, sf_dir):
     assert sorted(map(tuple, twin.select(cols).collect())) == sorted(
         map(tuple, tws.select(cols).collect())
     )
+
+
+def test_merge_upsert_migrates_legacy_flat_table(spark):
+    """A pre-bucketed (flat parquet) table is migrated in one merge:
+    rows survive exactly once, the update lands, and the table is now
+    bucket-partitioned (no flat part-files left at the root)."""
+    import glob
+
+    path = os.path.join(tempfile.mkdtemp(), "tbl")
+    legacy = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(50)], ["content_id", "v"]
+    )
+    legacy.write.mode("overwrite").parquet(path)  # flat, no _bucket
+    assert glob.glob(f"{path}/part-*")
+
+    batch = spark.createDataFrame([("k1", 999), ("new", 1)], ["content_id", "v"])
+    merge_upsert(spark, batch, path, "content_id")
+
+    got = {(r.content_id, r.v) for r in _read(spark, path).collect()}
+    assert len(got) == 51 and ("k1", 999) in got and ("new", 1) in got
+    assert not glob.glob(f"{path}/part-*")  # flat files cleaned up
+    assert glob.glob(f"{path}/_bucket=*")
+
+    # and the NEXT merge is bucket-scoped again: one update (k2 exists
+    # in the legacy rows) + one true insert
+    merge_upsert(
+        spark,
+        spark.createDataFrame([("k2", 77), ("zz_fresh", 5)], ["content_id", "v"]),
+        path,
+        "content_id",
+    )
+    got2 = {(r.content_id, r.v) for r in _read(spark, path).collect()}
+    assert len(got2) == 52 and ("k2", 77) in got2 and ("zz_fresh", 5) in got2
+    assert ("k2", 2) not in got2
