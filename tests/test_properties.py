@@ -156,3 +156,43 @@ def test_connected_components_long_chain(spark):
         spark.createDataFrame(chain, "doc_a: long, doc_b: long")
     )
     assert {r["lbl"] for r in labels.collect()} == {0}
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", categories=("L", "N", "P", "S", "Z")
+            ),
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_repair_llm_json_invariants(spark, texts):
+    """P7 repair for ANY input string: the output is either the empty
+    sentinel or brace-delimited with no curly quotes, and repair is
+    idempotent (repair∘repair = repair) — the properties the
+    reference's parse path depends on before json.Unmarshal."""
+    from sentiflow_spark.pipeline.topics import repair_llm_json
+
+    df = spark.createDataFrame([(t,) for t in texts], "raw string")
+    once = repair_llm_json(F.col("raw")).alias("r1")
+    out = df.select(
+        F.col("raw"),
+        once,
+        repair_llm_json(F.col("r1")).alias("r2"),
+    )
+    for row in out.collect():
+        r1, r2 = row["r1"], row["r2"]
+        assert r2 == r1  # idempotent
+        assert "“" not in r1 and "”" not in r1
+        if r1 != "":
+            assert r1.startswith("{") and r1.endswith("}")
+        else:
+            # empty only when the input truly has no {...} span
+            s = row["raw"].strip().translate({0x201C: '"', 0x201D: '"'})
+            first, last = s.find("{"), s.rfind("}")
+            assert first == -1 or last == -1 or last <= first
