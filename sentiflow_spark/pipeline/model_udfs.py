@@ -149,6 +149,50 @@ def _with_retries(call: Transport, batch: list[dict[str, Any]]) -> list[dict[str
     raise AssertionError("unreachable")
 
 
+def build_reddit_search_url(
+    base: str, subreddit: str, topic: str, after: str = ""
+) -> str:
+    """S4 request construction — parameter-for-parameter port of
+    ``buildRedditAPIUrl`` (internal/clients/reddit_client.go:67-85):
+    relevance sort, 100-post pages, last-day recency, link type, and
+    the ``after`` cursor only when continuing a page chain."""
+    import urllib.parse
+
+    params = [
+        ("q", topic),
+        ("sort", "relevance"),
+        ("limit", "100"),
+        ("t", "day"),
+        ("type", "link"),
+    ]
+    if after:
+        params.append(("after", after))
+    return f"{base}/r/{subreddit}/search?" + urllib.parse.urlencode(params)
+
+
+def fetch_paginated(fetch_page, max_pages: int = 1000) -> list:
+    """S4 pagination loop — the ``after``-cursor chain of
+    ``fetchAndProcessTopics`` (internal/producer/fetch.go:95-117):
+    start with an empty cursor, accumulate each page, follow
+    ``nextAfter`` until the API returns an empty cursor.
+
+    ``fetch_page(after) -> (rows, next_after)`` is injected (the same
+    port pattern as the model transports), so tests drive it without a
+    network and production wires the OAuth'd HTTP client. Driver-side
+    by design: ingest is a driver-orchestrated fetch whose result
+    becomes the DataFrame the distributed pipeline starts from.
+    ``max_pages`` is a safety rail the reference lacks (its loop is
+    unbounded); a cursor cycle otherwise fetches forever."""
+    rows: list = []
+    after = ""
+    for _ in range(max_pages):
+        page, after = fetch_page(after)
+        rows.extend(page)
+        if not after:
+            break
+    return rows
+
+
 def probe_health(url: str, timeout_s: float = 5.0) -> bool:
     """U4 health probe (GET /, 15 s cadence in the reference). Driver
     -side only: call from the job loop to pause/resume triggers."""

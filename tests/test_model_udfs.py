@@ -241,3 +241,65 @@ def test_retry_envelope_honors_retry_after(monkeypatch):
     with pytest.raises(urllib.error.HTTPError):
         mu._with_retries(bad_request, [])
     assert calls["n"] == 1  # no retry on deterministic client error
+
+
+def test_reddit_url_builder_reference_params():
+    """buildRedditAPIUrl parity (reddit_client.go:67-85): q/sort/limit/
+    t/type always present, after only when continuing a chain."""
+    from urllib.parse import parse_qs, urlparse
+
+    from sentiflow_spark.pipeline.model_udfs import build_reddit_search_url
+
+    u = urlparse(build_reddit_search_url("https://api.example", "golang", "spark joins"))
+    assert u.path == "/r/golang/search"
+    q = parse_qs(u.query)
+    assert q["q"] == ["spark joins"]
+    assert q["sort"] == ["relevance"] and q["limit"] == ["100"]
+    assert q["t"] == ["day"] and q["type"] == ["link"]
+    assert "after" not in q
+
+    u2 = urlparse(build_reddit_search_url("https://api.example", "golang", "x", after="t3_abc"))
+    assert parse_qs(u2.query)["after"] == ["t3_abc"]
+
+
+def test_fetch_paginated_follows_after_cursor(spark):
+    """S4 pagination (fetch.go:95-117): pages chain on the after
+    cursor, stop on empty cursor, nothing dropped or duplicated; the
+    accumulated rows feed the P2 projection as one DataFrame."""
+    from sentiflow_spark.operators.projections import to_raw_content
+    from sentiflow_spark.pipeline.model_udfs import fetch_paginated
+
+    pages = {
+        "": ([{"post_id": "p1", "title": "a"}, {"post_id": "p2", "title": "b"}], "c1"),
+        "c1": ([{"post_id": "p3", "title": "c"}], "c2"),
+        "c2": ([{"post_id": "p4", "title": "d"}], ""),
+    }
+    seen_cursors = []
+
+    def fetch_page(after):
+        seen_cursors.append(after)
+        return pages[after]
+
+    rows = fetch_paginated(fetch_page)
+    assert seen_cursors == ["", "c1", "c2"]
+    assert [r["post_id"] for r in rows] == ["p1", "p2", "p3", "p4"]
+
+    # cursor cycle → the max_pages rail stops it (reference loops forever)
+    cyc = fetch_paginated(lambda after: ([{"post_id": "x"}], "loop"), max_pages=7)
+    assert len(cyc) == 7
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(r["post_id"], r["title"], "golang", "spark") for r in rows],
+        ["post_id", "title", "subreddit", "topic"],
+    )
+    projected = to_raw_content(
+        df,
+        topic=F.col("topic"),
+        source=F.col("subreddit"),
+        post_id=F.col("post_id"),
+        text=F.col("title"),
+    )
+    assert projected.count() == 4
+    assert projected.select("content_id").distinct().count() == 4
