@@ -665,3 +665,57 @@ def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_tokens", "avg_logp")
     )
+
+
+CHUNK_CHARS = 200
+CHUNK_STRIDE = 150
+
+
+@register(
+    "txt_chunk_sliding",
+    oracle=f"""
+    WITH spans AS (
+      SELECT doc_id, n_chars,
+             unnest(generate_series(0,
+               greatest(CAST(ceil(CAST(greatest(n_chars - {CHUNK_CHARS}, 0) AS DOUBLE)
+                                  / {CHUNK_STRIDE}) AS BIGINT), 0))) AS chunk_idx
+      FROM documents
+    )
+    SELECT s.doc_id, s.chunk_idx,
+           substring(d.text, CAST(s.chunk_idx * {CHUNK_STRIDE} + 1 AS INTEGER),
+                     {CHUNK_CHARS}) AS chunk_text,
+           length(substring(d.text, CAST(s.chunk_idx * {CHUNK_STRIDE} + 1 AS INTEGER),
+                            {CHUNK_CHARS})) AS chunk_len
+    FROM spans s JOIN documents d USING (doc_id)
+    """,
+    tags=("text", "M5", "curation", "chunking"),
+    doc=f"Sliding-window document chunking: {CHUNK_CHARS}-char chunks "
+    f"at {CHUNK_STRIDE}-char stride ({CHUNK_CHARS - CHUNK_STRIDE}-char "
+    "overlap), the splitter feeding context-window-bounded training "
+    "and retrieval corpora. chunk count per doc is "
+    "ceil(max(len-chunk,0)/stride)+1, so every character lands in ≥1 "
+    "chunk and offsets are a pure function of (doc_id, chunk_idx) — "
+    "reconstructable provenance. Map-side sequence+explode+substring; "
+    "no shuffle, output volume = corpus × (chunk/stride) overlap "
+    "factor, the workload's intrinsic expansion.",
+)
+def txt_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_extra = F.ceil(
+        F.greatest(F.col("n_chars") - CHUNK_CHARS, F.lit(0)).cast("double")
+        / CHUNK_STRIDE
+    ).cast("long")
+    spans = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), F.greatest(n_extra, F.lit(0)))).alias("chunk_idx"),
+    )
+    chunk = F.substring(
+        F.col("text"), (F.col("chunk_idx") * CHUNK_STRIDE + 1).cast("int"), CHUNK_CHARS
+    )
+    return spans.select(
+        "doc_id",
+        "chunk_idx",
+        chunk.alias("chunk_text"),
+        F.length(chunk).alias("chunk_len"),
+    )
