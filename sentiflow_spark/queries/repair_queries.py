@@ -31,9 +31,16 @@ from sentiflow_spark.tables import load
 # synthesized JSON is valid by construction once repaired.
 _N_URL_BUCKETS = 50
 
+# The payload sanitizer runs on a 40-char PREFIX, never the full text:
+# Catalyst pushes the chain's repaired-nonempty predicate down through
+# the synthesis projections, inlining every aliased subexpression into
+# the filter without reuse — a full-text regex referenced ~6× per
+# branch turns into dozens of full-text evaluations per row (measured
+# 50 s at 100k rows vs 3 s for the projection). Bounding the regex to
+# the prefix makes every inlined copy O(40 chars).
 _DUCK_DIRTY = f"""
     SELECT doc_id,
-           substring(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'), 1, 40) AS t,
+           regexp_replace(substring(text, 1, 40), '[^A-Za-z0-9 ]', '', 'g') AS t,
            'https://doc/' || CAST(doc_id % {_N_URL_BUCKETS} AS VARCHAR) AS u
     FROM documents
 """
@@ -59,7 +66,7 @@ def _dirty_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize the four dirty-LLM-output shapes the reference's
     repair chain must survive, deterministically by doc_id."""
     docs = load(spark, sf_dir, "documents")
-    t = F.substring(F.regexp_replace(F.col("text"), "[^A-Za-z0-9 ]", ""), 1, 40)
+    t = F.regexp_replace(F.substring(F.col("text"), 1, 40), "[^A-Za-z0-9 ]", "")
     u = F.concat(
         F.lit("https://doc/"), (F.col("doc_id") % _N_URL_BUCKETS).cast("string")
     )
@@ -146,12 +153,12 @@ def pl_topic_repair_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = _dirty_raw(spark, sf_dir).select(
         "doc_id", repair_llm_json(F.col("raw")).alias("repaired")
     )
+    # single from_json parse (three get_json_object calls would each
+    # re-parse — and re-inline the whole repair chain — per field)
     parsed = rep.filter(F.col("repaired") != "").select(
         "doc_id",
-        F.get_json_object("repaired", "$.title").alias("title"),
-        F.get_json_object("repaired", "$.topic").alias("topic"),
-        F.get_json_object("repaired", "$.url").alias("url"),
-    )
+        F.from_json("repaired", "title string, topic string, url string").alias("p"),
+    ).select("doc_id", "p.title", "p.topic", "p.url")
     w = Window.partitionBy("url").orderBy("title", "doc_id")
     deduped = (
         parsed.withColumn("rn", F.row_number().over(w))
