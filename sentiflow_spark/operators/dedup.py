@@ -12,17 +12,19 @@ Four families, all shuffle-architected for 100 TB:
   on (band_idx, band_hash) — never an all-pairs product. Estimated
   Jaccard = matching-component fraction; a final exact-Jaccard pass can
   be layered for verification.
-- **SimHash**: 32-bit sign-aggregated token hash; near-dups share
-  8-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 chunks equal), so
+- **SimHash**: 60-bit sign-aggregated token hash; near-dups share
+  15-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 chunks equal), so
   candidate generation is again an equi-join, then exact hamming via
-  bit_count(xor).
+  bit_count(xor). 60-bit/15-bit (not 32/8) so chunk buckets stay fine
+  at corpus scale — see simhash().
 - **n-gram Jaccard (exact)**: inverted-index self-join on shingle,
   count shared per pair, |A∩B| / (|A|+|B|-|A∩B|). At 100 TB you add
   prefix filtering / df-capping on the index; the plan shape (explode →
   equi-join → aggregate) is unchanged.
 
-Every hash is the portable md5-derived 32-bit integer
-(functions/hashing.py), so results are engine-reproducible.
+Every hash is a portable md5-derived integer (32-bit for MinHash
+permutation inputs, 60-bit for SimHash — functions/hashing.py), so
+results are engine-reproducible.
 """
 
 from __future__ import annotations
@@ -34,6 +36,7 @@ from pyspark.sql import functions as F
 from sentiflow_spark.functions.hashing import (
     MERSENNE_31,
     md5_i32,
+    md5_i60,
     minhash_coeffs,
 )
 from sentiflow_spark.functions.text import (
@@ -214,13 +217,24 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------------------ SimHash
 
-SIMHASH_BITS = 32
-SIMHASH_CHUNKS = 4  # 8-bit chunks; pairs sharing >=1 chunk are candidates
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4  # 15-bit chunks; pairs sharing >=1 chunk are candidates
+SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
+SIMHASH_CHUNK_MASK = (1 << SIMHASH_CHUNK_BITS) - 1
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """32-bit SimHash over distinct word tokens: bit k is set when the
-    signed sum of token-hash bit-k contributions is positive."""
+    """60-bit SimHash over distinct word tokens: bit k is set when the
+    signed sum of token-hash bit-k contributions is positive.
+
+    60 bits (not 32) because the chunk join's bucket count is the scale
+    limiter: pigeonhole blocking for hamming<=3 needs 4 chunks, and
+    4x8-bit chunks give only 256 buckets per chunk — at 100k+ docs the
+    buckets hold hundreds of fingerprints each and the candidate join
+    degrades toward quadratic (observed: non-terminating at a 20x
+    probe). 4x15-bit chunks give 32,768 buckets per chunk, which keeps
+    bucket occupancy — and the join output — proportional to true
+    near-duplicate density."""
     from sentiflow_spark.functions.text import WORD_RE
 
     toks = df.select(
@@ -231,7 +245,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
             )
         ).alias("token"),
     )
-    h = md5_i32(F.col("token"))
+    h = md5_i60(F.col("token"))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -249,7 +263,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 def simhash_near_pairs(
     sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
-    """Candidate pairs share at least one 8-bit chunk (pigeonhole for
+    """Candidate pairs share at least one 15-bit chunk (pigeonhole for
     hamming ≤ 3 over 4 chunks), then exact hamming via bit_count(xor)."""
     chunks = sims.select(
         F.col(id_col),
@@ -259,8 +273,8 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_idx"),
-                        F.shiftright(F.col("simhash"), c * 8)
-                        .bitwiseAND(F.lit(255))
+                        F.shiftright(F.col("simhash"), c * SIMHASH_CHUNK_BITS)
+                        .bitwiseAND(F.lit(SIMHASH_CHUNK_MASK))
                         .alias("chunk_val"),
                     )
                     for c in range(SIMHASH_CHUNKS)

@@ -14,6 +14,8 @@ from sentiflow_spark.operators.dedup import (
     NUM_PERM,
     BAND_SIZE,
     SIMHASH_BITS,
+    SIMHASH_CHUNK_BITS,
+    SIMHASH_CHUNK_MASK,
     SIMHASH_CHUNKS,
     dedup_exact,
     lsh_candidate_pairs,
@@ -100,7 +102,7 @@ toksd AS (
   FROM documents
 ),
 th AS (
-  SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h FROM toksd
+  SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h FROM toksd
 ),
 bs AS (
   SELECT doc_id,
@@ -221,7 +223,7 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_DUCK_SIMHASH_CTE},
     chunks AS (
-      {" UNION ALL ".join(f"SELECT doc_id, simhash, {c} AS chunk_idx, (simhash >> {c * 8}) & 255 AS chunk_val FROM simhashes" for c in range(SIMHASH_CHUNKS))}
+      {" UNION ALL ".join(f"SELECT doc_id, simhash, {c} AS chunk_idx, (simhash >> {c * SIMHASH_CHUNK_BITS}) & {SIMHASH_CHUNK_MASK} AS chunk_val FROM simhashes" for c in range(SIMHASH_CHUNKS))}
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
