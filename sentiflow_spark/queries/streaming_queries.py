@@ -268,3 +268,41 @@ def st_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_chars") * F.col("boost")).alias("weighted_chars"),
         )
     )
+
+
+@register(
+    "st_chained_hourly_daily",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS cut FROM events),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    fin_hourly AS (
+      SELECT * FROM hourly
+      WHERE h + INTERVAL 1 HOUR <= (SELECT cut FROM wm)
+    ),
+    daily AS (
+      SELECT date_trunc('day', h) AS d, event_type,
+             MAX(n) AS max_hourly, CAST(SUM(n) AS BIGINT) AS n_total
+      FROM fin_hourly GROUP BY 1, 2
+    )
+    SELECT strftime(d, '%Y-%m-%d %H:%M:%S') AS day_start,
+           event_type, max_hourly, n_total
+    FROM daily
+    WHERE d + INTERVAL 1 DAY <= (SELECT cut FROM wm)
+    """,
+    tags=("streaming", "event-time", "M3", "W4", "chained"),
+    doc="Chained stateful aggregation (hourly counts re-aggregated "
+    "into daily max/total) under APPEND mode — emission gated by the "
+    "watermark at both stages, which the oracle models explicitly: "
+    "only hourly windows closed before the final watermark "
+    "(max ts − 1 h) feed the daily rollup, and only daily windows "
+    "closed before it emit. The streaming shape for rollup serving "
+    "tables without landing intermediates.",
+)
+def st_chained_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.streaming.dag import chained_hourly_daily
+
+    ev = load_stream(spark, sf_dir, "events")
+    return run_to_table(chained_hourly_daily(ev), output_mode="append")

@@ -409,3 +409,31 @@ def interval_self_join(
         F.date_format("left_ts", "yyyy-MM-dd HH:mm:ss").alias("left_ts_s"),
         F.date_format("right_ts", "yyyy-MM-dd HH:mm:ss").alias("right_ts_s"),
     )
+
+
+def chained_hourly_daily(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """W4+ (Spark 3.4+ multiple stateful operators): two CHAINED
+    event-time aggregations in one streaming query — hourly counts per
+    event_type, re-aggregated into daily max/total — in APPEND mode,
+    so emission is governed by the watermark at BOTH stages (an hourly
+    window flows downstream only once finalized; a daily window emits
+    only once the watermark passes its end). The reference has nothing
+    like this; it is the streaming shape for rollup serving tables
+    (raw → hourly → daily) without landing intermediates."""
+    hourly = (
+        events.withWatermark(ts_col, "1 hour")
+        .groupBy(F.window(ts_col, "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.window(F.window_time("w"), "1 day").alias("d"), "event_type"
+        )
+        .agg(F.max("n").alias("max_hourly"), F.sum("n").alias("n_total"))
+    )
+    return daily.select(
+        F.date_format(F.col("d.start"), "yyyy-MM-dd HH:mm:ss").alias("day_start"),
+        "event_type",
+        "max_hourly",
+        "n_total",
+    )
