@@ -306,3 +306,54 @@ def st_chained_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_stream(spark, sf_dir, "events")
     return run_to_table(chained_hourly_daily(ev), output_mode="append")
+
+
+@register(
+    "st_interval_left_outer",
+    oracle="""
+    WITH cut AS (
+      SELECT least(
+        (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        (SELECT max(ts) FROM events WHERE event_type = 'error')
+      ) - INTERVAL 1 HOUR AS wm
+    ),
+    a AS (
+      SELECT user_id, event_id AS left_id, ts AS left_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+      SELECT user_id, event_id AS right_id, ts AS right_ts
+      FROM events WHERE event_type = 'error'
+    ),
+    matched AS (
+      SELECT a.user_id, a.left_id, b.right_id, a.left_ts, b.right_ts
+      FROM a JOIN b ON a.user_id = b.user_id
+       AND b.right_ts >= a.left_ts
+       AND b.right_ts <= a.left_ts + INTERVAL 4 HOURS
+    ),
+    unmatched AS (
+      SELECT a.user_id, a.left_id, CAST(NULL AS BIGINT) AS right_id,
+             a.left_ts, CAST(NULL AS TIMESTAMP) AS right_ts
+      FROM a ANTI JOIN matched m ON a.left_id = m.left_id
+      WHERE a.left_ts + INTERVAL 4 HOURS < (SELECT wm FROM cut)
+    )
+    SELECT user_id, left_id, right_id,
+           strftime(left_ts, '%Y-%m-%d %H:%M:%S') AS left_ts_s,
+           strftime(right_ts, '%Y-%m-%d %H:%M:%S') AS right_ts_s
+    FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
+    """,
+    tags=("streaming", "join", "M3", "interval", "outer"),
+    doc="Stream-stream LEFT OUTER interval join under streaming "
+    "execution: matches emit eagerly; a left row with no match emits "
+    "its null row only once the global watermark (min of both sides' "
+    "max event time, minus the 1 h delay) passes left_ts + 4 h — the "
+    "point where join state is provably complete and evictable. The "
+    "oracle models exactly that emission rule, so the hash check "
+    "pins Spark's outer-join watermark semantics, not just the join "
+    "condition.",
+)
+def st_interval_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.streaming.dag import interval_left_outer_join
+
+    ev = load_stream(spark, sf_dir, "events")
+    return run_to_table(interval_left_outer_join(ev, interval="4 hours"))
