@@ -317,3 +317,52 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+@register(
+    "sim_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_Q_CTE},
+    near_pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {duck_cosine(duck_dot('a.qvec', 'b.qvec'), 'a.qnorm', 'b.qnorm')} AS cosine
+        FROM qn a JOIN qn b ON a.label = b.label AND a.vec_id < b.vec_id
+      ) WHERE cosine >= 0.35
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM near_pairs
+      UNION
+      SELECT id_b, id_a FROM near_pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+    ),
+    comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT e.vec_id, COALESCE(c.cluster_id, e.vec_id) AS cluster_id
+    FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+    """,
+    tags=("similarity", "M5", "dedup", "iterative", "e2e"),
+    doc="Embedding near-duplicate CLUSTERS: connected components over "
+    "the bucket-blocked cosine pair graph (min reachable vec_id = "
+    "cluster id; singletons their own cluster) — completes the "
+    "embedding dedup story pairs → transitive groups → keep-one. Same "
+    "pointer-jumping iteration as dd_duplicate_clusters, mirrored by "
+    "a recursive-CTE oracle; candidate generation never leaves the "
+    "label blocking, so the pair space stays (n/buckets)² per bucket.",
+)
+def sim_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.operators.dedup import connected_components
+
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    pairs = cosine_neardup_pairs(emb, threshold=0.35).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    cc = connected_components(pairs)
+    return (
+        emb.select("vec_id")
+        .join(cc, emb.vec_id == cc.node, "left")
+        .select("vec_id", F.coalesce("lbl", "vec_id").alias("cluster_id"))
+    )
