@@ -719,3 +719,93 @@ def txt_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk.alias("chunk_text"),
         F.length(chunk).alias("chunk_len"),
     )
+
+
+PMI_MAX_DIST = 3
+PMI_MIN_PAIR = 5
+
+
+@register(
+    "txt_cooccur_pmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS term,
+             generate_subscripts(regexp_extract_all(lower(text), '{WORD_RE}'), 1) AS pos
+      FROM documents
+    ),
+    uni AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM uni),
+    pairs AS (
+      SELECT CASE WHEN a.term <= b.term THEN a.term ELSE b.term END AS w1,
+             CASE WHEN a.term <= b.term THEN b.term ELSE a.term END AS w2,
+             COUNT(*) AS n_pair
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + {PMI_MAX_DIST}
+      WHERE a.term <> b.term
+      GROUP BY 1, 2
+    )
+    SELECT w1, w2, n_pair,
+           round(ln(CAST(n_pair AS DOUBLE) * (SELECT n FROM tot)
+                    / (CAST(u1.cnt AS DOUBLE) * u2.cnt)), 4) AS pmi
+    FROM pairs
+    JOIN uni u1 ON u1.term = w1
+    JOIN uni u2 ON u2.term = w2
+    WHERE n_pair >= {PMI_MIN_PAIR}
+    """,
+    tags=("text", "M5", "analytics"),
+    doc=f"Co-occurrence PMI: unordered token pairs within a "
+    f"{PMI_MAX_DIST}-token window, scored ln(P(a,b)/P(a)P(b)) against "
+    "the corpus unigram model — the collocation/phrase-mining table a "
+    "corpus-analytics pass produces. The window join is an EQUI-join "
+    "on (doc_id, pos+δ) per offset δ (union of three shifted copies), "
+    "never a non-equi position join — bounded fan-out of "
+    f"{PMI_MAX_DIST}× per token at any corpus size; unigram/total "
+    "tables join in via AQE (broadcast while the vocab fits).",
+)
+def txt_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0))
+        ).alias("pos0", "term"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = uni.agg(F.sum("cnt").cast("double").alias("n"))
+    shifted = None
+    for delta in range(1, PMI_MAX_DIST + 1):
+        s = toks.select(
+            "doc_id", (F.col("pos") + delta).alias("pos"), F.col("term").alias("term_a")
+        )
+        shifted = s if shifted is None else shifted.unionByName(s)
+    joined = shifted.join(toks, ["doc_id", "pos"]).filter(
+        F.col("term_a") != F.col("term")
+    )
+    w1 = F.when(F.col("term_a") <= F.col("term"), F.col("term_a")).otherwise(F.col("term"))
+    w2 = F.when(F.col("term_a") <= F.col("term"), F.col("term")).otherwise(F.col("term_a"))
+    pairs = (
+        joined.select(w1.alias("w1"), w2.alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= PMI_MIN_PAIR)
+    )
+    u1 = uni.select(F.col("term").alias("w1"), F.col("cnt").alias("cnt1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("cnt").alias("cnt2"))
+    return (
+        pairs.join(u1, "w1")
+        .join(u2, "w2")
+        .join(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    F.col("n_pair").cast("double")
+                    * F.col("n")
+                    / (F.col("cnt1").cast("double") * F.col("cnt2"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
