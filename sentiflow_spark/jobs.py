@@ -216,6 +216,26 @@ def job_dedup(args: argparse.Namespace) -> dict:
 
 
 
+def job_curate(args: argparse.Namespace) -> dict:
+    """Corpus curation as a runnable job (SURVEY §7.2 M5): the
+    end-to-end curation plan — exact-dedup survivors → quality gate →
+    stratified language rebalance → token-budget sequence packing
+    (queries/text_queries.py::txt_curation_e2e, oracle-checked) —
+    written out partitioned by language for trainer consumption.
+    Two shuffles end-to-end; the write adds none (partitionBy is a
+    per-task fan-out to directories, not a repartition)."""
+    from sentiflow_spark.queries.registry import load_all
+    from sentiflow_spark.tables import load
+
+    spark = _spark("sentiflow-curate")
+    n_in = load(spark, args.sf_dir, "documents").count()
+    curated = load_all()["txt_curation_e2e"].fn(spark, args.sf_dir)
+    curated.write.mode("overwrite").partitionBy("lang").parquet(args.out)
+    n_out = spark.read.parquet(args.out).count()
+    return {"job": "curate", "rows_in": n_in, "rows_out": n_out,
+            "removed": n_in - n_out, "sink": args.out}
+
+
 def job_compact(args: argparse.Namespace) -> dict:
     """Small-file maintenance as a runnable job: rewrite --src into
     size-targeted files at --out (sources/files.py::compact), sorted
@@ -236,6 +256,7 @@ def job_compact(args: argparse.Namespace) -> dict:
 
 JOBS = {
     "compact": job_compact,
+    "curate": job_curate,
     "dedup": job_dedup,
     "ingest": job_ingest,
     "pipeline": job_pipeline,

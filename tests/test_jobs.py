@@ -239,3 +239,22 @@ def test_kafka_contract_options_and_payload(spark):
 
     v = _json.loads(rows["c1"])
     assert v == {"content_id": "c1", "sentiment_score": 0.5, "sentiment_label": "pos"}
+
+
+def test_curate_job_writes_partitioned_corpus(spark, sf_dir):
+    """curate job: e2e curation plan lands partitioned by lang, rows
+    match the oracle-checked declared query, something was removed."""
+    import glob
+
+    from sentiflow_spark.queries.registry import load_all
+
+    d = tempfile.mkdtemp(prefix="sf_jobs_")
+    try:
+        r = _run(["curate", "--sf-dir", sf_dir, "--out", f"{d}/corpus"])
+        assert r["rows_in"] == 500 and r["removed"] > 0
+        expected = load_all()["txt_curation_e2e"].fn(spark, sf_dir).count()
+        assert r["rows_out"] == expected
+        langs = glob.glob(f"{d}/corpus/lang=*")
+        assert len(langs) >= 2  # partitioned layout for trainer readers
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
