@@ -614,13 +614,13 @@ def txt_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM uni),
     scored AS (
       SELECT t.doc_id,
-             CAST(round(ln(CAST(u.cnt AS DOUBLE) / s.total), 4)
-                  AS DECIMAL(18,4)) AS logp
+             CAST(round(ln(CAST(u.cnt AS DOUBLE) / s.total), 6)
+                  AS DECIMAL(18,6)) AS logp
       FROM toks t JOIN uni u USING (term) CROSS JOIN tot s
     )
     SELECT doc_id, n_tokens, avg_logp FROM (
       SELECT doc_id, COUNT(*) AS n_tokens,
-             round(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 4) AS avg_logp
+             round(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 3) AS avg_logp
       FROM scored GROUP BY doc_id
     )
     """,
@@ -633,9 +633,12 @@ def txt_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table (vocab-sized) and the per-doc aggregate; the token→unigram "
     "join is AQE-planned (broadcast while the vocab fits, skew-split "
     "shuffle otherwise — same de-skewed df shape as ret_tfidf_topk). "
-    "Per-token log-probs are quantized to 1e-4 and summed as "
-    "DECIMAL(18,4) (exact, order-independent) so both engines agree "
-    "bitwise despite ln() ulp drift.",
+    "Per-token log-probs are quantized FINE (1e-6, DECIMAL-summed "
+    "exactly) and the final mean is rounded COARSE (1e-3): a 1-ulp "
+    "ln() wobble moves the exact sum by at most 1e-6, far from any "
+    "1e-3 boundary of the mean — rounding per-token at the same "
+    "granularity as the output let a single boundary-straddling "
+    "token flip the result (caught by the sf0.1 sweep).",
 )
 def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -652,8 +655,8 @@ def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(tot))
         .select(
             "doc_id",
-            F.round(F.log(F.col("cnt").cast("double") / F.col("total")), 4)
-            .cast("decimal(18,4)")
+            F.round(F.log(F.col("cnt").cast("double") / F.col("total")), 6)
+            .cast("decimal(18,6)")
             .alias("logp"),
         )
     )
@@ -661,7 +664,7 @@ def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.sum("logp").cast("double") / F.count(F.lit(1)), 4).alias("avg_logp"),
+            F.round(F.sum("logp").cast("double") / F.count(F.lit(1)), 3).alias("avg_logp"),
         )
         .select("doc_id", "n_tokens", "avg_logp")
     )
