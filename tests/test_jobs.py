@@ -258,3 +258,70 @@ def test_curate_job_writes_partitioned_corpus(spark, sf_dir):
         assert len(langs) >= 2  # partitioned layout for trainer readers
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_watermark_late_data_semantics(spark):
+    """A3/W4 late-data contract, pinned by a two-run drip feed: a row
+    later than its window's finalized watermark is DROPPED; a late row
+    whose window is still open is COUNTED; finalized windows never
+    change retroactively. (The one-shot st_* oracle queries execute in
+    a single availableNow pass, so they cannot observe cross-batch
+    lateness — this test drives two runs through one checkpoint.)"""
+    import datetime as dt
+    import glob
+
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="sf_late_")
+    src, out, ckpt = f"{d}/src", f"{d}/out", f"{d}/ckpt"
+
+    def ts(h, m):
+        return dt.datetime(2024, 3, 1, h, m, 0)
+
+    def run_once(schema):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("win_start"), "n")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.win_start.hour, r.n)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    try:
+        b1 = spark.createDataFrame(
+            [(ts(10, 5),), (ts(10, 10),), (ts(10, 20),), (ts(11, 15),), (ts(12, 0),)],
+            "ts timestamp",
+        )
+        b1.coalesce(1).write.mode("append").parquet(src)
+        got1 = run_once(b1.schema)
+        # watermark after run 1 = 12:00 - 1h = 11:00 -> only the 10:00
+        # window (end 11:00 <= wm) is finalized and emitted
+        assert got1 == {(10, 3)}
+
+        b2 = spark.createDataFrame(
+            [
+                (ts(10, 30),),  # too late: its window closed at wm 11:00 -> dropped
+                (ts(11, 30),),  # late but window 11-12 still open -> counted
+                (ts(13, 0),),   # advances wm to 12:00 -> finalizes window 11
+            ],
+            "ts timestamp",
+        )
+        b2.coalesce(1).write.mode("append").parquet(src)
+        got2 = run_once(b1.schema)
+        # window 10 unchanged (still n=3: the 10:30 straggler is gone
+        # forever), window 11 emitted with the late-but-in-time row
+        assert got2 == {(10, 3), (11, 2)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
