@@ -1029,3 +1029,76 @@ def rel_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("order_count"),
         dsum(F.col("o_totalprice")).alias("total_spend"),
     )
+
+
+KMV_K = 64
+
+
+@register(
+    "rel_kmv_distinct",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type, user_id,
+             CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rk
+      FROM hashed
+    ),
+    kth AS (
+      SELECT event_type, MAX(h) AS h_k, COUNT(*) AS n_seen
+      FROM ranked WHERE rk <= {KMV_K} GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_uniques FROM events GROUP BY 1
+    )
+    SELECT e.event_type, e.exact_uniques,
+           CASE WHEN k.n_seen < {KMV_K} THEN CAST(k.n_seen AS BIGINT)
+                ELSE CAST(round(({KMV_K} - 1) * 1152921504606846976.0 / k.h_k)
+                          AS BIGINT) END AS kmv_estimate
+    FROM exact e JOIN kth k USING (event_type)
+    """,
+    tags=("relational", "aggregate", "sketch"),
+    doc=f"KMV (k-minimum-values, k={KMV_K}) distinct-count sketch: keep "
+    "the k smallest 60-bit hashes per group; estimate = (k-1)/h_k on "
+    "the unit interval. Unlike HLL, the sketch is a pure function of "
+    "the portable md5 hash — the ESTIMATE ITSELF is bit-identical in "
+    "both engines and oracle-checked, not just an error band. Per-"
+    "group state is k hashes (WindowGroupLimit prunes the rank scan), "
+    "and KMV sketches merge by keeping the k smallest of a union — "
+    "the map-side-combinable property that matters at 100 TB.",
+)
+def rel_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from sentiflow_spark.functions.hashing import md5_i60
+
+    ev = load(spark, sf_dir, "events")
+    hashed = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .select(
+            "event_type",
+            "user_id",
+            md5_i60(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))).alias("h"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("h", "user_id")
+    kth = (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("h_k"), F.count(F.lit(1)).alias("n_seen"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_uniques")
+    )
+    est = F.when(F.col("n_seen") < KMV_K, F.col("n_seen").cast("long")).otherwise(
+        F.round(F.lit(float(KMV_K - 1)) * F.lit(2.0**60) / F.col("h_k")).cast("long")
+    )
+    return exact.join(kth, "event_type").select(
+        "event_type", "exact_uniques", est.alias("kmv_estimate")
+    )
