@@ -1102,3 +1102,113 @@ def rel_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(kth, "event_type").select(
         "event_type", "exact_uniques", est.alias("kmv_estimate")
     )
+
+
+@register(
+    "rel_kmv_set_ops",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type, user_id,
+             CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    merged AS (  -- union sketch = k smallest of the union of both sketches
+      SELECT h, MAX(is_a) AS in_a, MAX(is_b) AS in_b FROM (
+        SELECT h, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_b,
+               row_number() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rk
+        FROM hashed
+      ) WHERE rk <= {KMV_K} GROUP BY h
+    ),
+    kunion AS (
+      SELECT h, in_a, in_b,
+             row_number() OVER (ORDER BY h) AS rk
+      FROM merged
+    ),
+    stats AS (
+      SELECT MAX(h) AS h_k, COUNT(*) AS n_seen,
+             SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS n_both
+      FROM kunion WHERE rk <= {KMV_K}
+    ),
+    exact AS (
+      SELECT COUNT(DISTINCT user_id) AS exact_union,
+             COUNT(DISTINCT CASE WHEN n_types = 2 THEN user_id END) AS exact_inter
+      FROM (
+        SELECT user_id, COUNT(DISTINCT event_type) AS n_types
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY user_id
+      )
+    )
+    SELECT e.exact_union, e.exact_inter,
+           CASE WHEN s.n_seen < {KMV_K} THEN CAST(s.n_seen AS BIGINT)
+                ELSE CAST(round(({KMV_K} - 1) * 1152921504606846976.0 / s.h_k)
+                          AS BIGINT) END AS kmv_union_estimate,
+           CAST(s.n_both AS BIGINT) AS k_overlap
+    FROM exact e CROSS JOIN stats s
+    """,
+    tags=("relational", "aggregate", "sketch"),
+    doc="KMV sketch SET operations — the merge property rel_kmv_distinct "
+    "claims, proven: two per-group sketches (click/purchase user sets) "
+    "merge by keeping the k smallest of their union, estimating "
+    "|A∪B| without rescanning either set; the overlap count inside "
+    "the merged sketch is the intersection sample (Jaccard numerator). "
+    "Every value, including both estimates, is bit-deterministic and "
+    "oracle-checked. This is how 100 TB distinct-count rollups "
+    "compose (per-partition sketches → tiny merge), vs re-counting.",
+)
+def rel_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from sentiflow_spark.functions.hashing import md5_i60
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    hashed = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .select(
+            "event_type",
+            "user_id",
+            md5_i60(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))).alias("h"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("h", "user_id")
+    sketches = hashed.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= KMV_K
+    )
+    merged = sketches.groupBy("h").agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("in_a"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("in_b"),
+    )
+    # single-partition window is safe HERE only because its input is
+    # two merged k-sketches — at most 2k = 128 rows by construction,
+    # independent of data size (that boundedness is the whole point
+    # of sketch composition)
+    kunion = merged.withColumn(
+        "rk", F.row_number().over(Window.orderBy("h"))
+    ).filter(F.col("rk") <= KMV_K)
+    stats = kunion.agg(
+        F.max("h").alias("h_k"),
+        F.count(F.lit(1)).alias("n_seen"),
+        F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("int")).alias("n_both"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count_distinct("event_type").alias("n_types")
+    )
+    exact = per_user.agg(
+        F.count_distinct("user_id").alias("exact_union"),
+        F.count_distinct(F.when(F.col("n_types") == 2, F.col("user_id"))).alias(
+            "exact_inter"
+        ),
+    )
+    est = F.when(F.col("n_seen") < KMV_K, F.col("n_seen").cast("long")).otherwise(
+        F.round(F.lit(float(KMV_K - 1)) * F.lit(2.0**60) / F.col("h_k")).cast("long")
+    )
+    return exact.crossJoin(F.broadcast(stats)).select(
+        "exact_union",
+        "exact_inter",
+        est.alias("kmv_union_estimate"),
+        F.col("n_both").cast("long").alias("k_overlap"),
+    )
