@@ -212,3 +212,48 @@ def test_tfidf_df_has_no_term_window(spark, sf_dir):
             assert "term" not in line.split("windowspecdefinition")[-1].split("]")[0] or (
                 part_key and f"{part_key}#" in line
             ), f"{name} has a term-partitioned window:\n{line}"
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The session enables spark.sql.adaptive.skewJoin — prove it DOES
+    something: a sort-merge join with one hot key, run with the skew
+    thresholds lowered to test scale, must show skew-split partitions
+    in the final adaptive plan (the runtime defense rel_skew_salted_*
+    complements with explicit salting)."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+
+        from pyspark.sql import functions as F
+
+        left = spark.range(300_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pad"),
+        )
+        right = spark.range(2_000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        joined = left.join(right, "k")
+        # collect() executes joined's OWN QueryExecution (count() would
+        # build a different one and leave this plan un-finalized)
+        assert len(joined.collect()) > 0
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
