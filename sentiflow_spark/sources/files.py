@@ -129,3 +129,28 @@ def compact(
         df = df.repartition(n_files)
     getattr(df.write.mode("overwrite"), fmt)(dest)
     return n_files
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    wholetext: bool = False,
+    line_sep: str | None = None,
+) -> DataFrame:
+    """Line-oriented text source (raw crawl dumps, log files, trainer
+    line formats): one ``value`` column per line (or per file with
+    ``wholetext``). Parsing stays DOWNSTREAM and declarative
+    (regexp_extract projections) so the scan remains splittable and
+    the parse runs codegen'd — never a per-line Python loop."""
+    reader = spark.read
+    if wholetext:
+        reader = reader.option("wholetext", "true")
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    return reader.text(path)
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Single-string-column text writer (the line format tokenizer
+    pipelines consume)."""
+    df.write.mode(mode).text(path)

@@ -478,3 +478,36 @@ def test_merge_upsert_migrates_legacy_flat_table(spark):
     got2 = {(r.content_id, r.v) for r in _read(spark, path).collect()}
     assert len(got2) == 52 and ("k2", 77) in got2 and ("zz_fresh", 5) in got2
     assert ("k2", 2) not in got2
+
+
+def test_text_source_roundtrip_and_declarative_log_parse(spark, sf_dir):
+    """Line-oriented text IO: document texts round-trip through the
+    line format losslessly (newlines sanitized, as a trainer line
+    format requires), and a log-style parse is a pure regexp
+    projection over the value column — no Python loop."""
+    import tempfile
+
+    from sentiflow_spark.sources.files import read_text, write_text
+    from sentiflow_spark.tables import load
+
+    d = tempfile.mkdtemp(prefix="sf_text_")
+    try:
+        docs = load(spark, sf_dir, "documents").filter("doc_id < 100")
+        lines = docs.select(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit("\t"),
+                F.col("lang"), F.lit("\t"),
+                F.regexp_replace("text", "[\\r\\n\\t]", " "),
+            ).alias("value")
+        )
+        write_text(lines, d)
+        back = read_text(spark, d)
+        assert back.count() == 100
+        parsed = back.select(
+            F.regexp_extract("value", "^([0-9]+)\\t", 1).cast("long").alias("doc_id"),
+            F.regexp_extract("value", "^[0-9]+\\t([a-z]+)\\t", 1).alias("lang"),
+        )
+        orig = {(r.doc_id, r.lang) for r in docs.select("doc_id", "lang").collect()}
+        assert {(r.doc_id, r.lang) for r in parsed.collect()} == orig
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
