@@ -1212,3 +1212,66 @@ def rel_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.alias("kmv_union_estimate"),
         F.col("n_both").cast("long").alias("k_overlap"),
     )
+
+
+@register(
+    "rel_gaps_islands",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn_all,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY event_id) AS rn_type
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, event_type, rn_all - rn_type AS grp,
+             COUNT(*) AS run_len,
+             MIN(event_id) AS first_id, MAX(event_id) AS last_id
+      FROM ranked GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type, run_len, first_id, last_id FROM (
+      SELECT user_id, event_type, run_len, first_id, last_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY run_len DESC, first_id) AS rk
+      FROM islands
+    ) WHERE rk = 1
+    """,
+    tags=("relational", "window", "analytics"),
+    doc="Gaps-and-islands: each user's longest unbroken RUN of "
+    "same-type events in event order, via the classic two-row_number "
+    "difference (rn_all - rn_type is constant exactly within a "
+    "consecutive run). All windows partition by user — bounded "
+    "per-user state, no global ordering; the shape behind "
+    "streak/consecutive-activity analytics at any scale.",
+)
+def rel_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    ranked = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.row_number().over(w_all).alias("rn_all"),
+        F.row_number().over(w_type).alias("rn_type"),
+    )
+    islands = (
+        ranked.withColumn("grp", F.col("rn_all") - F.col("rn_type"))
+        .groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("event_id").alias("first_id"),
+            F.max("event_id").alias("last_id"),
+        )
+    )
+    w_rk = Window.partitionBy("user_id").orderBy(
+        F.col("run_len").desc(), "first_id"
+    )
+    return (
+        islands.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_type", "run_len", "first_id", "last_id")
+    )
