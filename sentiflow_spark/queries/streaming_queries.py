@@ -357,3 +357,67 @@ def st_interval_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_stream(spark, sf_dir, "events")
     return run_to_table(interval_left_outer_join(ev, interval="4 hours"))
+
+
+@register(
+    "st_topic_repair",
+    oracle="""
+    WITH raws AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN '```json' || chr(10) || '{"topic": "'
+                      || lang || '"}' || chr(10) || '```'
+               WHEN 1 THEN 'Here you go: {"topic": "' || lang || '"}'
+               ELSE 'I cannot answer that.'
+             END AS raw
+      FROM documents
+    ),
+    rep AS (
+      SELECT doc_id,
+             CASE WHEN strpos(trim(raw), '{') > 0
+                   AND strpos(reverse(trim(raw)), '}') > 0
+                   AND length(trim(raw)) - strpos(reverse(trim(raw)), '}') + 1
+                       > strpos(trim(raw), '{')
+                  THEN substring(trim(raw), strpos(trim(raw), '{'),
+                                 (length(trim(raw)) - strpos(reverse(trim(raw)), '}') + 1)
+                                 - strpos(trim(raw), '{') + 1)
+                  ELSE '' END AS repaired
+      FROM raws
+    )
+    SELECT doc_id,
+           CASE WHEN repaired <> ''
+                THEN json_extract_string(repaired, '$.topic') END AS topic
+    FROM rep
+    """,
+    tags=("streaming", "P7", "U1", "M3"),
+    doc="P7 JSON repair executed UNDER STRUCTURED STREAMING: the "
+    "repair→parse chain is stateless (pure string projections), so it "
+    "runs unchanged as a streaming stage — exactly how the reference's "
+    "topic-generator consumer loop maps onto a streaming micro-batch. "
+    "Refusals surface as NULL topic rather than dropped rows (no "
+    "stateful filter needed in-stream).",
+)
+def st_topic_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.pipeline.topics import repair_llm_json
+    from sentiflow_spark.streaming.dag import load_stream, run_to_table
+
+    docs = load_stream(spark, sf_dir, "documents")
+    raw = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit('```json\n{"topic": "'), F.col("lang"), F.lit('"}\n```')),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit('Here you go: {"topic": "'), F.col("lang"), F.lit('"}')),
+        )
+        .otherwise(F.lit("I cannot answer that."))
+    )
+    rep = docs.select("doc_id", repair_llm_json(raw).alias("repaired"))
+    parsed = rep.select(
+        "doc_id",
+        F.when(
+            F.col("repaired") != "", F.get_json_object("repaired", "$.topic")
+        ).alias("topic"),
+    )
+    return run_to_table(parsed)
