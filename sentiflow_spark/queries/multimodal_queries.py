@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sentiflow_spark.functions.vectors import duck_dot, duck_quantize
 from sentiflow_spark.operators.multimodal import attach_binary, extract_features
 from sentiflow_spark.queries.registry import register
 from sentiflow_spark.tables import load
@@ -125,3 +126,47 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = attach_binary(load(spark, sf_dir, "documents"))
     return resize_images(media, width=32, height=24).drop("payload")
+
+
+@register(
+    "mm_cross_modal_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label, {duck_quantize('embedding')} AS qvec
+      FROM embeddings
+    ),
+    qn AS (
+      SELECT vec_id, label, {duck_dot('qvec', 'qvec')} AS qnorm FROM q
+    )
+    SELECT d.lang, e.label,
+           COUNT(*) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(e.qnorm) AS BIGINT) AS total_qnorm
+    FROM documents d JOIN qn e ON e.vec_id = d.doc_id
+    GROUP BY d.lang, e.label
+    """,
+    tags=("multimodal", "M5", "similarity"),
+    doc="Cross-modal alignment join: the text table joined 1:1 onto "
+    "its embedding table (doc_id = vec_id, how paired text/vector "
+    "corpora ship), aggregated per (language, coarse vector bucket) — "
+    "the coverage matrix a multimodal curation pass checks before "
+    "training (is every language represented in every embedding "
+    "region?). Equi-join on the aligned id, partial-agg shuffle of "
+    "(lang,label) rows only; both sides prune to joined columns.",
+)
+def mm_cross_modal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.operators.similarity import with_quantized
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    emb = with_quantized(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", "qnorm"
+    )
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .groupBy("lang", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("qnorm").cast("long").alias("total_qnorm"),
+        )
+    )
