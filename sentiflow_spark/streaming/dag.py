@@ -42,18 +42,26 @@ def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     analog of the Kafka source S1)."""
     from sentiflow_spark.tables import _NANOS_TS_COLS, _fix_nanos
 
+    import os
+
     nanos_cols = _NANOS_TS_COLS.get(name, ())
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{name}.parquet"
     schema = spark.read.parquet(path).schema
-    # file streaming sources need a directory: stream the sf_dir with a
-    # glob filter selecting just this table's file
-    df = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", f"{name}.parquet")
-        .parquet(sf_dir)
-    )
+    if os.path.isdir(path):
+        # directory-of-parts table layout (what any real writer
+        # produces): stream the directory itself
+        df = spark.readStream.schema(schema).parquet(path)
+    else:
+        # single-file layout (the driver's testdata contract): file
+        # streaming sources need a directory, so stream sf_dir with a
+        # glob filter selecting just this table's file
+        df = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", f"{name}.parquet")
+            .parquet(sf_dir)
+        )
     return _fix_nanos(df, nanos_cols)
 
 
