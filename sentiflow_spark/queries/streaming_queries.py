@@ -421,3 +421,47 @@ def st_topic_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("topic"),
     )
     return run_to_table(parsed)
+
+
+@register(
+    "st_kmv_distinct",
+    oracle="""
+    WITH hashed AS (
+      SELECT DISTINCT event_type, user_id,
+             CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM hashed
+    ),
+    kth AS (
+      SELECT event_type, MAX(h) AS h_k, COUNT(*) AS n_seen
+      FROM ranked WHERE rk <= 64 GROUP BY event_type
+    )
+    SELECT event_type, CAST(n_seen AS BIGINT) AS n_seen, h_k,
+           CASE WHEN n_seen < 64 THEN CAST(n_seen AS BIGINT)
+                ELSE CAST(round(63 * 1152921504606846976.0 / h_k) AS BIGINT)
+           END AS kmv_estimate
+    FROM kth
+    """,
+    tags=("streaming", "stateful", "sketch", "M3"),
+    doc="Streaming KMV distinct-count sketch: per-key state = the k "
+    "smallest portable hashes, maintained across micro-batches via "
+    "applyInPandasWithState — fixed k×8 bytes per key however long "
+    "the stream runs, vs an unbounded distinct set. The oracle "
+    "recomputes the sketch in batch SQL; because KMV merges exactly, "
+    "the streaming estimate is bit-identical however the input is "
+    "micro-batched.",
+)
+def st_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.streaming.dag import (
+        load_stream,
+        run_to_table,
+        streaming_kmv_distinct,
+    )
+
+    ev = load_stream(spark, sf_dir, "events")
+    return run_to_table(streaming_kmv_distinct(ev), output_mode="update")

@@ -493,3 +493,59 @@ def interval_left_outer_join(
         F.date_format("left_ts", "yyyy-MM-dd HH:mm:ss").alias("left_ts_s"),
         F.date_format("right_ts", "yyyy-MM-dd HH:mm:ss").alias("right_ts_s"),
     )
+
+
+def streaming_kmv_distinct(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    val_col: str = "user_id",
+    k: int = 64,
+) -> DataFrame:
+    """Per-key distinct-count KMV sketch maintained ACROSS micro-batches
+    (applyInPandasWithState): the GroupState holds the k smallest
+    portable 60-bit hashes seen for the key — fixed k×8 bytes per key
+    forever, the streaming form of rel_kmv_distinct. Each batch emits
+    the key's refreshed estimate (update-style serving row). Because a
+    KMV sketch merges by keeping the k smallest of a union, feeding the
+    stream in any number of micro-batches converges to exactly the
+    one-shot sketch — tests/test_jobs.py pins that with a two-batch
+    drip. The per-row md5 here is Python-side (Arrow-batched); the
+    batch twin (rel_kmv_distinct) stays JVM-side."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField("n_seen", T.LongType()),
+            T.StructField("h_k", T.LongType()),
+            T.StructField("kmv_estimate", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("hashes", T.ArrayType(T.LongType()))])
+
+    def update(key, pdfs, state: GroupState):
+        hashes = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            for v in pdf[val_col]:
+                h = int(hashlib.md5(f"kmv:{v}".encode()).hexdigest()[:15], 16)
+                hashes.add(h)
+        smallest = sorted(hashes)[:k]
+        state.update((smallest,))
+        n = len(smallest)
+        h_k = smallest[-1]
+        est = n if n < k else int(round((k - 1) * float(2**60) / h_k))
+        yield pd.DataFrame(
+            [{key_col: key[0], "n_seen": n, "h_k": h_k, "kmv_estimate": est}]
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

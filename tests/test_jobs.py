@@ -325,3 +325,63 @@ def test_watermark_late_data_semantics(spark):
         assert got2 == {(10, 3), (11, 2)}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_kmv_state_merges_across_batches(spark):
+    """The streaming KMV sketch must converge to the one-shot sketch no
+    matter how the input is micro-batched: two drip-fed runs through
+    one checkpoint end at exactly the estimate a single pass over all
+    data produces (KMV's keep-k-smallest merge is exact)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.streaming.dag import streaming_kmv_distinct
+
+    d = tempfile.mkdtemp(prefix="sf_kmv_")
+    src, out, ckpt = f"{d}/src", f"{d}/out", f"{d}/ckpt"
+
+    def run_once(schema):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .transform(streaming_kmv_distinct, "event_type", "user_id", 16)
+            .withColumn("run_ts", F.current_timestamp())
+            .writeStream.foreachBatch(
+                lambda df, bid: df.withColumn("b", F.lit(bid))
+                .write.mode("append")
+                .parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        b1 = spark.createDataFrame(
+            [("click", i) for i in range(100)], "event_type string, user_id long"
+        )
+        b1.coalesce(1).write.mode("append").parquet(src)
+        run_once(b1.schema)
+        b2 = spark.createDataFrame(
+            [("click", i) for i in range(50, 250)], "event_type string, user_id long"
+        )
+        b2.coalesce(1).write.mode("append").parquet(src)
+        run_once(b1.schema)
+
+        rows = spark.read.parquet(out).collect()
+        final = max(rows, key=lambda r: r.b)
+        assert final.event_type == "click"
+
+        # one-shot expectation computed directly: k smallest hashes of
+        # the distinct union (0..249)
+        hs = sorted(
+            int(hashlib.md5(f"kmv:{u}".encode()).hexdigest()[:15], 16)
+            for u in range(250)
+        )[:16]
+        assert final.n_seen == 16 and final.h_k == hs[-1]
+        assert final.kmv_estimate == int(round(15 * float(2**60) / hs[-1]))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
