@@ -1,0 +1,505 @@
+"""Second-wave corpus operators: segment-level dedup with document
+reconstruction, duplicate-cluster representative selection (the dedup
+keep-list), query-likelihood ranked retrieval, hybrid sparse+dense
+rank fusion, positional phrase match, and robust length-outlier
+detection.
+
+Reference parity: the reference has no corpus engine; these extend the
+M5 training-data families (SURVEY §7.2) on the same tokenizer
+(`functions/text.py` WORD_RE), the same MinHash-LSH cluster graph
+(`operators/dedup.py`), and the same quantized-vector cosine
+(`functions/vectors.py`) as the first-wave queries.
+
+Scale notes (100 TB):
+- ``dd_segment_dedup`` is the C4-style "drop text seen anywhere else
+  in the corpus" pass. Ownership is a partial-aggregated
+  ``groupBy(seg).min(encoded owner)`` — never a Window over the
+  segment, which would single-task hot boilerplate segments. The
+  join-back on ``seg`` is a hash-join probe (1 build row per segment),
+  so hot segments fan out across probe tasks instead of buffering.
+  Reconstruction aggregates per doc_id — state bounded by one document.
+- ``ret_query_likelihood`` scores every document against a fixed term
+  query with Dirichlet smoothing: ONE tokenize pass, ONE partial-agg
+  shuffle (same shape as ``ret_bm25_topk``), corpus scalars broadcast.
+- ``ret_hybrid_rrf`` fuses two top-k lists (tens of rows after their
+  own distributed top-k), so the fusion join is driver-trivial; the
+  heavy lifting stays in the BM25 aggregate and the brute-force cosine
+  (broadcast probe, TakeOrdered-style per-probe window over one probe).
+- ``ret_phrase_match`` is the positional-postings phrase join: tokens
+  filtered to the phrase's words BEFORE the self-join, so the join
+  carries only matching postings, and adjacency is an equi-join on
+  ``(doc_id, pos+1)`` — never a cross product. A production positional
+  index would materialize the filtered postings once; here the two
+  sides re-scan (cheap: scan is pruned to two terms).
+- ``txt_robust_outliers`` is two partial-agg passes (median, then MAD)
+  grouped by ``source`` — no windows, no skew (group count = number of
+  sources).
+
+Cross-engine determinism: medians interpolate to exact halves in both
+engines; cosine uses exact int64 dot products (`functions/vectors.py`);
+transcendental scores are quantized with ``round(x, 4)`` and summed as
+DECIMAL (see `retrieval_queries.py` module docstring for the 1-ulp
+argument); RRF increments are ``round(1/(60+rank), 8)`` DECIMAL(12,8)
+sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sentiflow_spark.functions.text import WORD_RE
+from sentiflow_spark.functions.vectors import duck_cosine, duck_dot, duck_quantize
+from sentiflow_spark.operators.similarity import brute_force_topk, with_quantized
+from sentiflow_spark.queries.dedup_queries import (
+    _DUCK_BAND_PAIRS,
+    _duck_bands_cte,
+    _duck_match_frac,
+    _duck_sigs_cte,
+    dd_duplicate_clusters,
+)
+from sentiflow_spark.queries.registry import register
+from sentiflow_spark.queries.retrieval_queries import (
+    _DUCK_TOKS,
+    _TERMS_SQL,
+    _tokens,
+    B,
+    BM25_TERMS,
+    BM25_TOP_K,
+    K1,
+    ret_bm25_topk,
+)
+from sentiflow_spark.tables import load
+
+SEG_CHARS = 80
+QL_MU = 300.0
+QL_TOP_K = 20
+RRF_K = 60
+RRF_DEPTH = 20
+PHRASE = ("hash", "join")
+OUTLIER_MAD_SCALE = 4.4478  # 3 * 1.4826 (normal-consistency constant)
+
+# Owner encoding: doc_id * 1_000_000 + seg_no. seg_no < 1e6 holds for
+# any document under 80 MB of text (80 chars * 1e6 segments).
+_OWNER_BASE = 1_000_000
+
+
+@register(
+    "dd_segment_dedup",
+    oracle=f"""
+    WITH segs AS (
+      SELECT doc_id,
+             unnest(range(greatest(CAST(ceil(length(text)/{SEG_CHARS}.0) AS BIGINT), 1))) AS seg_no,
+             text
+      FROM documents
+    ),
+    s2 AS (
+      SELECT doc_id, seg_no,
+             substring(text, CAST(seg_no*{SEG_CHARS} AS INT)+1, {SEG_CHARS}) AS seg
+      FROM segs
+    ),
+    owners AS (
+      SELECT seg, MIN(doc_id*{_OWNER_BASE} + seg_no) AS owner FROM s2 GROUP BY seg
+    ),
+    kept AS (
+      SELECT s.doc_id, s.seg_no, s.seg
+      FROM s2 s JOIN owners o ON o.seg = s.seg
+      WHERE s.doc_id*{_OWNER_BASE} + s.seg_no = o.owner
+    ),
+    rec AS (
+      SELECT doc_id, string_agg(seg, '' ORDER BY seg_no) AS text_dedup,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(r.text_dedup, '') AS text_dedup,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           greatest(CAST(ceil(length(d.text)/{SEG_CHARS}.0) AS BIGINT), 1) AS n_total
+    FROM documents d LEFT JOIN rec r ON r.doc_id = d.doc_id
+    """,
+    tags=("dedup", "M5", "segment", "e2e", "bench"),
+    doc="Corpus-global segment-level dedup (C4-style 'drop any span "
+    "seen earlier anywhere'): fixed 80-char segments, global "
+    "first-wins ownership by (doc_id, seg_no), then per-document "
+    "reconstruction of the surviving text. Documents fully covered by "
+    "earlier text come back empty (n_kept = 0) — the keep/drop signal "
+    "a curation pass consumes. The synthetic corpus has no newlines, "
+    "so fixed-width segments stand in for lines; the shape (explode → "
+    "partial-agg ownership → join-back → per-doc re-agg) is identical.",
+)
+def dd_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_total = F.greatest(
+        F.ceil(F.length("text") / F.lit(float(SEG_CHARS))).cast("long"), F.lit(1).cast("long")
+    )
+    segs = (
+        docs.select("doc_id", "text", F.explode(F.sequence(F.lit(0).cast("long"), n_total - 1)).alias("seg_no"))
+        .select(
+            "doc_id",
+            "seg_no",
+            F.col("text")
+            .substr((F.col("seg_no") * SEG_CHARS + 1).cast("int"), F.lit(SEG_CHARS))
+            .alias("seg"),
+        )
+    )
+    encoded = F.col("doc_id") * _OWNER_BASE + F.col("seg_no")
+    owners = segs.groupBy("seg").agg(F.min(encoded).alias("owner"))
+    kept = segs.join(owners, "seg").filter(encoded == F.col("owner"))
+    rec = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_no", "seg"))), lambda s: s.seg
+            ),
+            "",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        docs.select("doc_id", n_total.alias("n_total"))
+        .join(rec, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            "n_total",
+        )
+    )
+
+
+@register(
+    "dd_cluster_reps",
+    oracle=f"""
+    WITH RECURSIVE {_duck_sigs_cte()}{_duck_bands_cte()},
+    near_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      {_DUCK_BAND_PAIRS}
+      WHERE {_duck_match_frac()} >= 0.9
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM near_pairs
+      UNION
+      SELECT doc_b, doc_a FROM near_pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+    ),
+    comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    members AS (
+      SELECT d.doc_id, d.n_chars, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    cmax AS (
+      SELECT cluster_id, COUNT(*) AS n_members, MAX(n_chars) AS max_chars
+      FROM members GROUP BY cluster_id
+    )
+    SELECT m.cluster_id, MIN(m.doc_id) AS rep_doc_id,
+           ANY_VALUE(x.n_members) AS n_members, ANY_VALUE(x.max_chars) AS max_chars
+    FROM members m JOIN cmax x ON x.cluster_id = m.cluster_id
+    WHERE m.n_chars = x.max_chars
+    GROUP BY m.cluster_id
+    """,
+    tags=("dedup", "M5", "minhash", "lsh", "iterative", "e2e"),
+    doc="Canonical-representative selection per duplicate cluster — "
+    "the dedup keep-list: for every MinHash-LSH connected component "
+    "(dd_duplicate_clusters), keep the longest document (max n_chars, "
+    "ties to the smallest doc_id). Singletons represent themselves, so "
+    "the output IS the post-dedup corpus manifest. Two partial-agg "
+    "shuffles on cluster_id after the cluster computation; the argmax "
+    "is max-then-filter-then-min (no window over cluster members).",
+)
+def dd_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    members = dd_duplicate_clusters(spark, sf_dir).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    cmax = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"), F.max("n_chars").alias("max_chars")
+    )
+    return (
+        members.join(cmax, "cluster_id")
+        .filter(F.col("n_chars") == F.col("max_chars"))
+        .groupBy("cluster_id")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.min("n_members").alias("n_members"),
+            F.min("max_chars").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "ret_query_likelihood",
+    oracle=f"""
+    WITH {_DUCK_TOKS},
+    dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ),
+    stats AS (SELECT CAST(SUM(dl) AS DOUBLE) AS total_dl FROM dl),
+    tfq AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ({_TERMS_SQL}) GROUP BY doc_id, term
+    ),
+    cf AS (
+      SELECT q.term, CAST(COALESCE(SUM(t.tf), 0) AS DOUBLE) AS cf
+      FROM (VALUES {", ".join(f"('{t}')" for t in BM25_TERMS)}) q(term)
+      LEFT JOIN tfq t ON t.term = q.term GROUP BY q.term
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             CAST(round(ln(
+               (CAST(COALESCE(t.tf, 0) AS DOUBLE) + ({QL_MU!r} * c.cf) / s.total_dl)
+               / (CAST(d.dl AS DOUBLE) + {QL_MU!r})), 4) AS DECIMAL(18,4)) AS term_ll
+      FROM dl d CROSS JOIN cf c CROSS JOIN stats s
+      LEFT JOIN tfq t ON t.doc_id = d.doc_id AND t.term = c.term
+    )
+    SELECT doc_id, CAST(SUM(term_ll) AS DOUBLE) AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT {QL_TOP_K}
+    """,
+    tags=("retrieval", "text", "M5", "bench"),
+    doc="Dirichlet-smoothed query-likelihood ranking (mu=300) for a "
+    "fixed term query, top-20 documents. Smoothing scores every "
+    "document (tf=0 rows included), so the melt keeps zeros; corpus "
+    "language-model stats (cf per term, total tokens) broadcast. Same "
+    "one-tokenize-pass shape as ret_bm25_topk.",
+)
+def ret_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    per_doc = _tokens(docs).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum((F.col("term") == t).cast("long")).alias(f"_tf_{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    stats = per_doc.agg(F.sum("dl").cast("double").alias("total_dl"))
+    melted = per_doc.select(
+        "doc_id",
+        "dl",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("term"), F.col(f"_tf_{i}").alias("tf"))
+                    for i, t in enumerate(BM25_TERMS)
+                ]
+            )
+        ).alias("x"),
+    ).select("doc_id", "dl", "x.*")
+    cf_map = melted.groupBy("term").agg(F.sum("tf").cast("double").alias("cf"))
+    term_ll = F.round(
+        F.log(
+            (
+                F.col("tf").cast("double")
+                + (F.lit(QL_MU) * F.col("cf")) / F.col("total_dl")
+            )
+            / (F.col("dl").cast("double") + F.lit(QL_MU))
+        ),
+        4,
+    ).cast("decimal(18,4)")
+    return (
+        melted.join(F.broadcast(cf_map), "term")
+        .join(F.broadcast(stats))
+        .withColumn("term_ll", term_ll)
+        .groupBy("doc_id")
+        .agg(F.sum("term_ll").cast("double").alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(QL_TOP_K)
+    )
+
+
+_DUCK_BM25_TOP = f"""
+      SELECT doc_id, score FROM (
+        SELECT w.doc_id,
+               CAST(SUM(CAST(round(
+                 ln(1.0 + (s.n - CAST(w.df AS DOUBLE) + 0.5)
+                          / (CAST(w.df AS DOUBLE) + 0.5))
+                 * (CAST(w.tf AS DOUBLE) * {K1 + 1.0!r})
+                 / (CAST(w.tf AS DOUBLE)
+                    + CAST({K1!r} AS DOUBLE)
+                      * ((1.0 - CAST({B!r} AS DOUBLE))
+                         + CAST({B!r} AS DOUBLE)
+                           * (CAST(d.dl AS DOUBLE) / (s.total_dl / s.n)))),
+                 4) AS DECIMAL(18,4))) AS DOUBLE) AS score
+        FROM withdf w JOIN dl d ON d.doc_id = w.doc_id CROSS JOIN stats s
+        GROUP BY w.doc_id
+      ) ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}
+"""
+
+
+@register(
+    "ret_hybrid_rrf",
+    oracle=f"""
+    WITH {_DUCK_TOKS},
+    dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(dl) AS DOUBLE) AS total_dl
+      FROM dl
+    ),
+    tfq AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ({_TERMS_SQL}) GROUP BY doc_id, term
+    ),
+    withdf AS (
+      SELECT doc_id, term, tf, COUNT(*) OVER (PARTITION BY term) AS df FROM tfq
+    ),
+    sparse AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS s_rank
+      FROM ({_DUCK_BM25_TOP})
+    ),
+    q AS (
+      SELECT vec_id, {duck_quantize('embedding')} AS qvec FROM embeddings
+    ),
+    qn AS (
+      SELECT vec_id, qvec, {duck_dot('qvec', 'qvec')} AS qnorm FROM q
+    ),
+    dense AS (
+      SELECT cand_id, rk AS d_rank FROM (
+        SELECT c.vec_id AS cand_id,
+               row_number() OVER (
+                 ORDER BY {duck_cosine(duck_dot('p.qvec', 'c.qvec'), 'p.qnorm', 'c.qnorm')} DESC,
+                          c.vec_id) AS rk
+        FROM qn p JOIN qn c ON c.vec_id <> 0
+        WHERE p.vec_id = 0
+      ) WHERE rk <= {RRF_DEPTH}
+    )
+    SELECT COALESCE(s.doc_id, d.cand_id) AS id,
+           CAST(s.s_rank AS INTEGER) AS s_rank,
+           CAST(d.d_rank AS INTEGER) AS d_rank,
+           CAST(COALESCE(CAST(round(1.0/({RRF_K} + s.s_rank), 8) AS DECIMAL(12,8)), 0)
+                + COALESCE(CAST(round(1.0/({RRF_K} + d.d_rank), 8) AS DECIMAL(12,8)), 0)
+                AS DOUBLE) AS rrf_score
+    FROM sparse s FULL OUTER JOIN dense d ON d.cand_id = s.doc_id
+    """,
+    tags=("retrieval", "similarity", "M5", "ann", "e2e", "bench"),
+    doc="Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25 "
+    "sparse top-20 with the dense cosine top-20 from probe vector 0, "
+    "joined on the documents↔embeddings id alignment. Each input list "
+    "is already a distributed top-k, so the full-outer fusion join "
+    "touches tens of rows; docs found by only one channel keep the "
+    "other rank NULL.",
+)
+def ret_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sparse = ret_bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("s_rank"),
+    )
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    dense = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=RRF_DEPTH
+    ).select(F.col("cand_id"), F.col("rank").alias("d_rank"))
+    rrf = lambda rank: F.coalesce(  # noqa: E731
+        F.round(F.lit(1.0) / (F.lit(RRF_K) + rank), 8).cast("decimal(12,8)"),
+        F.lit(0).cast("decimal(12,8)"),
+    )
+    return (
+        sparse.join(dense, sparse.doc_id == dense.cand_id, "full_outer")
+        .select(
+            F.coalesce("doc_id", "cand_id").alias("id"),
+            F.col("s_rank").cast("int").alias("s_rank"),
+            F.col("d_rank").cast("int").alias("d_rank"),
+            (rrf(F.col("s_rank")) + rrf(F.col("d_rank")))
+            .cast("double")
+            .alias("rrf_score"),
+        )
+    )
+
+
+@register(
+    "ret_phrase_match",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS term
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS w
+            FROM documents)
+    )
+    SELECT a.doc_id, COUNT(*) AS n_phrase, CAST(MIN(a.pos) AS INTEGER) AS first_pos
+    FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+    GROUP BY a.doc_id
+    """,
+    tags=("retrieval", "text", "M5"),
+    doc=f"Positional phrase match for \"{PHRASE[0]} {PHRASE[1]}\": "
+    "posexplode builds the positional postings, postings are filtered "
+    "to the phrase's two terms BEFORE the self-join, and adjacency is "
+    "the equi-join (doc_id, pos+1) — the positional-index phrase "
+    "primitive, never a cross product. Output: per-doc occurrence "
+    "count and first match position.",
+)
+def ret_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0))
+        ).alias("pos", "term"),
+    ).filter(F.col("term").isin(*PHRASE))
+    a = toks.filter(F.col("term") == PHRASE[0]).select("doc_id", "pos")
+    b = toks.filter(F.col("term") == PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_phrase"),
+            F.min("pos").cast("int").alias("first_pos"),
+        )
+    )
+
+
+@register(
+    "txt_robust_outliers",
+    oracle=f"""
+    WITH m AS (
+      SELECT source, median(n_chars) AS med FROM documents GROUP BY source
+    ),
+    d AS (
+      SELECT doc.source, doc.n_chars, m.med,
+             abs(CAST(doc.n_chars AS DOUBLE) - m.med) AS dev
+      FROM documents doc JOIN m ON m.source = doc.source
+    ),
+    md AS (
+      SELECT source, median(dev) AS mad FROM d GROUP BY source
+    )
+    SELECT d.source, COUNT(*) AS n_docs,
+           MIN(d.med) AS med, MIN(md.mad) AS mad,
+           SUM(CASE WHEN d.dev > md.mad * {OUTLIER_MAD_SCALE!r} THEN 1 ELSE 0 END) AS n_outliers
+    FROM d JOIN md ON md.source = d.source
+    GROUP BY d.source
+    """,
+    tags=("text", "M5", "curation"),
+    doc="Robust per-source length-outlier detection: median + MAD of "
+    "n_chars per source, outlier = deviation > 3*1.4826*MAD (the "
+    "winsorize/trim gate a curation pass applies before packing). Two "
+    "partial-agg passes grouped by source — no windows; medians "
+    "interpolate to exact halves so both engines agree bitwise.",
+)
+def txt_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    m = docs.groupBy("source").agg(F.median("n_chars").alias("med"))
+    d = docs.join(F.broadcast(m), "source").select(
+        "source",
+        "med",
+        F.abs(F.col("n_chars").cast("double") - F.col("med")).alias("dev"),
+    )
+    md = d.groupBy("source").agg(F.median("dev").alias("mad"))
+    return (
+        d.join(F.broadcast(md), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                (F.col("dev") > F.col("mad") * F.lit(OUTLIER_MAD_SCALE)).cast("long")
+            ).alias("n_outliers"),
+        )
+    )

@@ -70,6 +70,10 @@ _QUERY_MODULES = (
     "sentiflow_spark.queries.pipeline_queries",
     "sentiflow_spark.queries.relational",
     "sentiflow_spark.queries.tpch_extra",
+    # Added mid-round-2, deliberately LAST so the round-2 driver window
+    # (first ~50 entries, already green locally) is not perturbed;
+    # round 3 rotation should front this module with text/streaming.
+    "sentiflow_spark.queries.corpus_queries",
 )
 
 
