@@ -49,11 +49,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from sentiflow_spark.functions.numeric import MONEY
 from sentiflow_spark.functions.text import WORD_RE
 from sentiflow_spark.functions.vectors import duck_cosine, duck_dot, duck_quantize
+from sentiflow_spark.operators.dedup import exploded_shingles
 from sentiflow_spark.operators.similarity import brute_force_topk, with_quantized
 from sentiflow_spark.queries.dedup_queries import (
     _DUCK_BAND_PAIRS,
+    _DUCK_SHINGLES_CTE,
     _duck_bands_cte,
     _duck_match_frac,
     _duck_sigs_cte,
@@ -79,6 +82,11 @@ RRF_K = 60
 RRF_DEPTH = 20
 PHRASE = ("hash", "join")
 OUTLIER_MAD_SCALE = 4.4478  # 3 * 1.4826 (normal-consistency constant)
+CONTAIN_THRESHOLD = 0.6
+ZS_LOOKBACK = 24  # preceding hourly buckets in the rolling frame
+ZS_MIN_PREV = 12  # minimum history before flagging
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 
 # Owner encoding: doc_id * 1_000_000 + seg_no. seg_no < 1e6 holds for
 # any document under 80 MB of text (80 chars * 1e6 segments).
@@ -502,4 +510,181 @@ def txt_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("dev") > F.col("mad") * F.lit(OUTLIER_MAD_SCALE)).cast("long")
             ).alias("n_outliers"),
         )
+    )
+
+
+@register(
+    "dd_containment_pairs",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a FROM (
+      SELECT doc_a, doc_b,
+             CAST(shared AS DOUBLE) / sa.set_size AS cont_a_in_b,
+             CAST(shared AS DOUBLE) / sb.set_size AS cont_b_in_a
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    ) WHERE greatest(cont_a_in_b, cont_b_in_a) >= {CONTAIN_THRESHOLD!r}
+    """,
+    tags=("dedup", "M5", "containment"),
+    doc="Asymmetric shingle-set containment pairs (|A∩B|/|A| and "
+    "|A∩B|/|B|): catches a short document quoted inside a long one, "
+    "which symmetric Jaccard misses because the union is dominated by "
+    "the long side. Same inverted-index equi-join shape as "
+    "dd_ngram_jaccard (df-capping is the identical 100 TB refinement); "
+    "one row per unordered pair carrying both directions.",
+)
+def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    shared = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("shared").cast("double") / F.col("size_a")).alias("cont_a_in_b"),
+            (F.col("shared").cast("double") / F.col("size_b")).alias("cont_b_in_a"),
+        )
+        .filter(
+            F.greatest("cont_a_in_b", "cont_b_in_a") >= F.lit(CONTAIN_THRESHOLD)
+        )
+    )
+
+
+@register(
+    "win_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS INTEGER) AS offset_days,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN firsts f ON f.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("window", "analytics", "M5"),
+    doc="Cohort retention: users grouped by first-seen day, distinct "
+    "active users per (cohort, day offset) — the engagement-analytics "
+    "primitive. Two partial-agg shuffles (first-seen per user, then "
+    "the cohort×offset count-distinct); the first-seen map joins back "
+    "on user_id, co-partitioned with the events shuffle.",
+)
+def win_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "cohort_day").cast("int").alias("offset_days"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "win_anomaly_zscore",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             SUM(CAST(value AS DECIMAL(18,2))) AS total
+      FROM events GROUP BY 1, 2
+    ),
+    framed AS (
+      SELECT event_type, h, CAST(total AS DOUBLE) AS x,
+             CAST(SUM(total) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(total * total) OVER w AS DOUBLE) AS s2,
+             CAST(COUNT(*) OVER w AS DOUBLE) AS n
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN {ZS_LOOKBACK} PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+      SELECT event_type, h, x, n,
+             s1 / n AS mean,
+             sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS sd
+      FROM framed
+    )
+    SELECT strftime(h, '{TS_FMT_DUCK}') AS window_start, event_type,
+           x AS total, round(mean, 6) AS mean, round(sd, 6) AS sd,
+           CAST(n AS BIGINT) AS n_prev
+    FROM scored
+    WHERE n >= {ZS_MIN_PREV} AND abs(x - mean) > sd * 3.0
+    """,
+    tags=("window", "analytics", "M5", "anomaly"),
+    doc="Rolling z-score anomaly detection over the hourly per-type "
+    "value series: mean/std from the preceding 24 observed buckets "
+    "(exact DECIMAL sums -> deterministic doubles; sd via E[x^2] - "
+    "E[x]^2 in one canonical op order), flag |x - mean| > 3 sd after "
+    "a 12-bucket warmup. The window partitions by series key — state "
+    "is one series' frame, bounded by the lookback, regardless of "
+    "corpus size.",
+)
+def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.col("value").cast(MONEY)).alias("total"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-ZS_LOOKBACK, -1)
+    )
+    framed = hourly.select(
+        "event_type",
+        "h",
+        F.col("total").cast("double").alias("x"),
+        F.sum("total").over(w).cast("double").alias("s1"),
+        F.sum(F.col("total") * F.col("total")).over(w).cast("double").alias("s2"),
+        F.count(F.lit(1)).over(w).cast("double").alias("n"),
+    )
+    mean = F.col("s1") / F.col("n")
+    sd = F.sqrt(
+        F.greatest(
+            F.col("s2") / F.col("n") - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n")),
+            F.lit(0.0),
+        )
+    )
+    return (
+        framed.select(
+            F.date_format("h", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            F.col("x").alias("total"),
+            F.round(mean, 6).alias("mean"),
+            F.round(sd, 6).alias("sd"),
+            F.col("n").cast("long").alias("n_prev"),
+            mean.alias("_mean"),
+            sd.alias("_sd"),
+        )
+        .filter(
+            (F.col("n_prev") >= ZS_MIN_PREV)
+            & (F.abs(F.col("total") - F.col("_mean")) > F.col("_sd") * F.lit(3.0))
+        )
+        .drop("_mean", "_sd")
     )

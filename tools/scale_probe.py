@@ -1,0 +1,81 @@
+"""Scale-headroom probe: replicate the sf0.1 corpus N× (default 20×,
+~100k documents / ~100k embeddings) into .tmp/scale{N}/ and run a list
+of declared queries against it, printing wall time + output rows.
+
+This is the single-node stand-in for the 100 TB question: operators
+whose cost curves bend quadratic (pair generation, windows over hot
+keys) show it between 1× and 20× long before a cluster would. Results
+are recorded in BASELINE.md's scale-headroom sections.
+
+Run: python tools/scale_probe.py [N] [query ...]
+Defaults: N=20, the corpus-family headline queries.
+
+Replication remaps ids (id + rep * 10_000_000) so keys stay unique;
+text/embedding payloads repeat, which deliberately creates 20-way
+duplicate clusters — the worst realistic case for dedup operators.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sentiflow_spark.queries.registry import load_all  # noqa: E402
+from sentiflow_spark.session import get_spark  # noqa: E402
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ID_STRIDE = 10_000_000
+
+DEFAULT_QUERIES = (
+    "dd_segment_dedup",
+    "dd_duplicate_clusters",
+    "dd_cluster_reps",
+    "ret_query_likelihood",
+    "ret_hybrid_rrf",
+    "ret_phrase_match",
+    "txt_robust_outliers",
+)
+
+TABLES = {"documents": "doc_id", "embeddings": "vec_id"}
+
+
+def build(spark, n: int, out_dir: str) -> None:
+    for table, id_col in TABLES.items():
+        dst = f"{out_dir}/{table}.parquet"
+        if os.path.exists(dst):
+            continue
+        base = spark.read.parquet(f"{BASE_SF}/{table}.parquet")
+        reps = spark.range(n).select(F.col("id").alias("_rep"))
+        (
+            base.crossJoin(reps)
+            .withColumn(id_col, F.col(id_col) + F.col("_rep") * ID_STRIDE)
+            .drop("_rep")
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(dst)
+        )
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    names = sys.argv[2:] or list(DEFAULT_QUERIES)
+    out_dir = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", ".tmp", f"scale{n}")
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("scale-probe")
+    build(spark, n, out_dir)
+    registry = load_all()
+    for name in names:
+        t0 = time.perf_counter()
+        rows = registry[name].fn(spark, out_dir).count()
+        print(f"{name}: {rows} rows in {time.perf_counter() - t0:.1f} s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
