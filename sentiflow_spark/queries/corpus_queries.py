@@ -51,7 +51,13 @@ from pyspark.sql import functions as F
 
 from sentiflow_spark.functions.numeric import MONEY
 from sentiflow_spark.functions.text import WORD_RE
-from sentiflow_spark.functions.vectors import duck_cosine, duck_dot, duck_quantize
+from sentiflow_spark.functions.vectors import (
+    duck_cosine,
+    duck_dot,
+    duck_quantize,
+    duck_rp_bucket,
+    rp_hyperplanes,
+)
 from sentiflow_spark.operators.dedup import exploded_shingles
 from sentiflow_spark.operators.similarity import brute_force_topk, with_quantized
 from sentiflow_spark.queries.dedup_queries import (
@@ -687,4 +693,114 @@ def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.abs(F.col("total") - F.col("_mean")) > F.col("_sd") * F.lit(3.0))
         )
         .drop("_mean", "_sd")
+    )
+
+
+_KNN_PLANES = rp_hyperplanes(4, 64)  # 16 buckets -> dozens of cohabitants
+KNN_K = 3
+
+
+@register(
+    "sim_knn_graph",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {duck_quantize('embedding')} AS qvec FROM embeddings
+    ),
+    qn AS (
+      SELECT vec_id, qvec, {duck_dot('qvec', 'qvec')} AS qnorm FROM q
+    ),
+    bucketed AS (
+      SELECT vec_id, qvec, qnorm,
+             {duck_rp_bucket("qvec", _KNN_PLANES)} AS rp_bucket
+      FROM qn
+    )
+    SELECT src, dst, cosine, rank FROM (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             {duck_cosine(duck_dot('a.qvec', 'b.qvec'), 'a.qnorm', 'b.qnorm')} AS cosine,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {duck_cosine(duck_dot('a.qvec', 'b.qvec'), 'a.qnorm', 'b.qnorm')} DESC,
+                        b.vec_id) AS rank
+      FROM bucketed a JOIN bucketed b
+        ON a.rp_bucket = b.rp_bucket AND a.vec_id <> b.vec_id
+    ) WHERE rank <= {KNN_K}
+    """,
+    tags=("similarity", "M5", "ann", "lsh", "graph"),
+    doc="Bucketed k-NN graph construction (k=3): random-hyperplane "
+    "blocking (4 planes -> 16 buckets) then exact cosine rank within "
+    "the bucket — the candidate-graph primitive under graph-based ANN "
+    "indexes and density-based dedup. Candidate lists are bounded by "
+    "bucket occupancy (plane count tunes it at scale); the per-source "
+    "rank window covers one source's candidates only. Approximation "
+    "contract is the BLOCKING (same in the oracle), so results are "
+    "bit-checkable; sim_ivf_recall is the recall gate for the same "
+    "family.",
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.functions.vectors import rp_bucket
+
+    emb = with_quantized(load(spark, sf_dir, "embeddings")).withColumn(
+        "rp_bucket", rp_bucket(F.col("qvec"), _KNN_PLANES)
+    )
+    a = emb.select(
+        F.col("rp_bucket"),
+        F.col("vec_id").alias("src"),
+        F.col("qvec").alias("a_qvec"),
+        F.col("qnorm").alias("a_qnorm"),
+    )
+    b = emb.select(
+        F.col("rp_bucket"),
+        F.col("vec_id").alias("dst"),
+        F.col("qvec").alias("b_qvec"),
+        F.col("qnorm").alias("b_qnorm"),
+    )
+    from sentiflow_spark.functions.vectors import cosine_q, dot_long
+
+    scored = (
+        a.join(b, "rp_bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            cosine_q(
+                dot_long(F.col("a_qvec"), F.col("b_qvec")),
+                F.col("a_qnorm"),
+                F.col("b_qnorm"),
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.col("cosine").desc(), "dst")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("src", "dst", "cosine", "rank")
+    )
+
+
+@register(
+    "mm_content_dedup",
+    oracle="""
+    SELECT sha256(text) AS fp, MIN(doc_id) AS rep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    tags=("multimodal", "dedup", "M5"),
+    doc="Exact content-hash dedup over binary media payloads: "
+    "sha256(payload) -> first-wins representative + copy count, one "
+    "partial-agg shuffle on the digest (the image/audio-level exact "
+    "dedup pass that runs before any perceptual hashing). Payload "
+    "bytes are the attach_binary stand-in, so the oracle hashes the "
+    "same bytes as VARCHAR.",
+)
+def mm_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.operators.multimodal import attach_binary
+
+    media = attach_binary(load(spark, sf_dir, "documents"))
+    return (
+        media.select("doc_id", F.sha2(F.col("payload"), 256).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
     )
