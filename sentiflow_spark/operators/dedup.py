@@ -379,3 +379,69 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+SEG_OWNER_BASE = 1_000_000
+
+
+def segment_dedup(
+    docs: DataFrame,
+    seg_chars: int = 80,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-global segment-level dedup (C4-style "drop any span seen
+    earlier anywhere in the corpus") with per-document reconstruction.
+
+    Split every document into fixed ``seg_chars`` segments, assign each
+    DISTINCT segment one global owner — the smallest (doc_id, seg_no)
+    that contains it — and rebuild each document from the segments it
+    owns. Returns (id, text_dedup, n_kept, n_total); documents fully
+    covered by earlier text come back empty (n_kept = 0).
+
+    Scale shape: ownership is a partial-aggregated min over an encoded
+    (doc_id, seg_no) key — never a Window over the segment value, which
+    would single-task hot boilerplate segments; the join-back on the
+    segment is a hash-join probe (one build row per distinct segment).
+    Reconstruction aggregates per document, bounded by one doc's size.
+    Requires doc lengths under seg_chars * SEG_OWNER_BASE bytes so the
+    owner encoding stays collision-free.
+    """
+    n_total = F.greatest(
+        F.ceil(F.length(text_col) / F.lit(float(seg_chars))).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    segs = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_total - 1)).alias("seg_no"),
+    ).select(
+        id_col,
+        "seg_no",
+        F.col("_t")
+        .substr((F.col("seg_no") * seg_chars + 1).cast("int"), F.lit(seg_chars))
+        .alias("seg"),
+    )
+    encoded = F.col(id_col) * SEG_OWNER_BASE + F.col("seg_no")
+    owners = segs.groupBy("seg").agg(F.min(encoded).alias("owner"))
+    kept = segs.join(owners, "seg").filter(encoded == F.col("owner"))
+    rec = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_no", "seg"))),
+                lambda s: s.seg,
+            ),
+            "",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        docs.select(F.col(id_col), n_total.alias("n_total"))
+        .join(rec, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            "n_total",
+        )
+    )

@@ -143,42 +143,9 @@ _OWNER_BASE = 1_000_000
     "partial-agg ownership → join-back → per-doc re-agg) is identical.",
 )
 def dd_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    n_total = F.greatest(
-        F.ceil(F.length("text") / F.lit(float(SEG_CHARS))).cast("long"), F.lit(1).cast("long")
-    )
-    segs = (
-        docs.select("doc_id", "text", F.explode(F.sequence(F.lit(0).cast("long"), n_total - 1)).alias("seg_no"))
-        .select(
-            "doc_id",
-            "seg_no",
-            F.col("text")
-            .substr((F.col("seg_no") * SEG_CHARS + 1).cast("int"), F.lit(SEG_CHARS))
-            .alias("seg"),
-        )
-    )
-    encoded = F.col("doc_id") * _OWNER_BASE + F.col("seg_no")
-    owners = segs.groupBy("seg").agg(F.min(encoded).alias("owner"))
-    kept = segs.join(owners, "seg").filter(encoded == F.col("owner"))
-    rec = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seg_no", "seg"))), lambda s: s.seg
-            ),
-            "",
-        ).alias("text_dedup"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    return (
-        docs.select("doc_id", n_total.alias("n_total"))
-        .join(rec, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
-            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
-            "n_total",
-        )
-    )
+    from sentiflow_spark.operators.dedup import segment_dedup
+
+    return segment_dedup(load(spark, sf_dir, "documents"), seg_chars=SEG_CHARS)
 
 
 @register(

@@ -196,3 +196,70 @@ def test_repair_llm_json_invariants(spark, texts):
             s = row["raw"].strip().translate({0x201C: '"', 0x201D: '"'})
             first, last = s.find("{"), s.rfind("}")
             assert first == -1 or last == -1 or last <= first
+
+
+texts_strategy = st.lists(
+    st.text(
+        alphabet=st.sampled_from("abcdefgh "),
+        min_size=1,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SETTINGS
+@given(texts=texts_strategy, seg=st.integers(min_value=1, max_value=7))
+def test_segment_dedup_invariants(spark, texts, seg):
+    """For ANY corpus and segment width: (1) every distinct segment
+    survives exactly once across the corpus (sum of kept = distinct
+    segment count), (2) kept <= total per doc, (3) a doc identical to
+    an earlier doc keeps nothing, (4) the earliest doc reconstructs to
+    itself (all its segments are first occurrences... only when it has
+    no internal duplicate segments — checked via its own distinct
+    count)."""
+    from sentiflow_spark.operators.dedup import segment_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in segment_dedup(df, seg_chars=seg).collect()}
+    segments = {}  # seg value -> first (doc_id, seg_no)
+    per_doc = {}
+    for i, t in enumerate(texts):
+        chunks = [t[j : j + seg] for j in range(0, max(len(t), 1), seg)] or [""]
+        per_doc[i] = chunks
+        for no, c in enumerate(chunks):
+            segments.setdefault(c, (i, no))
+    assert sum(r["n_kept"] for r in out.values()) == len(segments)
+    for i, chunks in per_doc.items():
+        r = out[i]
+        assert r["n_total"] == len(chunks)
+        assert 0 <= r["n_kept"] <= r["n_total"]
+        expected = "".join(
+            c for no, c in enumerate(chunks) if segments[c] == (i, no)
+        )
+        assert r["text_dedup"] == expected
+
+
+@SETTINGS
+@given(
+    base=st.text(alphabet=st.sampled_from("abcd "), min_size=10, max_size=60),
+)
+def test_containment_of_prefix_doc_is_one(spark, base):
+    """A document whose shingle set is a subset of another's must have
+    containment exactly 1.0 in that direction — the asymmetric signal
+    dd_containment_pairs exists for."""
+    from sentiflow_spark.operators.dedup import exploded_shingles
+
+    words = [w for w in base.split() if w]
+    if len(words) < 3:
+        return  # no shingles to compare
+    short = " ".join(words)
+    long_doc = short + " zz yy xx ww vv uu"
+    df = spark.createDataFrame([(0, short), (1, long_doc)], ["doc_id", "text"])
+    sh = {
+        (r["doc_id"], r["shingle"]) for r in exploded_shingles(df).collect()
+    }
+    set_a = {s for d, s in sh if d == 0}
+    set_b = {s for d, s in sh if d == 1}
+    assert set_a and set_a <= set_b
