@@ -771,3 +771,149 @@ def mm_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+GAPFILL_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+ACT_SPAN_S = 1200
+INC_SPAN_S = 1800
+OVERLAP_BIN_S = 1800
+
+
+@register(
+    "win_gapfill_locf",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600 AS h_idx,
+             SUM(CAST(value AS DECIMAL(18,2))) AS total
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT event_type, MIN(h_idx) AS h0, MAX(h_idx) AS h1 FROM hourly GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type, h0 + unnest(range(h1 - h0 + 1)) AS h_idx FROM spans
+    ),
+    joined AS (
+      SELECT s.event_type, s.h_idx, CAST(h.total AS DOUBLE) AS total
+      FROM spine s LEFT JOIN hourly h
+        ON h.event_type = s.event_type AND h.h_idx = s.h_idx
+    )
+    SELECT event_type,
+           strftime(make_timestamp(h_idx * 3600 * 1000000), '{GAPFILL_FMT_DUCK}') AS window_start,
+           total,
+           last_value(total IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY h_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+           (total IS NULL) AS is_gap
+    FROM joined
+    """,
+    tags=("window", "timeseries", "M5", "analytics"),
+    doc="Hypertable-style gap filling: a dense hourly spine per series "
+    "(generated from each series' own min/max bucket — a per-group "
+    "sequence explode, not a global calendar scan), left-joined onto "
+    "the observed hourly rollup, missing buckets filled by "
+    "last-observation-carried-forward. The LOCF window partitions by "
+    "series key, so state is one series regardless of corpus width; "
+    "the spine explode is map-side after a tiny per-series min/max agg.",
+)
+def win_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_timestamp(F.date_trunc("hour", "ts")) / F.lit(3600)
+        ).cast("long").alias("h_idx"),
+    ).agg(F.sum(F.col("value").cast(MONEY)).alias("total"))
+    spans = hourly.groupBy("event_type").agg(
+        F.min("h_idx").alias("h0"), F.max("h_idx").alias("h1")
+    )
+    spine = spans.select(
+        "event_type", F.explode(F.sequence("h0", "h1")).alias("h_idx")
+    )
+    joined = spine.join(hourly, ["event_type", "h_idx"], "left").select(
+        "event_type", "h_idx", F.col("total").cast("double").alias("total")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        F.date_format(
+            F.timestamp_seconds(F.col("h_idx") * 3600), TS_FMT_SPARK
+        ).alias("window_start"),
+        "total",
+        F.last("total", ignorenulls=True).over(w).alias("filled"),
+        F.col("total").isNull().alias("is_gap"),
+    )
+
+
+@register(
+    "rel_interval_overlap_join",
+    oracle=f"""
+    WITH act AS (
+      SELECT event_id AS a_id, CAST(floor(epoch(ts)) AS BIGINT) AS a_start,
+             CAST(floor(epoch(ts)) AS BIGINT) + {ACT_SPAN_S} AS a_end
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    inc AS (
+      SELECT event_id AS b_id, CAST(floor(epoch(ts)) AS BIGINT) AS b_start,
+             CAST(floor(epoch(ts)) AS BIGINT) + {INC_SPAN_S} AS b_end
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT a.a_id, b.b_id,
+           least(a.a_end, b.b_end) - greatest(a.a_start, b.b_start) AS overlap_s
+    FROM act a JOIN inc b
+      ON a.a_start < b.b_end AND b.b_start < a.a_end
+    """,
+    tags=("relational", "join", "interval", "M5"),
+    doc="Interval x interval overlap join (activity windows vs "
+    "incident windows): each interval explodes to the time bins it "
+    "covers (bounded by span/bin), candidates meet on a bin EQUI-join, "
+    "duplicates from multi-bin spans collapse, and the exact overlap "
+    "predicate runs as a residual filter — the scalable form of the "
+    "quadratic ON a.start < b.end AND b.start < a.end the oracle "
+    "states. Half-open [start, end): touching intervals don't match.",
+)
+def rel_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    epoch = F.floor(F.unix_timestamp("ts")).cast("long")
+    act = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("a_id"),
+        epoch.alias("a_start"),
+        (epoch + ACT_SPAN_S).alias("a_end"),
+    )
+    inc = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("b_id"),
+        epoch.alias("b_start"),
+        (epoch + INC_SPAN_S).alias("b_end"),
+    )
+
+    def binned(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start) / OVERLAP_BIN_S).cast("long"),
+                    F.floor((F.col(end) - 1) / OVERLAP_BIN_S).cast("long"),
+                )
+            ),
+        )
+
+    cand = (
+        binned(act, "a_start", "a_end")
+        .join(binned(inc, "b_start", "b_end"), "bin")
+        .select("a_id", "a_start", "a_end", "b_id", "b_start", "b_end")
+        .distinct()
+    )
+    return cand.filter(
+        (F.col("a_start") < F.col("b_end")) & (F.col("b_start") < F.col("a_end"))
+    ).select(
+        "a_id",
+        "b_id",
+        (
+            F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+        ).alias("overlap_s"),
+    )
