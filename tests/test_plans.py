@@ -257,3 +257,40 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_segment_dedup_pruned_scan_no_seg_window(spark, sf_dir):
+    """dd_segment_dedup must (1) prune the documents scan to
+    (doc_id, text) — the corpus is the 100 TB input and extra columns
+    ride every explode row — and (2) never plan a Window over the
+    segment value (global first-wins ownership must be the
+    partial-aggregated min, or hot boilerplate segments single-task)."""
+    df = q(spark, sf_dir, "dd_segment_dedup")
+    for cols in I.scan_read_columns(df):
+        assert set(cols) <= {"doc_id", "text"}, cols
+    plan = I.simple_plan(df)
+    for line in plan.splitlines():
+        assert not (
+            "Window" in line and "seg#" in line.split("windowspecdefinition")[-1][:60]
+        ), f"segment-partitioned window:\n{line}"
+
+
+def test_gapfill_spine_is_pergroup_sequence(spark, sf_dir):
+    """win_gapfill_locf's dense spine comes from a per-series min/max
+    aggregate exploded map-side — a Generate over sequence(), never a
+    cartesian with a calendar table."""
+    df = q(spark, sf_dir, "win_gapfill_locf")
+    assert not I.has_cartesian(df)
+    plan = I.simple_plan(df)
+    assert "Generate explode(sequence" in plan.replace("  ", " ")
+
+
+def test_interval_overlap_is_bin_equijoin(spark, sf_dir):
+    """rel_interval_overlap_join must realize the overlap predicate as
+    a bin equi-join + residual filter, never a cartesian/broadcast
+    nested loop over the raw predicate."""
+    df = q(spark, sf_dir, "rel_interval_overlap_join")
+    assert not I.has_cartesian(df)
+    plan = I.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bin" in I.simple_plan(df)

@@ -59,6 +59,32 @@ def build(spark, n: int, out_dir: str) -> None:
             .write.mode("overwrite")
             .parquet(dst)
         )
+    # events replicate along the TIME axis (each replica shifted +35
+    # days) so per-hour density stays realistic and the series just
+    # gets N× longer — the honest growth model for time-series ops
+    # (replicating at identical timestamps would instead multiply
+    # interval-overlap output quadratically).
+    dst = f"{out_dir}/events.parquet"
+    if not os.path.exists(dst):
+        from sentiflow_spark.tables import load as _load
+
+        base = _load(spark, BASE_SF, "events")
+        reps = spark.range(n).select(F.col("id").alias("_rep"))
+        (
+            base.crossJoin(reps)
+            .withColumn("event_id", F.col("event_id") + F.col("_rep") * ID_STRIDE)
+            .withColumn("user_id", F.col("user_id") + F.col("_rep") * 100_000)
+            .withColumn(
+                "ts",
+                F.timestamp_seconds(
+                    F.unix_timestamp("ts") + F.col("_rep") * 35 * 86400
+                ),
+            )
+            .drop("_rep")
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(dst)
+        )
 
 
 def main() -> None:
