@@ -917,3 +917,132 @@ def rel_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
         ).alias("overlap_s"),
     )
+
+
+BATCH_SOURCES = ("src0", "src1")  # the "incoming crawl batch" slice
+_BATCH_SQL = ", ".join(f"'{s}'" for s in BATCH_SOURCES)
+_DUCK_FP = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+
+
+@register(
+    "dd_incremental_dedup",
+    oracle=f"""
+    WITH corpus_fp AS (
+      SELECT DISTINCT {_DUCK_FP} AS fp FROM documents
+      WHERE source NOT IN ({_BATCH_SQL})
+    ),
+    batch AS (
+      SELECT doc_id, {_DUCK_FP} AS fp FROM documents
+      WHERE source IN ({_BATCH_SQL})
+    ),
+    fresh AS (
+      SELECT b.doc_id, b.fp FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM corpus_fp c WHERE c.fp = b.fp)
+    )
+    SELECT MIN(doc_id) AS doc_id, fp FROM fresh GROUP BY fp
+    """,
+    tags=("dedup", "M5", "incremental"),
+    doc="Incremental dedup — the production shape for a growing corpus: "
+    "an incoming batch (two source slices) is admitted only where its "
+    "canonical fingerprint (a) does not exist in the standing corpus "
+    "(LEFT ANTI join against the survivor manifest — the manifest is "
+    "the only thing scanned from the existing data, never the corpus "
+    "text) and (b) is first-wins unique within the batch. Nothing is "
+    "re-clustered; cost is O(batch) plus one semi-join against the "
+    "fingerprint index.",
+)
+def dd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.functions.text import fingerprint
+
+    docs = load(spark, sf_dir, "documents")
+    is_batch = F.col("source").isin(*BATCH_SOURCES)
+    corpus_fp = (
+        docs.filter(~is_batch)
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    batch = docs.filter(is_batch).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    return (
+        batch.join(corpus_fp, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fp")
+    )
+
+
+"""The exact-Jaccard truth side reuses the shingle CTEs under renamed
+labels (jtoks/jsh) because _duck_sigs_cte() defines its own toks/sh
+chain in the same WITH clause."""
+_J_SHINGLES = (
+    _DUCK_SHINGLES_CTE.replace("toks", "jtoks")
+    .replace("\nsh AS (", "\njsh AS (")
+    .replace("FROM sh\n", "FROM jsh\n")
+    .replace("hashed AS (", "jhashed AS (")
+)
+
+
+@register(
+    "dd_lsh_recall",
+    oracle=f"""
+    WITH {_J_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM jsh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM jsh a JOIN jsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               CAST(shared AS DOUBLE) / (sa.set_size + sb.set_size - shared) AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+      ) WHERE jaccard >= 0.9
+    ),
+    {_duck_sigs_cte()}{_duck_bands_cte()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      {_DUCK_BAND_PAIRS}
+    )
+    SELECT COUNT(*) AS n_truth,
+           CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+           round(CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS recall
+    FROM truth t
+    LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    """,
+    tags=("dedup", "M5", "minhash", "lsh", "evaluation"),
+    doc="LSH recall evaluation — the accept/reject gate for the banded "
+    "MinHash index: ground truth = exact shingle-Jaccard >= 0.9 pairs "
+    "(the inverted-index join), measured = fraction of true pairs the "
+    "16-perm/4-band LSH candidate stage surfaces. One scalar row "
+    "(n_truth, n_caught, recall); the same harness shape as "
+    "sim_ivf_recall for the vector side.",
+)
+def dd_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, threshold=0.9).select("doc_a", "doc_b")
+    cand = lsh_candidate_pairs(minhash_signatures(docs)).select(
+        "doc_a", "doc_b", F.lit(1).alias("_hit")
+    )
+    return (
+        truth.join(cand, ["doc_a", "doc_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_caught"),
+            F.round(
+                F.sum(F.coalesce("_hit", F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("recall"),
+        )
+    )
