@@ -1046,3 +1046,130 @@ def dd_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@register(
+    "dd_method_compare",
+    oracle=f"""
+    WITH RECURSIVE {_duck_sigs_cte()}{_duck_bands_cte()},
+    near_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      {_DUCK_BAND_PAIRS}
+      WHERE {_duck_match_frac()} >= 0.9
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM near_pairs
+      UNION
+      SELECT doc_b, doc_a FROM near_pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+    ),
+    comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    {_J_SHINGLES},
+    jsizes AS (SELECT doc_id, COUNT(*) AS set_size FROM jsh GROUP BY doc_id),
+    jshared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM jsh a JOIN jsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    contained AS (
+      SELECT DISTINCT s.doc_b AS flagged
+      FROM jshared s JOIN jsizes sb ON sb.doc_id = s.doc_b
+      WHERE CAST(s.shared AS DOUBLE) / sb.set_size >= 0.9
+    ),
+    segs AS (
+      SELECT doc_id,
+             unnest(range(greatest(CAST(ceil(length(text)/{SEG_CHARS}.0) AS BIGINT), 1))) AS seg_no,
+             text
+      FROM documents
+    ),
+    s2 AS (
+      SELECT doc_id, seg_no,
+             substring(text, CAST(seg_no*{SEG_CHARS} AS INT)+1, {SEG_CHARS}) AS seg
+      FROM segs
+    ),
+    owners AS (
+      SELECT seg, MIN(doc_id*{_OWNER_BASE} + seg_no) AS owner FROM s2 GROUP BY seg
+    )
+    SELECT 'exact' AS method,
+           (SELECT COUNT(*) FROM documents)
+           - (SELECT COUNT(DISTINCT {_DUCK_FP}) FROM documents) AS n_flagged
+    UNION ALL
+    SELECT 'segment',
+           (SELECT COUNT(*) FROM documents)
+           - (SELECT COUNT(DISTINCT owner // {_OWNER_BASE}) FROM owners)
+    UNION ALL
+    SELECT 'minhash_cluster',
+           (SELECT COUNT(*) FROM comp WHERE node <> cluster_id)
+    UNION ALL
+    SELECT 'containment',
+           (SELECT COUNT(*) FROM contained)
+    """,
+    tags=("dedup", "M5", "evaluation", "iterative", "e2e"),
+    doc="Dedup-method comparison report — how many documents each "
+    "signal flags as removable under the same first-wins convention: "
+    "exact fingerprint (docs minus distinct fingerprints), segment "
+    "coverage (docs owning zero segments), MinHash-LSH transitive "
+    "clusters (non-root members), shingle containment >= 0.9 in an "
+    "earlier doc. One table a curation owner reads before choosing a "
+    "pipeline; each branch reuses the corresponding operator, so the "
+    "numbers ARE the operators' outputs.",
+)
+def dd_method_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.functions.text import fingerprint
+    from sentiflow_spark.operators.dedup import segment_dedup
+
+    docs = load(spark, sf_dir, "documents")
+
+    exact = docs.agg(
+        (
+            F.count(F.lit(1)) - F.countDistinct(fingerprint(F.col("text")))
+        ).alias("n_flagged")
+    ).select(F.lit("exact").alias("method"), "n_flagged")
+
+    segment = (
+        segment_dedup(docs, seg_chars=SEG_CHARS)
+        .filter(F.col("n_kept") == 0)
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
+        .select(F.lit("segment").alias("method"), "n_flagged")
+    )
+
+    minhash = (
+        dd_duplicate_clusters(spark, sf_dir)
+        .filter(F.col("cluster_id") != F.col("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
+        .select(F.lit("minhash_cluster").alias("method"), "n_flagged")
+    )
+
+    sh = exploded_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    shared = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    contained = (
+        shared.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
+            ),
+            "doc_b",
+        )
+        .filter(F.col("shared").cast("double") / F.col("size_b") >= 0.9)
+        .select("doc_b")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
+        .select(F.lit("containment").alias("method"), "n_flagged")
+    )
+
+    return exact.unionAll(segment).unionAll(minhash).unionAll(contained)
