@@ -254,12 +254,33 @@ def job_compact(args: argparse.Namespace) -> dict:
             "bytes": dir_bytes(spark, args.out), "sink": args.out}
 
 
+def job_sql(args: argparse.Namespace) -> dict:
+    """Ad-hoc SQL as a runnable job: register the synthetic tables as
+    views (sentiflow_spark/sql.py), run one statement, write the result
+    to parquet. The switch-and-keep-your-SQL path — every oracle
+    statement in the registry runs here verbatim."""
+    from sentiflow_spark.sql import run_sql
+
+    if not args.execute:
+        raise SystemExit("sql job requires -e/--execute STATEMENT")
+    spark = _spark("sentiflow-sql")
+    df = run_sql(spark, args.sf_dir, args.execute)
+    df.write.mode("overwrite").parquet(args.out)
+    return {
+        "job": "sql",
+        "rows": spark.read.parquet(args.out).count(),
+        "columns": df.columns,
+        "sink": args.out,
+    }
+
+
 JOBS = {
     "compact": job_compact,
     "curate": job_curate,
     "dedup": job_dedup,
     "ingest": job_ingest,
     "pipeline": job_pipeline,
+    "sql": job_sql,
     "stream": job_stream,
     "topics": job_topics,
 }
@@ -284,6 +305,8 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--src", default=None, help="input directory (compact job)")
     ap.add_argument("--sort-by", default=None, help="comma-separated sort keys (compact job)")
     ap.add_argument("--target-file-mb", type=int, default=128)
+    ap.add_argument("-e", "--execute", default=None,
+                    help="SQL statement to run over the table views (sql job)")
     args = ap.parse_args(argv)
     result = JOBS[args.job](args)
     print(json.dumps(result))

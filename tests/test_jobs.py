@@ -385,3 +385,60 @@ def test_streaming_kmv_state_merges_across_batches(spark):
         assert final.kmv_estimate == int(round(15 * float(2**60) / hs[-1]))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sql_views_match_dataframe_api(spark, sf_dir):
+    """S7/ad-hoc SQL surface: the oracle-style SQL a reference user
+    brings runs verbatim over the registered views and matches the
+    DataFrame plan's result."""
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.sql import run_sql
+    from sentiflow_spark.tables import load
+
+    got = {
+        (r["lang"], r["n"], r["chars"])
+        for r in run_sql(
+            spark,
+            sf_dir,
+            """
+            SELECT d.lang, COUNT(*) AS n,
+                   CAST(SUM(d.n_chars) AS BIGINT) AS chars
+            FROM documents d
+            WHERE d.source IN ('src0', 'src1')
+            GROUP BY d.lang
+            """,
+        ).collect()
+    }
+    docs = load(spark, sf_dir, "documents")
+    want = {
+        (r["lang"], r["n"], r["chars"])
+        for r in docs.filter(F.col("source").isin("src0", "src1"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_sql_job_prints_rows(spark, sf_dir, tmp_path):
+    """CLI: the sql job materializes a statement's result to parquet."""
+    from sentiflow_spark import jobs
+
+    out = str(tmp_path / "sqlout")
+    res = jobs.main(
+        [
+            "sql",
+            "--sf-dir",
+            sf_dir,
+            "--out",
+            out,
+            "-e",
+            "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+        ]
+    )
+    assert res["job"] == "sql" and res["rows"] == 5
+    assert spark.read.parquet(out).count() == 5
