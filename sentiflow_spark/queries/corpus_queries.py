@@ -704,44 +704,10 @@ KNN_K = 3
     "family.",
 )
 def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sentiflow_spark.functions.vectors import rp_bucket
+    from sentiflow_spark.operators.similarity import knn_graph
 
-    emb = with_quantized(load(spark, sf_dir, "embeddings")).withColumn(
-        "rp_bucket", rp_bucket(F.col("qvec"), _KNN_PLANES)
-    )
-    a = emb.select(
-        F.col("rp_bucket"),
-        F.col("vec_id").alias("src"),
-        F.col("qvec").alias("a_qvec"),
-        F.col("qnorm").alias("a_qnorm"),
-    )
-    b = emb.select(
-        F.col("rp_bucket"),
-        F.col("vec_id").alias("dst"),
-        F.col("qvec").alias("b_qvec"),
-        F.col("qnorm").alias("b_qnorm"),
-    )
-    from sentiflow_spark.functions.vectors import cosine_q, dot_long
-
-    scored = (
-        a.join(b, "rp_bucket")
-        .filter(F.col("src") != F.col("dst"))
-        .select(
-            "src",
-            "dst",
-            cosine_q(
-                dot_long(F.col("a_qvec"), F.col("b_qvec")),
-                F.col("a_qnorm"),
-                F.col("b_qnorm"),
-            ).alias("cosine"),
-        )
-    )
-    w = W.partitionBy("src").orderBy(F.col("cosine").desc(), "dst")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= KNN_K)
-        .select("src", "dst", "cosine", "rank")
-    )
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    return knn_graph(emb, _KNN_PLANES, k=KNN_K)
 
 
 @register(
@@ -1173,3 +1139,38 @@ def dd_method_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return exact.unionAll(segment).unionAll(minhash).unionAll(contained)
+
+
+BLOCKLIST = ("hash join", "merge sort", "table scan")
+
+
+@register(
+    "txt_blocklist_filter",
+    oracle=f"""
+    SELECT doc_id,
+           {" + ".join(f"CAST(CASE WHEN strpos(lower(text), '{p}') > 0 THEN 1 ELSE 0 END AS BIGINT)" for p in BLOCKLIST)} AS n_hits
+    FROM documents
+    WHERE {" OR ".join(f"strpos(lower(text), '{p}') > 0" for p in BLOCKLIST)}
+    """,
+    tags=("text", "M5", "curation"),
+    doc="Blocklist phrase filter — the banned-content gate a curation "
+    "pass runs first: flag documents containing ANY of N literal "
+    "phrases, reporting how many matched. Pure map-side substring "
+    "scans (one pass over the text per phrase, whole-stage codegen, "
+    "no shuffle); a large blocklist compiles to a single automaton "
+    "(regex alternation / Aho-Corasick in a pandas UDF) with the same "
+    "plan shape.",
+)
+def txt_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    hits = [
+        (F.instr(low, p) > 0).cast("long") for p in BLOCKLIST
+    ]
+    n_hits = hits[0]
+    for h in hits[1:]:
+        n_hits = n_hits + h
+    return (
+        docs.select("doc_id", n_hits.alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+    )
