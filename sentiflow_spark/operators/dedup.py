@@ -180,6 +180,30 @@ def ngram_jaccard_pairs(
     df_cap × postings. The capped sets are what production near-dup
     pipelines actually compare (stopword-phrases carry no duplicate
     signal)."""
+    return (
+        shingle_pair_counts(df, text_col, id_col, df_cap=df_cap)
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def shingle_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Inverted-index pair statistics: (doc_a, doc_b, shared, size_a,
+    size_b) for every document pair sharing ≥1 shingle (doc_a < doc_b).
+    The single source for every set-overlap measure — Jaccard
+    (ngram_jaccard_pairs), asymmetric containment shared/size_x, and
+    overlap counting — so the df-cap refinement and the pair
+    convention live in exactly one place."""
     sh = exploded_shingles(df, text_col, id_col)
     if df_cap is not None:
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
@@ -202,17 +226,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))
-    return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("shared").cast("double")
-            / (F.col("size_a") + F.col("size_b") - F.col("shared")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return shared.join(sa, "doc_a").join(sb, "doc_b")
 
 
 # ------------------------------------------------------------------ SimHash

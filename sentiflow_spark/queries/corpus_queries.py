@@ -50,7 +50,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sentiflow_spark.functions.numeric import MONEY
-from sentiflow_spark.functions.text import WORD_RE
+from sentiflow_spark.functions.text import WORD_RE, duck_fingerprint
 from sentiflow_spark.functions.vectors import (
     duck_cosine,
     duck_dot,
@@ -58,25 +58,24 @@ from sentiflow_spark.functions.vectors import (
     duck_rp_bucket,
     rp_hyperplanes,
 )
-from sentiflow_spark.operators.dedup import exploded_shingles
+from sentiflow_spark.operators.dedup import SEG_OWNER_BASE, shingle_pair_counts
 from sentiflow_spark.operators.similarity import brute_force_topk, with_quantized
 from sentiflow_spark.queries.dedup_queries import (
     _DUCK_BAND_PAIRS,
-    _DUCK_SHINGLES_CTE,
     _duck_bands_cte,
     _duck_match_frac,
+    _duck_shingles_cte,
     _duck_sigs_cte,
     dd_duplicate_clusters,
 )
 from sentiflow_spark.queries.registry import register
 from sentiflow_spark.queries.retrieval_queries import (
+    _DUCK_BM25_CTES,
+    _DUCK_BM25_TOPK,
     _DUCK_TOKS,
     _TERMS_SQL,
     _tokens,
-    B,
     BM25_TERMS,
-    BM25_TOP_K,
-    K1,
     ret_bm25_topk,
 )
 from sentiflow_spark.tables import load
@@ -94,9 +93,9 @@ ZS_MIN_PREV = 12  # minimum history before flagging
 TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 
-# Owner encoding: doc_id * 1_000_000 + seg_no. seg_no < 1e6 holds for
-# any document under 80 MB of text (80 chars * 1e6 segments).
-_OWNER_BASE = 1_000_000
+# Owner encoding shared with operators/dedup.py::segment_dedup — the
+# oracles interpolate the SAME constant the Spark path encodes with.
+_OWNER_BASE = SEG_OWNER_BASE
 
 
 @register(
@@ -235,6 +234,7 @@ def dd_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
                / (CAST(d.dl AS DOUBLE) + {QL_MU!r})), 4) AS DECIMAL(18,4)) AS term_ll
       FROM dl d CROSS JOIN cf c CROSS JOIN stats s
       LEFT JOIN tfq t ON t.doc_id = d.doc_id AND t.term = c.term
+      WHERE c.cf > 0
     )
     SELECT doc_id, CAST(SUM(term_ll) AS DOUBLE) AS score
     FROM scored GROUP BY doc_id
@@ -280,8 +280,13 @@ def ret_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         4,
     ).cast("decimal(18,4)")
+    # OOV guard, mirrored in the oracle's WHERE c.cf > 0: a query term
+    # absent from the corpus has zero smoothed probability everywhere
+    # (ln(0) → NULL in Spark, a hard error in DuckDB) and carries no
+    # discrimination, so it is excluded from scoring in BOTH engines.
     return (
         melted.join(F.broadcast(cf_map), "term")
+        .filter(F.col("cf") > 0)
         .join(F.broadcast(stats))
         .withColumn("term_ll", term_ll)
         .groupBy("doc_id")
@@ -291,47 +296,13 @@ def ret_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUCK_BM25_TOP = f"""
-      SELECT doc_id, score FROM (
-        SELECT w.doc_id,
-               CAST(SUM(CAST(round(
-                 ln(1.0 + (s.n - CAST(w.df AS DOUBLE) + 0.5)
-                          / (CAST(w.df AS DOUBLE) + 0.5))
-                 * (CAST(w.tf AS DOUBLE) * {K1 + 1.0!r})
-                 / (CAST(w.tf AS DOUBLE)
-                    + CAST({K1!r} AS DOUBLE)
-                      * ((1.0 - CAST({B!r} AS DOUBLE))
-                         + CAST({B!r} AS DOUBLE)
-                           * (CAST(d.dl AS DOUBLE) / (s.total_dl / s.n)))),
-                 4) AS DECIMAL(18,4))) AS DOUBLE) AS score
-        FROM withdf w JOIN dl d ON d.doc_id = w.doc_id CROSS JOIN stats s
-        GROUP BY w.doc_id
-      ) ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}
-"""
-
-
 @register(
     "ret_hybrid_rrf",
     oracle=f"""
-    WITH {_DUCK_TOKS},
-    dl AS (
-      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
-    ),
-    stats AS (
-      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(dl) AS DOUBLE) AS total_dl
-      FROM dl
-    ),
-    tfq AS (
-      SELECT doc_id, term, COUNT(*) AS tf FROM toks
-      WHERE term IN ({_TERMS_SQL}) GROUP BY doc_id, term
-    ),
-    withdf AS (
-      SELECT doc_id, term, tf, COUNT(*) OVER (PARTITION BY term) AS df FROM tfq
-    ),
+    WITH {_DUCK_TOKS},{_DUCK_BM25_CTES},
     sparse AS (
       SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS s_rank
-      FROM ({_DUCK_BM25_TOP})
+      FROM ({_DUCK_BM25_TOPK})
     ),
     q AS (
       SELECT vec_id, {duck_quantize('embedding')} AS qvec FROM embeddings
@@ -489,7 +460,7 @@ def txt_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dd_containment_pairs",
     oracle=f"""
-    WITH {_DUCK_SHINGLES_CTE},
+    WITH {_duck_shingles_cte(with_hashed=False)},
     sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
     shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
@@ -515,25 +486,8 @@ def txt_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    sh = exploded_shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    shared = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
     return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        shingle_pair_counts(docs)
         .select(
             "doc_a",
             "doc_b",
@@ -739,7 +693,6 @@ def mm_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-GAPFILL_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 ACT_SPAN_S = 1200
 INC_SPAN_S = 1800
 OVERLAP_BIN_S = 1800
@@ -766,7 +719,7 @@ OVERLAP_BIN_S = 1800
         ON h.event_type = s.event_type AND h.h_idx = s.h_idx
     )
     SELECT event_type,
-           strftime(make_timestamp(h_idx * 3600 * 1000000), '{GAPFILL_FMT_DUCK}') AS window_start,
+           strftime(make_timestamp(h_idx * 3600 * 1000000), '{TS_FMT_DUCK}') AS window_start,
            total,
            last_value(total IGNORE NULLS) OVER (
              PARTITION BY event_type ORDER BY h_idx
@@ -887,7 +840,9 @@ def rel_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BATCH_SOURCES = ("src0", "src1")  # the "incoming crawl batch" slice
 _BATCH_SQL = ", ".join(f"'{s}'" for s in BATCH_SOURCES)
-_DUCK_FP = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+# the designated DuckDB twin of functions/text.py::fingerprint — a
+# single source so normalization changes can't drift one-sided
+_DUCK_FP = duck_fingerprint("text")
 
 
 @register(
@@ -938,15 +893,10 @@ def dd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-"""The exact-Jaccard truth side reuses the shingle CTEs under renamed
-labels (jtoks/jsh) because _duck_sigs_cte() defines its own toks/sh
-chain in the same WITH clause."""
-_J_SHINGLES = (
-    _DUCK_SHINGLES_CTE.replace("toks", "jtoks")
-    .replace("\nsh AS (", "\njsh AS (")
-    .replace("FROM sh\n", "FROM jsh\n")
-    .replace("hashed AS (", "jhashed AS (")
-)
+# The exact-Jaccard truth side carries the shingle CTEs under a "j"
+# prefix because _duck_sigs_cte() defines its own toks/sh/hashed chain
+# in the same WITH clause (parameterized generation, not string surgery).
+_J_SHINGLES = _duck_shingles_cte("j", with_hashed=False)
 
 
 @register(
@@ -1110,27 +1060,8 @@ def dd_method_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("minhash_cluster").alias("method"), "n_flagged")
     )
 
-    sh = exploded_shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    shared = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
     contained = (
-        shared.join(
-            sizes.select(
-                F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
-            ),
-            "doc_b",
-        )
+        shingle_pair_counts(docs)
         .filter(F.col("shared").cast("double") / F.col("size_b") >= 0.9)
         .select("doc_b")
         .distinct()

@@ -39,21 +39,31 @@ from sentiflow_spark.tables import load
 
 # ---------------------------------------------------------- oracle fragments
 
-_DUCK_SHINGLES_CTE = """
-toks AS (
+def _duck_shingles_cte(prefix: str = "", with_hashed: bool = True) -> str:
+    """Shingle CTE chain ({p}toks → {p}sh [→ {p}hashed]). The prefix
+    exists so an oracle can hold this chain AND _duck_sigs_cte()'s own
+    toks/sh/hashed chain in one WITH clause without name collisions
+    (dd_lsh_recall, dd_method_compare) — parameterized generation, not
+    string surgery, so a reformat here can't silently mis-rename."""
+    hashed = f""",
+{prefix}hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h FROM {prefix}sh
+)"""
+    return f"""
+{prefix}toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-zA-Z]+') AS t FROM documents
 ),
-sh AS (
+{prefix}sh AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(
            generate_series(1, greatest(len(t) - 2, 0)),
            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
-  FROM toks
-),
-hashed AS (
-  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h FROM sh
-)
+  FROM {prefix}toks
+){hashed if with_hashed else ""}
 """
+
+
+_DUCK_SHINGLES_CTE = _duck_shingles_cte()
 
 
 def _duck_sigs_cte(num_perm: int = NUM_PERM) -> str:

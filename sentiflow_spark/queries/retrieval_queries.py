@@ -124,11 +124,11 @@ def ret_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
-
-@register(
-    "ret_bm25_topk",
-    oracle=f"""
-    WITH {_DUCK_TOKS},
+# BM25 oracle fragments, shared verbatim with ret_hybrid_rrf's oracle
+# (queries/corpus_queries.py) so the sparse channel can never drift
+# from the ranking it wraps. _DUCK_BM25_CTES expects the toks CTE
+# (_DUCK_TOKS) in scope; _DUCK_BM25_TOPK expects scored.
+_DUCK_BM25_CTES = f"""
     dl AS (
       SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
     ),
@@ -157,12 +157,20 @@ _TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
                          * (CAST(d.dl AS DOUBLE) / (s.total_dl / s.n)))),
                4) AS DECIMAL(18,4)) AS term_score
       FROM withdf w JOIN dl d ON d.doc_id = w.doc_id CROSS JOIN stats s
-    )
-    SELECT doc_id, n_terms, score FROM (
+    )"""
+
+_DUCK_BM25_TOPK = f"""SELECT doc_id, n_terms, score FROM (
       SELECT doc_id, COUNT(*) AS n_terms,
              CAST(SUM(term_score) AS DOUBLE) AS score
       FROM scored GROUP BY doc_id
-    ) ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}
+    ) ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}"""
+
+
+@register(
+    "ret_bm25_topk",
+    oracle=f"""
+    WITH {_DUCK_TOKS},{_DUCK_BM25_CTES}
+    {_DUCK_BM25_TOPK}
     """,
     tags=("retrieval", "text", "M5", "bench"),
     doc="BM25 ranked retrieval for a fixed term query, top-20 documents.",
