@@ -1105,3 +1105,166 @@ def txt_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", n_hits.alias("n_hits"))
         .filter(F.col("n_hits") > 0)
     )
+
+
+CONTAIN_DF_CAP = 5
+
+
+@register(
+    "dd_containment_capped",
+    oracle=f"""
+    WITH {_duck_shingles_cte(with_hashed=False)},
+    dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+    keep AS (
+      SELECT sh.doc_id, sh.shingle
+      FROM sh JOIN dfreq USING (shingle) WHERE dfreq.df <= {CONTAIN_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM keep GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM keep a JOIN keep b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a FROM (
+      SELECT doc_a, doc_b,
+             CAST(shared AS DOUBLE) / sa.set_size AS cont_a_in_b,
+             CAST(shared AS DOUBLE) / sb.set_size AS cont_b_in_a
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    ) WHERE greatest(cont_a_in_b, cont_b_in_a) >= {CONTAIN_THRESHOLD!r}
+    """,
+    tags=("dedup", "M5", "containment"),
+    doc=f"DF-capped containment — the 100 TB form of "
+    f"dd_containment_pairs (shingles in more than {CONTAIN_DF_CAP} "
+    "docs dropped consistently from intersections and set sizes), "
+    "bounding the inverted-index join at df_cap x postings. One call "
+    "into the shared shingle_pair_counts(df_cap=...) operator.",
+)
+def dd_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        shingle_pair_counts(docs, df_cap=CONTAIN_DF_CAP)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("shared").cast("double") / F.col("size_a")).alias("cont_a_in_b"),
+            (F.col("shared").cast("double") / F.col("size_b")).alias("cont_b_in_a"),
+        )
+        .filter(
+            F.greatest("cont_a_in_b", "cont_b_in_a") >= F.lit(CONTAIN_THRESHOLD)
+        )
+    )
+
+
+@register(
+    "win_gapfill_interp",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600 AS h_idx,
+             SUM(CAST(value AS DECIMAL(18,2))) AS total
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT event_type, MIN(h_idx) AS h0, MAX(h_idx) AS h1 FROM hourly GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type, h0 + unnest(range(h1 - h0 + 1)) AS h_idx FROM spans
+    ),
+    joined AS (
+      SELECT s.event_type, s.h_idx, CAST(h.total AS DOUBLE) AS total
+      FROM spine s LEFT JOIN hourly h
+        ON h.event_type = s.event_type AND h.h_idx = s.h_idx
+    ),
+    bounded AS (
+      SELECT event_type, h_idx, total,
+             last_value(total IGNORE NULLS) OVER w_prev AS prev_v,
+             last_value(CASE WHEN total IS NOT NULL THEN h_idx END IGNORE NULLS)
+               OVER w_prev AS prev_h,
+             first_value(total IGNORE NULLS) OVER w_next AS next_v,
+             first_value(CASE WHEN total IS NOT NULL THEN h_idx END IGNORE NULLS)
+               OVER w_next AS next_h
+      FROM joined
+      WINDOW
+        w_prev AS (PARTITION BY event_type ORDER BY h_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY event_type ORDER BY h_idx
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type,
+           strftime(make_timestamp(h_idx * 3600 * 1000000), '{TS_FMT_DUCK}') AS window_start,
+           total,
+           round(CASE
+             WHEN total IS NOT NULL THEN total
+             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+               prev_v + (next_v - prev_v)
+                 * (CAST(h_idx - prev_h AS DOUBLE) / CAST(next_h - prev_h AS DOUBLE))
+             ELSE COALESCE(prev_v, next_v)
+           END, 6) AS filled,
+           (total IS NULL) AS is_gap
+    FROM bounded
+    """,
+    tags=("window", "timeseries", "M5", "analytics"),
+    doc="Gap filling by linear interpolation: dense per-series spine "
+    "(as win_gapfill_locf), then each gap interpolates between the "
+    "nearest observed buckets on both sides (edge gaps fall back to "
+    "the one-sided neighbor). Two bounded windows per series — "
+    "prev/next carried by IGNORE NULLS frames, state bounded by one "
+    "series; interpolation weights are exact integer ratios so both "
+    "engines compute identical doubles (quantized to 1e-6 for the "
+    "ln-free rounding guard).",
+)
+def win_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_timestamp(F.date_trunc("hour", "ts")) / F.lit(3600)
+        ).cast("long").alias("h_idx"),
+    ).agg(F.sum(F.col("value").cast(MONEY)).alias("total"))
+    spans = hourly.groupBy("event_type").agg(
+        F.min("h_idx").alias("h0"), F.max("h_idx").alias("h1")
+    )
+    spine = spans.select(
+        "event_type", F.explode(F.sequence("h0", "h1")).alias("h_idx")
+    )
+    joined = spine.join(hourly, ["event_type", "h_idx"], "left").select(
+        "event_type", "h_idx", F.col("total").cast("double").alias("total")
+    )
+    w_prev = (
+        W.partitionBy("event_type")
+        .orderBy("h_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_next = (
+        W.partitionBy("event_type")
+        .orderBy("h_idx")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("total").isNotNull(), F.col("h_idx"))
+    bounded = joined.select(
+        "event_type",
+        "h_idx",
+        "total",
+        F.last("total", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(obs_h, ignorenulls=True).over(w_prev).alias("prev_h"),
+        F.first("total", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(obs_h, ignorenulls=True).over(w_next).alias("next_h"),
+    )
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        (F.col("h_idx") - F.col("prev_h")).cast("double")
+        / (F.col("next_h") - F.col("prev_h")).cast("double")
+    )
+    filled = F.when(F.col("total").isNotNull(), F.col("total")).when(
+        F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(), interp
+    ).otherwise(F.coalesce("prev_v", "next_v"))
+    return bounded.select(
+        "event_type",
+        F.date_format(
+            F.timestamp_seconds(F.col("h_idx") * 3600), TS_FMT_SPARK
+        ).alias("window_start"),
+        "total",
+        F.round(filled, 6).alias("filled"),
+        F.col("total").isNull().alias("is_gap"),
+    )
