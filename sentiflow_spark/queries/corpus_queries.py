@@ -1268,3 +1268,98 @@ def win_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(filled, 6).alias("filled"),
         F.col("total").isNull().alias("is_gap"),
     )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_TOP_K = 15
+
+
+@register(
+    "txt_heavy_hitters_cms",
+    oracle=f"""
+    WITH {_DUCK_TOKS},
+    buckets AS (
+      SELECT r.d AS row_id,
+             CAST(('0x' || substr(md5(CAST(r.d AS VARCHAR) || ':' || term), 1, 8)) AS BIGINT)
+               % {CMS_WIDTH} AS bucket,
+             term
+      FROM toks, (VALUES {", ".join(f"({i})" for i in range(CMS_DEPTH))}) r(d)
+    ),
+    counters AS (
+      SELECT row_id, bucket, COUNT(*) AS c FROM buckets GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT term, COUNT(*) AS true_count FROM toks GROUP BY term
+    ),
+    topk AS (
+      SELECT term, true_count FROM exact
+      ORDER BY true_count DESC, term LIMIT {CMS_TOP_K}
+    ),
+    est AS (
+      SELECT t.term, t.true_count, MIN(c.c) AS est_count
+      FROM topk t
+      CROSS JOIN (VALUES {", ".join(f"({i})" for i in range(CMS_DEPTH))}) r(d)
+      JOIN counters c
+        ON c.row_id = r.d
+       AND c.bucket = CAST(('0x' || substr(md5(CAST(r.d AS VARCHAR) || ':' || t.term), 1, 8)) AS BIGINT)
+                        % {CMS_WIDTH}
+      GROUP BY t.term, t.true_count
+    )
+    SELECT term, true_count, est_count,
+           est_count - true_count AS overcount
+    FROM est
+    """,
+    tags=("text", "M5", "sketch", "evaluation"),
+    doc=f"Count-min-sketch heavy hitters: a {CMS_DEPTH}x{CMS_WIDTH} "
+    "CMS with portable md5 row hashes counts every token in "
+    "fixed memory (depth x width counters regardless of vocabulary "
+    "size — the sketch an ingest tier keeps when the exact vocab "
+    "doesn't fit); the query reports the top-15 true heavy hitters "
+    "with their sketch estimate and overcount. Deterministic hashes "
+    "make even the approximation bit-checkable (same convention as "
+    "rel_kmv_distinct). Building the sketch is d partial-agg "
+    "shuffles of (row, bucket) — 4096 counters total.",
+)
+def txt_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.functions.hashing import md5_i32
+
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
+    ).alias("row_id")
+    bucketed = toks.select(
+        "term", rows
+    ).withColumn(
+        "bucket",
+        md5_i32(F.concat(F.col("row_id").cast("string"), F.lit(":"), F.col("term")))
+        % CMS_WIDTH,
+    )
+    counters = bucketed.groupBy("row_id", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    topk = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.col("true_count").desc(), "term")
+        .limit(CMS_TOP_K)
+    )
+    probe = topk.select(
+        "term", "true_count", rows
+    ).withColumn(
+        "bucket",
+        md5_i32(F.concat(F.col("row_id").cast("string"), F.lit(":"), F.col("term")))
+        % CMS_WIDTH,
+    )
+    return (
+        probe.join(counters, ["row_id", "bucket"])
+        .groupBy("term", "true_count")
+        .agg(F.min("c").alias("est_count"))
+        .select(
+            "term",
+            "true_count",
+            "est_count",
+            (F.col("est_count") - F.col("true_count")).alias("overcount"),
+        )
+    )
