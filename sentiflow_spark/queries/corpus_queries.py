@@ -1363,3 +1363,75 @@ def txt_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_count") - F.col("true_count")).alias("overcount"),
         )
     )
+
+
+CDC_CUTOFF = "2024-01-15"
+
+
+@register(
+    "rel_cdc_apply",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) AS base_val
+      FROM events WHERE CAST(ts AS DATE) < DATE '{CDC_CUTOFF}'
+      GROUP BY user_id
+    ),
+    ops AS (
+      SELECT user_id, event_type AS op, CAST(value AS DECIMAL(18,2)) AS op_val,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE CAST(ts AS DATE) >= DATE '{CDC_CUTOFF}'
+    ),
+    last_op AS (SELECT user_id, op, op_val FROM ops WHERE rn = 1)
+    SELECT COALESCE(b.user_id, o.user_id) AS user_id,
+           CAST(CASE WHEN o.user_id IS NULL THEN b.base_val
+                     ELSE o.op_val END AS DOUBLE) AS val,
+           CASE WHEN o.user_id IS NULL THEN 'base' ELSE 'cdc' END AS origin
+    FROM base b FULL OUTER JOIN last_op o ON o.user_id = b.user_id
+    WHERE o.op IS NULL OR o.op <> 'error'
+    """,
+    tags=("relational", "cdc", "merge", "M5"),
+    doc="Batch CDC apply — MERGE semantics as a declarative plan: a "
+    "base snapshot (pre-cutoff per-key aggregate) merged with a "
+    "changelog where the LAST op per key wins ('error' = DELETE, "
+    "anything else = UPSERT of that event's value; ties broken by "
+    "event_id). Keys with no ops keep their base row; deleted keys "
+    "vanish; fresh keys appear. One bounded per-key window over the "
+    "changelog slice + one full-outer key join — the batch twin of "
+    "the foreachBatch merge_upsert sink (K2), here oracle-checked.",
+)
+def rel_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit(CDC_CUTOFF).cast("date")
+    base = (
+        ev.filter(F.to_date("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast(MONEY)).alias("base_val"))
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    last_op = (
+        ev.filter(F.to_date("ts") >= cutoff)
+        .select(
+            "user_id",
+            F.col("event_type").alias("op"),
+            F.col("value").cast(MONEY).alias("op_val"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    b, o = base.alias("b"), last_op.alias("o")
+    return (
+        b.join(o, F.col("b.user_id") == F.col("o.user_id"), "full_outer")
+        .filter(F.col("o.op").isNull() | (F.col("o.op") != "error"))
+        .select(
+            F.coalesce("b.user_id", "o.user_id").alias("user_id"),
+            F.when(F.col("o.user_id").isNull(), F.col("b.base_val"))
+            .otherwise(F.col("o.op_val"))
+            .cast("double")
+            .alias("val"),
+            F.when(F.col("o.user_id").isNull(), F.lit("base"))
+            .otherwise(F.lit("cdc"))
+            .alias("origin"),
+        )
+    )
