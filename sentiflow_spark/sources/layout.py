@@ -130,3 +130,59 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+# ------------------------------------------------------------ snapshots
+
+def write_snapshot(df, base_path: str) -> int:
+    """Versioned-snapshot write (time-travel without a table format):
+    each call lands a complete snapshot under ``base_path/v=N/`` and
+    commits it by writing ``base_path/_latest`` LAST (a one-line
+    pointer file). Readers resolve the pointer first, so a crashed
+    write — data files present, pointer not yet advanced — is
+    invisible: commit is the atomicity of one tiny file PUT, the same
+    trick table formats play with their metadata pointer. Returns the
+    new version number.
+
+    At scale this is the poor-man's Iceberg: full-snapshot versions
+    suit dimension/manifest tables (the serving tables here);
+    fact-scale data wants a real table format with delta manifests —
+    documented boundary, not a hidden assumption.
+    """
+    import os
+
+    # allocate past BOTH the committed pointer and any orphaned
+    # (crashed, uncommitted) version directories, so a crash never
+    # wedges the next writer on an errorifexists collision
+    orphans = [
+        int(d[2:])
+        for d in (os.listdir(base_path) if os.path.isdir(base_path) else [])
+        if d.startswith("v=") and d[2:].isdigit()
+    ]
+    v = max([latest_version(base_path), *orphans, -1]) + 1
+    df.write.mode("errorifexists").parquet(f"{base_path}/v={v}")
+    tmp = f"{base_path}/_latest.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(v))
+    os.replace(tmp, f"{base_path}/_latest")  # atomic on POSIX
+    return v
+
+
+def latest_version(base_path: str) -> int:
+    import os
+
+    try:
+        with open(os.path.join(base_path, "_latest")) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return -1
+
+
+def read_snapshot(spark, base_path: str, version: int | None = None):
+    """Read a snapshot: the committed latest by default, or any prior
+    version for time travel. Uncommitted (crashed) writes are never
+    returned because only the pointer defines visibility."""
+    v = latest_version(base_path) if version is None else version
+    if v < 0:
+        raise FileNotFoundError(f"no committed snapshot under {base_path}")
+    return spark.read.parquet(f"{base_path}/v={v}")

@@ -143,3 +143,36 @@ def test_zorder_bounds_both_keys_per_file(spark, sf_dir):
     finally:
         shutil.rmtree(zdir, ignore_errors=True)
         shutil.rmtree(sdir, ignore_errors=True)
+
+
+def test_versioned_snapshots_time_travel_and_crash_invisibility(spark, tmp_path):
+    """write_snapshot commits via the _latest pointer: readers see the
+    committed latest, any prior version stays readable (time travel),
+    and a crashed write (data landed, pointer not advanced) is
+    invisible."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.sources.layout import (
+        latest_version,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "snap")
+    os.makedirs(base)
+    v0 = write_snapshot(spark.range(3).withColumn("tag", F.lit("a")), base)
+    v1 = write_snapshot(spark.range(5).withColumn("tag", F.lit("b")), base)
+    assert (v0, v1) == (0, 1)
+    assert read_snapshot(spark, base).count() == 5
+    assert read_snapshot(spark, base, version=0).count() == 3
+    # simulate a crashed writer: files for v=2 exist, pointer still at 1
+    spark.range(9).withColumn("tag", F.lit("c")).write.parquet(f"{base}/v=2")
+    assert latest_version(base) == 1
+    assert read_snapshot(spark, base).count() == 5
+    # the next committed write allocates past the orphan (v=3),
+    # never colliding with it or resurrecting it
+    v3 = write_snapshot(spark.range(1).withColumn("tag", F.lit("d")), base)
+    assert v3 == 3
+    assert read_snapshot(spark, base).count() == 1
