@@ -1435,3 +1435,89 @@ def rel_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("origin"),
         )
     )
+
+
+ATTR_WINDOW_US = 1800 * 1_000_000  # 30 min lookback
+
+
+@register(
+    "win_attribution_last_touch",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             CAST(value AS DECIMAL(18,2)) AS value
+      FROM events WHERE event_type IN ('click', 'view', 'purchase')
+    ),
+    w AS (
+      SELECT event_id, user_id, event_type, ts_us, value,
+             max(CASE WHEN event_type IN ('click', 'view')
+                      THEN ts_us * 2 + (CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 END)
+               OVER (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS touch_code
+      FROM t
+    )
+    SELECT channel, COUNT(*) AS n_purchases,
+           CAST(SUM(value) AS DOUBLE) AS total_value
+    FROM (
+      SELECT CASE
+               WHEN touch_code IS NULL
+                    OR ts_us - touch_code // 2 > {ATTR_WINDOW_US} THEN 'organic'
+               WHEN touch_code % 2 = 1 THEN 'view'
+               ELSE 'click'
+             END AS channel,
+             value
+      FROM w WHERE event_type = 'purchase'
+    ) GROUP BY channel
+    """,
+    tags=("window", "analytics", "asof", "M5"),
+    doc="Last-touch attribution: each purchase credits the most recent "
+    "click/view by the same user within a 30-minute lookback, else "
+    "'organic' — the as-of union+window pattern (rel_asof_join) "
+    "carrying the touch type encoded into the order key (ts*2 + "
+    "view-bit, so a same-microsecond view outranks a click — "
+    "deterministic tie documented). One shuffle on user_id, then a "
+    "tiny channel aggregate; revenue summed as DECIMAL.",
+)
+def win_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("value").cast(MONEY).alias("value"),
+        )
+    )
+    touch_code = F.when(
+        F.col("event_type").isin("click", "view"),
+        F.col("ts_us") * 2
+        + F.when(F.col("event_type") == "view", F.lit(1)).otherwise(F.lit(0)),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    coded = ev.withColumn("touch_code", F.max(touch_code).over(w))
+    channel = (
+        F.when(
+            F.col("touch_code").isNull()
+            | (F.col("ts_us") - F.floor(F.col("touch_code") / 2) > ATTR_WINDOW_US),
+            "organic",
+        )
+        .when(F.col("touch_code") % 2 == 1, "view")
+        .otherwise("click")
+    )
+    return (
+        coded.filter(F.col("event_type") == "purchase")
+        .select(channel.alias("channel"), "value")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("value").cast("double").alias("total_value"),
+        )
+    )
