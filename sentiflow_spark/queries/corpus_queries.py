@@ -1521,3 +1521,99 @@ def win_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value").cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "rel_dq_audit",
+    oracle="""
+    SELECT 'orders_custkey_fk' AS check_name,
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem_quantity_range',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_quantity < 1 OR l_quantity > 50)
+    UNION ALL
+    SELECT 'documents_docid_unique',
+           (SELECT COALESCE(SUM(n - 1), 0) FROM
+             (SELECT COUNT(*) AS n FROM documents GROUP BY doc_id) g
+            WHERE n > 1)
+    UNION ALL
+    SELECT 'events_value_not_null',
+           (SELECT COUNT(*) FROM events WHERE value IS NULL)
+    UNION ALL
+    SELECT 'events_ts_in_range',
+           (SELECT COUNT(*) FROM events
+            WHERE ts < TIMESTAMP '2000-01-01' OR ts > TIMESTAMP '2100-01-01')
+    """,
+    tags=("relational", "M5", "quality", "audit"),
+    doc="Data-quality audit — an expectation suite as ONE declarative "
+    "query: referential integrity (anti-join counts, never a "
+    "row-by-row lookup), range checks (pushed scan predicates), key "
+    "uniqueness (partial-agg duplicate count), null and bounds "
+    "checks. Each check is a scalar aggregate; the union is a 6-row "
+    "report a pipeline gates on before publishing a snapshot.",
+)
+def rel_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    lineitem = load(spark, sf_dir, "lineitem")
+    docs = load(spark, sf_dir, "documents")
+    ev = load(spark, sf_dir, "events")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"), F.col("n_violations").cast("long")
+        )
+
+    fk_orders = check(
+        "orders_custkey_fk",
+        orders.join(
+            customer, orders.o_custkey == customer.c_custkey, "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_violations")),
+    )
+    fk_lineitem = check(
+        "lineitem_orderkey_fk",
+        lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_violations")),
+    )
+    qty_range = check(
+        "lineitem_quantity_range",
+        lineitem.filter(
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+        ).agg(F.count(F.lit(1)).alias("n_violations")),
+    )
+    uniq = check(
+        "documents_docid_unique",
+        docs.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("n_violations")),
+    )
+    nn = check(
+        "events_value_not_null",
+        ev.filter(F.col("value").isNull()).agg(
+            F.count(F.lit(1)).alias("n_violations")
+        ),
+    )
+    ts_range = check(
+        "events_ts_in_range",
+        ev.filter(
+            (F.col("ts") < F.lit("2000-01-01").cast("timestamp"))
+            | (F.col("ts") > F.lit("2100-01-01").cast("timestamp"))
+        ).agg(F.count(F.lit(1)).alias("n_violations")),
+    )
+    return (
+        fk_orders.unionAll(fk_lineitem)
+        .unionAll(qty_range)
+        .unionAll(uniq)
+        .unionAll(nn)
+        .unionAll(ts_range)
+    )
