@@ -254,6 +254,26 @@ def job_compact(args: argparse.Namespace) -> dict:
             "bytes": dir_bytes(spark, args.out), "sink": args.out}
 
 
+def job_audit(args: argparse.Namespace) -> dict:
+    """Data-quality gate as a runnable job: run the rel_dq_audit
+    expectation suite, write the report, and fail (exit code 1) when
+    any check reports violations — the publish gate a pipeline runs
+    before promoting a snapshot."""
+    from sentiflow_spark.queries.registry import load_all
+
+    spark = _spark("sentiflow-audit")
+    report = load_all()["rel_dq_audit"].fn(spark, args.sf_dir)
+    report.write.mode("overwrite").parquet(args.out)
+    rows = {r["check_name"]: r["n_violations"] for r in report.collect()}
+    failed = {k: v for k, v in rows.items() if v > 0}
+    result = {"job": "audit", "checks": rows, "failed": sorted(failed),
+              "ok": not failed, "sink": args.out}
+    if failed and not args.allow_violations:
+        print(json.dumps(result))
+        raise SystemExit(1)
+    return result
+
+
 def job_sql(args: argparse.Namespace) -> dict:
     """Ad-hoc SQL as a runnable job: register the synthetic tables as
     views (sentiflow_spark/sql.py), run one statement, write the result
@@ -275,6 +295,7 @@ def job_sql(args: argparse.Namespace) -> dict:
 
 
 JOBS = {
+    "audit": job_audit,
     "compact": job_compact,
     "curate": job_curate,
     "dedup": job_dedup,
@@ -307,6 +328,8 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--target-file-mb", type=int, default=128)
     ap.add_argument("-e", "--execute", default=None,
                     help="SQL statement to run over the table views (sql job)")
+    ap.add_argument("--allow-violations", action="store_true",
+                    help="audit: report violations without failing")
     args = ap.parse_args(argv)
     result = JOBS[args.job](args)
     print(json.dumps(result))
