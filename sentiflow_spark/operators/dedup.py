@@ -459,3 +459,69 @@ def segment_dedup(
             "n_total",
         )
     )
+
+
+PR_SCALE = 10**12
+
+
+def pagerank_int(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Integer fixed-point PageRank over an undirected pair graph —
+    bit-deterministic across engines and cluster sizes: ranks are
+    BIGINTs scaled by PR_SCALE and every step is integer arithmetic
+    (floor divisions in a fixed order), so there is no float
+    summation-order wobble to round away. r' = 0.15/N + 0.85 * sum of
+    neighbor rank/degree, i.e.::
+
+        contrib(j) = rank(j) DIV deg(j)
+        rank'(i)   = (15 * (SCALE DIV N)) DIV 100
+                   + (85 * sum contrib over neighbors) DIV 100
+
+    Each iteration is one join + one partial-agg shuffle on node id
+    (same shape as connected_components); edges and degrees are
+    materialized once via localCheckpoint. Returns (node, rank_scaled).
+    """
+    both = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = both.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = both.select(F.col("u").alias("node")).distinct()
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_scaled", F.lit(0).cast("long"))
+    base = (15 * (PR_SCALE // n)) // 100
+    ranks = nodes.withColumn(
+        "rank_scaled", F.lit(PR_SCALE // n).cast("long")
+    ).localCheckpoint()
+    for _ in range(n_iter):
+        # DIV, not `/`: float division of 1e12-scale longs can land a
+        # hair under the true integer quotient and truncate one off —
+        # integral DIV is exact, matching DuckDB's `//`
+        contribs = (
+            both.join(ranks, both.v == ranks.node)
+            .join(deg, "v")
+            .select(
+                F.col("u").alias("node"),
+                F.expr("rank_scaled DIV deg").alias("contrib"),
+            )
+        )
+        summed = contribs.groupBy("node").agg(F.sum("contrib").alias("s"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"(85 * coalesce(s, 0)) DIV 100")
+                ).alias("rank_scaled"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

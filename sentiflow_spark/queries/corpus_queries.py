@@ -1617,3 +1617,75 @@ def rel_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(nn)
         .unionAll(ts_range)
     )
+
+
+from sentiflow_spark.operators.dedup import PR_SCALE  # noqa: E402
+
+PR_ITER = 3
+
+
+def _duck_pr_iter(prev: str, out: str) -> str:
+    """One unrolled PageRank iteration (exact integer arithmetic,
+    mirroring operators/dedup.py::pagerank_int step for step)."""
+    return f"""
+    {out} AS (
+      SELECT nd.node,
+             (15 * ({PR_SCALE} // (SELECT n FROM nn))) // 100
+             + (85 * COALESCE(s.s, 0)) // 100 AS r
+      FROM nodes nd LEFT JOIN (
+        SELECT b.u AS node, SUM(it.r // d.deg) AS s
+        FROM bothe b
+        JOIN {prev} it ON it.node = b.v
+        JOIN deg d ON d.v = b.v
+        GROUP BY b.u
+      ) s ON s.node = nd.node
+    )"""
+
+
+@register(
+    "dd_pagerank_dupgraph",
+    oracle=f"""
+    WITH {_duck_sigs_cte()}{_duck_bands_cte()},
+    near_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      {_DUCK_BAND_PAIRS}
+      WHERE {_duck_match_frac()} >= 0.9
+    ),
+    bothe AS (
+      SELECT doc_a AS u, doc_b AS v FROM near_pairs
+      UNION
+      SELECT doc_b, doc_a FROM near_pairs
+    ),
+    deg AS (SELECT v, COUNT(*) AS deg FROM bothe GROUP BY v),
+    nodes AS (SELECT DISTINCT u AS node FROM bothe),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    it0 AS (
+      SELECT node, {PR_SCALE} // (SELECT n FROM nn) AS r FROM nodes
+    ),{_duck_pr_iter("it0", "it1")},{_duck_pr_iter("it1", "it2")},{_duck_pr_iter("it2", "it3")}
+    SELECT node, r AS rank_scaled FROM it{PR_ITER}
+    """,
+    tags=("dedup", "M5", "graph", "iterative", "pagerank"),
+    doc=f"PageRank over the MinHash-LSH duplicate graph ({PR_ITER} "
+    "iterations, damping 0.85) in integer fixed-point (ranks scaled "
+    "by 1e12, every step an exact integral DIV in a fixed order) — "
+    "bit-identical across engines AND cluster sizes, where float "
+    "PageRank drifts with summation order. The Spark side is a "
+    "distributed join+agg loop (operators/dedup.py::pagerank_int, "
+    "same checkpoint discipline as connected_components); the oracle "
+    "unrolls the identical iterations as chained CTEs, so even this "
+    "iterative operator is hash-checked. Rank centrality over a dup "
+    "graph surfaces hub documents (templates quoted everywhere) that "
+    "pairwise scores miss.",
+)
+def dd_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        pagerank_int,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs)).filter(
+        F.col("est_jaccard") >= 0.9
+    )
+    return pagerank_int(pairs, n_iter=PR_ITER)
