@@ -1689,3 +1689,50 @@ def dd_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_jaccard") >= 0.9
     )
     return pagerank_int(pairs, n_iter=PR_ITER)
+
+
+IDX_MIN_DF = 50
+IDX_POSTINGS_CAP = 20
+
+
+@register(
+    "ret_build_index",
+    oracle=f"""
+    WITH {_DUCK_TOKS},
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    )
+    SELECT term,
+           COUNT(*) AS df,
+           CAST(SUM(tf) AS BIGINT) AS cf,
+           list_slice(list_sort(list(doc_id)), 1, {IDX_POSTINGS_CAP}) AS head_postings
+    FROM tf
+    GROUP BY term
+    HAVING COUNT(*) >= {IDX_MIN_DF}
+    """,
+    tags=("retrieval", "text", "M5", "index"),
+    doc=f"Inverted-index construction: per-term document frequency, "
+    "corpus frequency and the postings list (sorted doc ids, head "
+    f"capped at {IDX_POSTINGS_CAP} for output size; production writes "
+    "the full list bucketed by term). One (doc, term) partial-agg "
+    "then one term-partitioned agg — postings assembly per term is "
+    "collect+sort, bounded by that term's df, which is exactly the "
+    "state an index shard holds; df-hot stopword terms are the known "
+    "skew and get df-capped or elided by the stopword list at scale.",
+)
+def ret_build_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tf = _tokens(docs).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.slice(
+                F.sort_array(F.collect_list("doc_id")), 1, IDX_POSTINGS_CAP
+            ).alias("head_postings"),
+        )
+        .filter(F.col("df") >= IDX_MIN_DF)
+    )

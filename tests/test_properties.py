@@ -263,3 +263,48 @@ def test_containment_of_prefix_doc_is_one(spark, base):
     set_a = {s for d, s in sh if d == 0}
     set_b = {s for d, s in sh if d == 1}
     assert set_a and set_a <= set_b
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+    ).filter(lambda t: t[0] != t[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+@SETTINGS
+@given(edges=edges_strategy, n_iter=st.integers(min_value=1, max_value=3))
+def test_pagerank_int_matches_python_reference(spark, edges, n_iter):
+    """The distributed integer PageRank must equal a sequential Python
+    reference doing the SAME integer ops for ANY graph — exactness is
+    the operator's whole contract (bit-identical across engines and
+    cluster sizes)."""
+    from sentiflow_spark.operators.dedup import PR_SCALE, pagerank_int
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_int(pairs, n_iter=n_iter).collect()
+    }
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    n = len(nodes)
+    base = (15 * (PR_SCALE // n)) // 100
+    rank = {u: PR_SCALE // n for u in nodes}
+    for _ in range(n_iter):
+        contrib = {u: rank[u] // len(adj[u]) for u in nodes}
+        rank = {
+            u: base + (85 * sum(contrib[v] for v in adj[u])) // 100
+            for u in nodes
+        }
+    assert got == rank
+    assert all(v > 0 for v in got.values())
