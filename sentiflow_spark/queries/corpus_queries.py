@@ -1736,3 +1736,62 @@ def ret_build_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= IDX_MIN_DF)
     )
+
+
+STATS_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def _duck_col_stats(c: str) -> str:
+    # integer cents: quantile interpolation over BIGINTs at quarter
+    # positions is EXACT in double (a*(3/4)+b*(1/4) — all terms exact
+    # multiples of 0.25 under 2^53), so both engines agree bitwise;
+    # the final /100.0 is one correctly-rounded identical op
+    v = f"CAST(round({c} * 100) AS BIGINT)"
+    return f"""
+    SELECT '{c}' AS col_name,
+           COUNT(*) AS n,
+           SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+           COUNT(DISTINCT {v}) AS ndv,
+           CAST(MIN({v}) AS DOUBLE) / 100.0 AS min_v,
+           CAST(MAX({v}) AS DOUBLE) / 100.0 AS max_v,
+           quantile_cont({v}, 0.25) / 100.0 AS p25,
+           quantile_cont({v}, 0.5) / 100.0 AS p50,
+           quantile_cont({v}, 0.75) / 100.0 AS p75
+    FROM lineitem"""
+
+
+@register(
+    "rel_column_stats",
+    oracle=" UNION ALL ".join(_duck_col_stats(c) for c in STATS_COLS),
+    tags=("relational", "M5", "statistics", "audit"),
+    doc="ANALYZE-style column statistics collection: per-column row "
+    "count, null count, exact NDV, min/max and exact quartiles — the "
+    "stats a cost-based optimizer (or a data profiler) materializes "
+    "per table. Values quantized to DECIMAL cents so quartile "
+    "interpolation lands on exact halves in both engines; each "
+    "column's pass is one aggregate over the scan (a production "
+    "ANALYZE computes all columns in one pass with sketches — "
+    "rel_approx_distinct / rel_approx_percentile are those kernels).",
+)
+def rel_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+
+    def one(c: str) -> DataFrame:
+        v = F.round(F.col(c) * 100).cast("long")
+        cents = f"CAST(round({c} * 100) AS BIGINT)"
+        return li.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(c).isNull().cast("long")).alias("n_null"),
+            F.countDistinct(v).alias("ndv"),
+            (F.min(v).cast("double") / 100.0).alias("min_v"),
+            (F.max(v).cast("double") / 100.0).alias("max_v"),
+            F.expr(f"percentile({cents}, 0.25) / 100.0").alias("p25"),
+            F.expr(f"percentile({cents}, 0.5) / 100.0").alias("p50"),
+            F.expr(f"percentile({cents}, 0.75) / 100.0").alias("p75"),
+        ).select(F.lit(c).alias("col_name"), "n", "n_null", "ndv",
+                 "min_v", "max_v", "p25", "p50", "p75")
+
+    out = one(STATS_COLS[0])
+    for c in STATS_COLS[1:]:
+        out = out.unionAll(one(c))
+    return out
