@@ -1,8 +1,27 @@
-"""Second-wave corpus operators: segment-level dedup with document
-reconstruction, duplicate-cluster representative selection (the dedup
-keep-list), query-likelihood ranked retrieval, hybrid sparse+dense
-rank fusion, positional phrase match, and robust length-outlier
-detection.
+"""Second-wave corpus operators (round 2 additions), grouped:
+
+- dedup: segment-level dedup with document reconstruction
+  (dd_segment_dedup), cluster representative selection
+  (dd_cluster_reps), asymmetric containment exact + df-capped
+  (dd_containment_pairs/_capped), incremental batch admission
+  (dd_incremental_dedup), LSH recall evaluation (dd_lsh_recall),
+  method-comparison report (dd_method_compare), integer fixed-point
+  PageRank over the dup graph (dd_pagerank_dupgraph)
+- retrieval: query-likelihood LM (ret_query_likelihood), hybrid
+  sparse+dense RRF fusion (ret_hybrid_rrf), positional phrase match
+  (ret_phrase_match), inverted-index construction (ret_build_index)
+- text/curation: robust length outliers (txt_robust_outliers),
+  blocklist gate (txt_blocklist_filter), count-min-sketch heavy
+  hitters (txt_heavy_hitters_cms)
+- similarity: bucketed k-NN graph (sim_knn_graph)
+- multimodal: payload content-hash dedup (mm_content_dedup)
+- time-series/analytics: retention cohorts (win_retention_cohorts),
+  rolling z-score anomalies (win_anomaly_zscore), gap filling by LOCF
+  and by linear interpolation (win_gapfill_locf/_interp), last-touch
+  attribution (win_attribution_last_touch)
+- relational/ops: interval-overlap join (rel_interval_overlap_join),
+  batch CDC apply (rel_cdc_apply), data-quality audit (rel_dq_audit),
+  ANALYZE-style column stats (rel_column_stats)
 
 Reference parity: the reference has no corpus engine; these extend the
 M5 training-data families (SURVEY §7.2) on the same tokenizer
@@ -58,7 +77,11 @@ from sentiflow_spark.functions.vectors import (
     duck_rp_bucket,
     rp_hyperplanes,
 )
-from sentiflow_spark.operators.dedup import SEG_OWNER_BASE, shingle_pair_counts
+from sentiflow_spark.operators.dedup import (
+    PR_SCALE,
+    SEG_OWNER_BASE,
+    shingle_pair_counts,
+)
 from sentiflow_spark.operators.similarity import brute_force_topk, with_quantized
 from sentiflow_spark.queries.dedup_queries import (
     _DUCK_BAND_PAIRS,
@@ -1618,8 +1641,6 @@ def rel_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(ts_range)
     )
 
-
-from sentiflow_spark.operators.dedup import PR_SCALE  # noqa: E402
 
 PR_ITER = 3
 
