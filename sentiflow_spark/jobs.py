@@ -277,8 +277,9 @@ def job_audit(args: argparse.Namespace) -> dict:
 def job_sql(args: argparse.Namespace) -> dict:
     """Ad-hoc SQL as a runnable job: register the synthetic tables as
     views (sentiflow_spark/sql.py), run one statement, write the result
-    to parquet. The switch-and-keep-your-SQL path — every oracle
-    statement in the registry runs here verbatim."""
+    to parquet. The switch-and-keep-your-SQL path for portable ANSI
+    statements (the registry's oracle strings are DuckDB dialect and
+    are not guaranteed to parse here — see sentiflow_spark/sql.py)."""
     from sentiflow_spark.sql import run_sql
 
     if not args.execute:

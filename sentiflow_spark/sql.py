@@ -1,14 +1,16 @@
 """Ad-hoc SQL surface: register the synthetic tables as temp views so
-any ANSI SQL the DuckDB oracle can run also runs verbatim on the
-engine (``spark.sql``), with Catalyst planning it — predicate
-pushdown, column pruning and join selection apply exactly as for the
-DataFrame API.
+portable ANSI SQL runs directly on the engine (``spark.sql``), with
+Catalyst planning it — predicate pushdown, column pruning and join
+selection apply exactly as for the DataFrame API.
 
-This is the "switch and keep your queries" path: a user of the
-reference (or of the oracle SQL in this repo's registry) points
-``open_views`` at a scale-factor directory and runs SQL against the
-same table names (``region nation customer supplier part orders
-lineitem events documents embeddings``).
+This is the "switch and keep your queries" path: point ``open_views``
+at a scale-factor directory and query the same table names (``region
+nation customer supplier part orders lineitem events documents
+embeddings``). Note the registry's oracle strings are DuckDB dialect
+(list_transform, generate_subscripts, quantile_cont, ...) and are NOT
+guaranteed to parse here — they exist for the correctness gate; the
+portable subset (joins, aggregates, windows, standard functions) runs
+on both engines unchanged.
 """
 
 from __future__ import annotations
