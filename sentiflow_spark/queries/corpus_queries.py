@@ -587,7 +587,7 @@ def win_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored
     WHERE n >= {ZS_MIN_PREV} AND abs(x - mean) > sd * 3.0
     """,
-    tags=("window", "analytics", "M5", "anomaly"),
+    tags=("window", "analytics", "M5", "anomaly", "bench"),
     doc="Rolling z-score anomaly detection over the hourly per-type "
     "value series: mean/std from the preceding 24 observed buckets "
     "(exact DECIMAL sums -> deterministic doubles; sd via E[x^2] - "
@@ -669,7 +669,7 @@ KNN_K = 3
         ON a.rp_bucket = b.rp_bucket AND a.vec_id <> b.vec_id
     ) WHERE rank <= {KNN_K}
     """,
-    tags=("similarity", "M5", "ann", "lsh", "graph"),
+    tags=("similarity", "M5", "ann", "lsh", "graph", "bench"),
     doc="Bucketed k-NN graph construction (k=3): random-hyperplane "
     "blocking (4 planes -> 16 buckets) then exact cosine rank within "
     "the bucket — the candidate-graph primitive under graph-based ANN "
@@ -750,7 +750,7 @@ OVERLAP_BIN_S = 1800
            (total IS NULL) AS is_gap
     FROM joined
     """,
-    tags=("window", "timeseries", "M5", "analytics"),
+    tags=("window", "timeseries", "M5", "analytics", "bench"),
     doc="Hypertable-style gap filling: a dense hourly spine per series "
     "(generated from each series' own min/max bucket — a per-group "
     "sequence explode, not a global calendar scan), left-joined onto "
@@ -810,7 +810,7 @@ def win_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM act a JOIN inc b
       ON a.a_start < b.b_end AND b.b_start < a.a_end
     """,
-    tags=("relational", "join", "interval", "M5"),
+    tags=("relational", "join", "interval", "M5", "bench"),
     doc="Interval x interval overlap join (activity windows vs "
     "incident windows): each interval explodes to the time bins it "
     "covers (bounded by span/bin), candidates meet on a bin EQUI-join, "
@@ -1333,7 +1333,7 @@ CMS_TOP_K = 15
            est_count - true_count AS overcount
     FROM est
     """,
-    tags=("text", "M5", "sketch", "evaluation"),
+    tags=("text", "M5", "sketch", "evaluation", "bench"),
     doc=f"Count-min-sketch heavy hitters: a {CMS_DEPTH}x{CMS_WIDTH} "
     "CMS with portable md5 row hashes counts every token in "
     "fixed memory (depth x width counters regardless of vocabulary "
@@ -1413,7 +1413,7 @@ CDC_CUTOFF = "2024-01-15"
     FROM base b FULL OUTER JOIN last_op o ON o.user_id = b.user_id
     WHERE o.op IS NULL OR o.op <> 'error'
     """,
-    tags=("relational", "cdc", "merge", "M5"),
+    tags=("relational", "cdc", "merge", "M5", "bench"),
     doc="Batch CDC apply — MERGE semantics as a declarative plan: a "
     "base snapshot (pre-cutoff per-key aggregate) merged with a "
     "changelog where the LAST op per key wins ('error' = DELETE, "
