@@ -1816,3 +1816,56 @@ def rel_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in STATS_COLS[1:]:
         out = out.unionAll(one(c))
     return out
+
+
+_NIBBLES = "0123456789ABCDEF"
+
+
+@register(
+    "mm_bytes_entropy",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+             CAST(length(hex(CAST(text AS BLOB))) AS BIGINT) AS n
+      FROM documents
+    )
+    SELECT doc_id, n AS n_nibbles,
+           round(0.0 - ({" + ".join(
+               f"CASE WHEN length(hx) > length(replace(hx, '{c}', '')) THEN "
+               f"(CAST(length(hx) - length(replace(hx, '{c}', '')) AS DOUBLE) / n)"
+               f" * log2(CAST(length(hx) - length(replace(hx, '{c}', '')) AS DOUBLE) / n)"
+               f" ELSE 0.0 END"
+               for c in _NIBBLES)}), 6) AS entropy_bits
+    FROM h
+    """,
+    tags=("multimodal", "M5", "quality"),
+    doc="Byte-level entropy of binary payloads via the hex-nibble "
+    "distribution (0..4 bits/nibble): the randomness feature a "
+    "multimodal curation pass uses to split already-compressed media "
+    "from structured/padded payloads without decoding. Pure map-side "
+    "string ops in whole-stage codegen — 16 replace+length probes per "
+    "row, zero shuffles; the 16-term entropy sum runs in one fixed "
+    "order so both engines emit identical doubles (log2 wobble "
+    "absorbed by round-6).",
+)
+def mm_bytes_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.operators.multimodal import attach_binary
+
+    media = attach_binary(load(spark, sf_dir, "documents"))
+    hx = F.hex(F.col("payload"))
+    n = F.length(hx).cast("long")
+    terms = []
+    for c in _NIBBLES:
+        cnt = (F.length(hx) - F.length(F.replace(hx, F.lit(c), F.lit("")))).cast(
+            "double"
+        )
+        p = cnt / n
+        terms.append(F.when(cnt > 0, p * F.log2(p)).otherwise(F.lit(0.0)))
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return media.select(
+        "doc_id",
+        n.alias("n_nibbles"),
+        F.round(F.lit(0.0) - acc, 6).alias("entropy_bits"),
+    )
