@@ -264,7 +264,12 @@ def job_audit(args: argparse.Namespace) -> dict:
     spark = _spark("sentiflow-audit")
     report = load_all()["rel_dq_audit"].fn(spark, args.sf_dir)
     report.write.mode("overwrite").parquet(args.out)
-    rows = {r["check_name"]: r["n_violations"] for r in report.collect()}
+    # gate on the 6-row parquet just written — never re-execute the
+    # five-table audit plan a second time
+    rows = {
+        r["check_name"]: r["n_violations"]
+        for r in spark.read.parquet(args.out).collect()
+    }
     failed = {k: v for k, v in rows.items() if v > 0}
     result = {"job": "audit", "checks": rows, "failed": sorted(failed),
               "ok": not failed, "sink": args.out}

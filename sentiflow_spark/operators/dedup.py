@@ -491,8 +491,12 @@ def pagerank_int(
         .distinct()
         .localCheckpoint()
     )
-    deg = both.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = both.select(F.col("u").alias("node")).distinct()
+    # deg and nodes checkpoint too: they join into EVERY iteration, and
+    # without materialization the degree shuffle re-runs n_iter times
+    deg = (
+        both.groupBy("v").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    )
+    nodes = both.select(F.col("u").alias("node")).distinct().localCheckpoint()
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank_scaled", F.lit(0).cast("long"))

@@ -721,10 +721,12 @@ INC_SPAN_S = 1800
 OVERLAP_BIN_S = 1800
 
 
-@register(
-    "win_gapfill_locf",
-    oracle=f"""
-    WITH hourly AS (
+# Shared dense-spine construction for BOTH gap-fill queries: per-series
+# hourly rollup -> min/max span -> exploded spine -> left join back.
+# One definition per rendering (Spark helper + oracle CTE constant) so
+# a spine change can never drift between the LOCF and interp variants.
+_DUCK_SPINE_CTES = """
+    hourly AS (
       SELECT event_type,
              CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600 AS h_idx,
              SUM(CAST(value AS DECIMAL(18,2))) AS total
@@ -740,7 +742,31 @@ OVERLAP_BIN_S = 1800
       SELECT s.event_type, s.h_idx, CAST(h.total AS DOUBLE) AS total
       FROM spine s LEFT JOIN hourly h
         ON h.event_type = s.event_type AND h.h_idx = s.h_idx
+    )"""
+
+
+def _hourly_spine(ev: DataFrame) -> DataFrame:
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_timestamp(F.date_trunc("hour", "ts")) / F.lit(3600)
+        ).cast("long").alias("h_idx"),
+    ).agg(F.sum(F.col("value").cast(MONEY)).alias("total"))
+    spans = hourly.groupBy("event_type").agg(
+        F.min("h_idx").alias("h0"), F.max("h_idx").alias("h1")
     )
+    spine = spans.select(
+        "event_type", F.explode(F.sequence("h0", "h1")).alias("h_idx")
+    )
+    return spine.join(hourly, ["event_type", "h_idx"], "left").select(
+        "event_type", "h_idx", F.col("total").cast("double").alias("total")
+    )
+
+
+@register(
+    "win_gapfill_locf",
+    oracle=f"""
+    WITH {_DUCK_SPINE_CTES}
     SELECT event_type,
            strftime(make_timestamp(h_idx * 3600 * 1000000), '{TS_FMT_DUCK}') AS window_start,
            total,
@@ -760,22 +786,7 @@ OVERLAP_BIN_S = 1800
     "the spine explode is map-side after a tiny per-series min/max agg.",
 )
 def win_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "event_type",
-        F.floor(
-            F.unix_timestamp(F.date_trunc("hour", "ts")) / F.lit(3600)
-        ).cast("long").alias("h_idx"),
-    ).agg(F.sum(F.col("value").cast(MONEY)).alias("total"))
-    spans = hourly.groupBy("event_type").agg(
-        F.min("h_idx").alias("h0"), F.max("h_idx").alias("h1")
-    )
-    spine = spans.select(
-        "event_type", F.explode(F.sequence("h0", "h1")).alias("h_idx")
-    )
-    joined = spine.join(hourly, ["event_type", "h_idx"], "left").select(
-        "event_type", "h_idx", F.col("total").cast("double").alias("total")
-    )
+    joined = _hourly_spine(load(spark, sf_dir, "events"))
     w = (
         W.partitionBy("event_type")
         .orderBy("h_idx")
@@ -1183,23 +1194,7 @@ def dd_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "win_gapfill_interp",
     oracle=f"""
-    WITH hourly AS (
-      SELECT event_type,
-             CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600 AS h_idx,
-             SUM(CAST(value AS DECIMAL(18,2))) AS total
-      FROM events GROUP BY 1, 2
-    ),
-    spans AS (
-      SELECT event_type, MIN(h_idx) AS h0, MAX(h_idx) AS h1 FROM hourly GROUP BY 1
-    ),
-    spine AS (
-      SELECT event_type, h0 + unnest(range(h1 - h0 + 1)) AS h_idx FROM spans
-    ),
-    joined AS (
-      SELECT s.event_type, s.h_idx, CAST(h.total AS DOUBLE) AS total
-      FROM spine s LEFT JOIN hourly h
-        ON h.event_type = s.event_type AND h.h_idx = s.h_idx
-    ),
+    WITH {_DUCK_SPINE_CTES},
     bounded AS (
       SELECT event_type, h_idx, total,
              last_value(total IGNORE NULLS) OVER w_prev AS prev_v,
@@ -1239,22 +1234,7 @@ def dd_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ln-free rounding guard).",
 )
 def win_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "event_type",
-        F.floor(
-            F.unix_timestamp(F.date_trunc("hour", "ts")) / F.lit(3600)
-        ).cast("long").alias("h_idx"),
-    ).agg(F.sum(F.col("value").cast(MONEY)).alias("total"))
-    spans = hourly.groupBy("event_type").agg(
-        F.min("h_idx").alias("h0"), F.max("h_idx").alias("h1")
-    )
-    spine = spans.select(
-        "event_type", F.explode(F.sequence("h0", "h1")).alias("h_idx")
-    )
-    joined = spine.join(hourly, ["event_type", "h_idx"], "left").select(
-        "event_type", "h_idx", F.col("total").cast("double").alias("total")
-    )
+    joined = _hourly_spine(load(spark, sf_dir, "events"))
     w_prev = (
         W.partitionBy("event_type")
         .orderBy("h_idx")

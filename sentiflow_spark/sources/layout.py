@@ -147,10 +147,18 @@ def write_snapshot(df, base_path: str) -> int:
     At scale this is the poor-man's Iceberg: full-snapshot versions
     suit dimension/manifest tables (the serving tables here);
     fact-scale data wants a real table format with delta manifests —
-    documented boundary, not a hidden assumption.
+    documented boundary, not a hidden assumption. The pointer protocol
+    uses LOCAL filesystem ops (os.replace atomicity), so ``base_path``
+    must be a local path — remote URIs are rejected up front rather
+    than corrupting the commit protocol halfway through.
     """
     import os
 
+    if "://" in base_path:
+        raise ValueError(
+            "write_snapshot commits via local-filesystem rename; "
+            f"remote path not supported: {base_path!r}"
+        )
     # allocate past BOTH the committed pointer and any orphaned
     # (crashed, uncommitted) version directories, so a crash never
     # wedges the next writer on an errorifexists collision
@@ -181,8 +189,15 @@ def latest_version(base_path: str) -> int:
 def read_snapshot(spark, base_path: str, version: int | None = None):
     """Read a snapshot: the committed latest by default, or any prior
     version for time travel. Uncommitted (crashed) writes are never
-    returned because only the pointer defines visibility."""
-    v = latest_version(base_path) if version is None else version
+    returned — only versions at or below the pointer are visible, so
+    an explicit ``version`` pointing at an orphaned directory is
+    rejected rather than served as possibly-partial data."""
+    latest = latest_version(base_path)
+    v = latest if version is None else version
     if v < 0:
         raise FileNotFoundError(f"no committed snapshot under {base_path}")
+    if v > latest:
+        raise ValueError(
+            f"version {v} is not committed (latest committed is {latest})"
+        )
     return spark.read.parquet(f"{base_path}/v={v}")

@@ -445,11 +445,7 @@ def test_sql_job_prints_rows(spark, sf_dir, tmp_path):
 
 
 def test_audit_job_gates_on_violations(spark, sf_dir, tmp_path):
-    """The audit job passes on clean fixtures and writes the report;
-    the gate path (SystemExit on violations) is covered by driving it
-    with allow_violations off against a clean dir (ok) — violation
-    synthesis would need broken fixtures, so the failure branch is
-    covered at the unit level via the failed-dict logic."""
+    """The audit job passes on clean fixtures and writes the report."""
     from sentiflow_spark import jobs
 
     out = str(tmp_path / "audit")
@@ -464,3 +460,36 @@ def test_audit_job_gates_on_violations(spark, sf_dir, tmp_path):
         "events_ts_in_range",
     }
     assert spark.read.parquet(out).count() == 6
+
+
+def test_audit_job_fails_on_violations(spark, sf_dir, tmp_path, monkeypatch):
+    """The gate path itself: a report with ANY violation must exit
+    nonzero unless --allow-violations. The audit query is stubbed via
+    the registry so the failure branch runs against a real written
+    report."""
+    import pytest
+
+    from sentiflow_spark import jobs
+    from sentiflow_spark.queries import registry as reg_mod
+    from sentiflow_spark.queries.registry import Query
+
+    def fake_fn(s, sf):
+        return s.createDataFrame(
+            [("orders_custkey_fk", 0), ("events_value_not_null", 3)],
+            "check_name: string, n_violations: long",
+        )
+
+    monkeypatch.setattr(
+        reg_mod,
+        "load_all",
+        lambda: {"rel_dq_audit": Query("rel_dq_audit", fake_fn, None)},
+    )
+    out = str(tmp_path / "audit_bad")
+    with pytest.raises(SystemExit) as exc:
+        jobs.main(["audit", "--sf-dir", sf_dir, "--out", out])
+    assert exc.value.code == 1
+    # --allow-violations reports without failing
+    res = jobs.main(
+        ["audit", "--sf-dir", sf_dir, "--out", out, "--allow-violations"]
+    )
+    assert res["ok"] is False and res["failed"] == ["events_value_not_null"]
