@@ -1849,3 +1849,118 @@ def mm_bytes_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_nibbles"),
         F.round(F.lit(0.0) - acc, 6).alias("entropy_bits"),
     )
+
+
+@register(
+    "win_ratio_to_report",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, event_type,
+             SUM(CAST(value AS DECIMAL(18,2))) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, event_type,
+           CAST(total AS DOUBLE) AS total,
+           round(CAST(total AS DOUBLE)
+                 / CAST(SUM(total) OVER (PARTITION BY d) AS DOUBLE), 6) AS day_share
+    FROM daily
+    """,
+    tags=("window", "analytics", "M5"),
+    doc="Ratio-to-report: each (day, type) total as a share of its "
+    "day's grand total — the mix-shift view every ops dashboard "
+    "carries. The share window partitions by day over the already-"
+    "aggregated rollup (rows per partition = number of types), so the "
+    "window state is tiny no matter how many raw events feed the "
+    "rollup; shares divide exact DECIMAL sums, rounded to 1e-6.",
+)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.sum(F.col("value").cast(MONEY)).alias("total"))
+    w = W.partitionBy("d")
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.col("total").cast("double").alias("total"),
+        F.round(
+            F.col("total").cast("double")
+            / F.sum("total").over(w).cast("double"),
+            6,
+        ).alias("day_share"),
+    )
+
+
+@register(
+    "dd_lsh_calibration",
+    oracle=f"""
+    WITH {_duck_sigs_cte()}{_duck_bands_cte()},
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             {_duck_match_frac()} AS est_jaccard
+      {_DUCK_BAND_PAIRS}
+    ),
+    cand1 AS (
+      SELECT DISTINCT doc_a, doc_b, est_jaccard FROM cand
+    ),
+    {_duck_shingles_cte("j", with_hashed=False)},
+    jsizes AS (SELECT doc_id, COUNT(*) AS set_size FROM jsh GROUP BY doc_id),
+    jshared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM jsh a JOIN jsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT s.doc_a, s.doc_b,
+             CAST(s.shared AS DOUBLE)
+             / (sa.set_size + sb.set_size - s.shared) AS jaccard
+      FROM jshared s
+      JOIN jsizes sa ON sa.doc_id = s.doc_a
+      JOIN jsizes sb ON sb.doc_id = s.doc_b
+    )
+    SELECT CAST(round(c.est_jaccard * 16) AS BIGINT) AS est_sixteenths,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(round(COALESCE(e.jaccard, 0.0), 4) AS DECIMAL(18,4)))
+                AS DOUBLE) AS sum_exact
+    FROM cand1 c LEFT JOIN exact e
+      ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+    GROUP BY 1
+    """,
+    tags=("dedup", "M5", "minhash", "lsh", "evaluation"),
+    doc="LSH estimator calibration: candidate pairs bucketed by their "
+    "MinHash-estimated Jaccard (exact sixteenths — k=16 matching "
+    "components), with pair counts and the summed exact Jaccard per "
+    "bucket (quantized DECIMAL so the sum is order-free). Reading "
+    "est vs exact per bucket is how you choose band/row parameters; "
+    "complements dd_lsh_recall (which scores only the >= 0.9 truth).",
+)
+def dd_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(minhash_signatures(docs))
+    exact = shingle_pair_counts(docs).select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("shared").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("shared"))
+        ).alias("jaccard"),
+    )
+    return (
+        cand.join(exact, ["doc_a", "doc_b"], "left")
+        .groupBy(
+            F.round(F.col("est_jaccard") * 16).cast("long").alias("est_sixteenths")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.round(F.coalesce("jaccard", F.lit(0.0)), 4).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("sum_exact"),
+        )
+    )
