@@ -1964,3 +1964,146 @@ def dd_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_exact"),
         )
     )
+
+
+@register(
+    "dd_cluster_size_hist",
+    oracle=f"""
+    WITH RECURSIVE {_duck_sigs_cte()}{_duck_bands_cte()},
+    near_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      {_DUCK_BAND_PAIRS}
+      WHERE {_duck_match_frac()} >= 0.9
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM near_pairs
+      UNION
+      SELECT doc_b, doc_a FROM near_pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+    ),
+    comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    members AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size FROM members GROUP BY cluster_id
+    )
+    SELECT cluster_size, COUNT(*) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+    tags=("dedup", "M5", "minhash", "lsh", "iterative", "evaluation"),
+    doc="Duplicate-cluster size distribution: how many clusters of "
+    "each size the corpus holds and how many documents they cover — "
+    "the one-glance duplication profile (mass in size-1 = unique "
+    "corpus; a fat tail = template farms). Two partial-agg shuffles "
+    "over the cluster assignment.",
+)
+def dd_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sizes = (
+        dd_duplicate_clusters(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )
+
+
+@register(
+    "sim_mutual_knn",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {duck_quantize('embedding')} AS qvec FROM embeddings
+    ),
+    qn AS (
+      SELECT vec_id, qvec, {duck_dot('qvec', 'qvec')} AS qnorm FROM q
+    ),
+    bucketed AS (
+      SELECT vec_id, qvec, qnorm,
+             {duck_rp_bucket("qvec", _KNN_PLANES)} AS rp_bucket
+      FROM qn
+    ),
+    knn AS (
+      SELECT src, dst, cosine FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               {duck_cosine(duck_dot('a.qvec', 'b.qvec'), 'a.qnorm', 'b.qnorm')} AS cosine,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {duck_cosine(duck_dot('a.qvec', 'b.qvec'), 'a.qnorm', 'b.qnorm')} DESC,
+                          b.vec_id) AS rank
+        FROM bucketed a JOIN bucketed b
+          ON a.rp_bucket = b.rp_bucket AND a.vec_id <> b.vec_id
+      ) WHERE rank <= {KNN_K}
+    )
+    SELECT a.src AS id_a, a.dst AS id_b, a.cosine
+    FROM knn a JOIN knn b ON b.src = a.dst AND b.dst = a.src
+    WHERE a.src < a.dst
+    """,
+    tags=("similarity", "M5", "ann", "lsh", "graph"),
+    doc="Mutual k-NN edges: keep only pairs where EACH side ranks the "
+    "other in its top-3 — the symmetric graph density-based clustering "
+    "and dedup actually build on (one-directional neighbors of a hub "
+    "are noise; mutual edges are the high-precision core). One "
+    "self-join of the k-NN edge list on the reversed pair.",
+)
+def sim_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.operators.similarity import knn_graph
+
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    knn = knn_graph(emb, _KNN_PLANES, k=KNN_K).select("src", "dst", "cosine")
+    rev = knn.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
+    return (
+        knn.join(rev, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("id_a"), F.col("dst").alias("id_b"), "cosine"
+        )
+    )
+
+
+@register(
+    "win_wow_growth",
+    oracle="""
+    WITH weekly AS (
+      SELECT event_type, date_trunc('week', ts) AS wk,
+             SUM(CAST(value AS DECIMAL(18,2))) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(wk, '%Y-%m-%d') AS week_start,
+           CAST(total AS DOUBLE) AS total,
+           CAST(lag(total) OVER w AS DOUBLE) AS prev_total,
+           round(CAST(total AS DOUBLE)
+                 / CAST(lag(total) OVER w AS DOUBLE) - 1.0, 6) AS wow_growth
+    FROM weekly
+    WINDOW w AS (PARTITION BY event_type ORDER BY wk)
+    """,
+    tags=("window", "analytics", "M5"),
+    doc="Week-over-week growth per series from the weekly rollup: "
+    "lag(1) + ratio, the standard trend KPI. First week's growth is "
+    "NULL (no prior); window partitions hold one row per week of the "
+    "series. Exact DECIMAL weekly sums; the growth ratio divides "
+    "identical doubles in both engines, rounded to 1e-6.",
+)
+def win_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type", F.date_trunc("week", "ts").alias("wk")
+    ).agg(F.sum(F.col("value").cast(MONEY)).alias("total"))
+    w = W.partitionBy("event_type").orderBy("wk")
+    prev = F.lag("total").over(w)
+    return weekly.select(
+        "event_type",
+        F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+        F.col("total").cast("double").alias("total"),
+        prev.cast("double").alias("prev_total"),
+        F.round(
+            F.col("total").cast("double") / prev.cast("double") - F.lit(1.0), 6
+        ).alias("wow_growth"),
+    )
