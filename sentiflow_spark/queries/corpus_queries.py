@@ -2107,3 +2107,57 @@ def win_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total").cast("double") / prev.cast("double") - F.lit(1.0), 6
         ).alias("wow_growth"),
     )
+
+
+DD_CURVE_THRESHOLDS = (0.6, 0.7, 0.8, 0.9)
+
+
+@register(
+    "dd_threshold_curve",
+    oracle=f"""
+    WITH {_duck_shingles_cte(with_hashed=False)},
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT s.doc_a, s.doc_b,
+             CAST(s.shared AS DOUBLE)
+             / (sa.set_size + sb.set_size - s.shared) AS jaccard
+      FROM shared s
+      JOIN sizes sa ON sa.doc_id = s.doc_a
+      JOIN sizes sb ON sb.doc_id = s.doc_b
+    )
+    {" UNION ALL ".join(
+        f"SELECT {t!r} AS threshold, "
+        f"(SELECT COUNT(*) FROM exact WHERE jaccard >= {t!r}) AS n_pairs, "
+        f"(SELECT COUNT(DISTINCT doc_b) FROM exact WHERE jaccard >= {t!r}) AS n_docs_flagged"
+        for t in DD_CURVE_THRESHOLDS)}
+    """,
+    tags=("dedup", "M5", "jaccard", "evaluation"),
+    doc="Dedup aggressiveness curve: pair count and flagged-doc count "
+    "(higher id of each pair, first-wins convention) at Jaccard "
+    "thresholds 0.6-0.9 from ONE pass of the exact pair statistics — "
+    "the knob-setting view a curation owner reads before fixing a "
+    "production threshold. The pair join runs once; each threshold is "
+    "a conditional count over its result.",
+)
+def dd_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    exact = shingle_pair_counts(docs).select(
+        "doc_b",
+        (
+            F.col("shared").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("shared"))
+        ).alias("jaccard"),
+    )
+    out = None
+    for t in DD_CURVE_THRESHOLDS:
+        row = exact.filter(F.col("jaccard") >= t).agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("doc_b").alias("n_docs_flagged"),
+        ).select(F.lit(t).alias("threshold"), "n_pairs", "n_docs_flagged")
+        out = row if out is None else out.unionAll(row)
+    return out
