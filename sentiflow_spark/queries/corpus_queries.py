@@ -2131,7 +2131,7 @@ DD_CURVE_THRESHOLDS = (0.6, 0.7, 0.8, 0.9)
       JOIN sizes sb ON sb.doc_id = s.doc_b
     )
     {" UNION ALL ".join(
-        f"SELECT {t!r} AS threshold, "
+        f"SELECT CAST({t!r} AS DOUBLE) AS threshold, "
         f"(SELECT COUNT(*) FROM exact WHERE jaccard >= {t!r}) AS n_pairs, "
         f"(SELECT COUNT(DISTINCT doc_b) FROM exact WHERE jaccard >= {t!r}) AS n_docs_flagged"
         for t in DD_CURVE_THRESHOLDS)}
