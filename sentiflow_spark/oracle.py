@@ -89,13 +89,51 @@ class ParityReport:
     oracle_hash: str
     sample_diff: list[str]
 
+    type_mismatch: list[str] | None = None
+
     @property
     def ok(self) -> bool:
         return (
             self.spark_rows == self.oracle_rows
             and self.spark_cols == self.oracle_cols
             and self.spark_hash == self.oracle_hash
+            and not self.type_mismatch
         )
+
+
+_TYPE_CLASSES = (
+    (bool, "bool"),
+    (int, "int"),
+    (float, "float"),
+    (decimal.Decimal, "decimal"),
+    (_dt.datetime, "timestamp"),
+    (_dt.date, "date"),
+    (str, "str"),
+    ((bytes, bytearray), "binary"),
+    ((list, tuple), "array"),
+    (dict, "map"),
+)
+
+
+def _type_sig(cols: list[str], rows: list[tuple]) -> dict[str, str]:
+    """Broad type class per column from the first non-null cell.
+    Canonicalization coerces Decimal→float for VALUE comparison, which
+    is correct when both engines emit the same class — but it would
+    MASK a query whose Spark side emits DOUBLE while its oracle emits
+    DECIMAL (a real schema divergence the external driver may flag).
+    This signature keeps the class visible."""
+    sig: dict[str, str] = {}
+    for i, c in enumerate(cols):
+        for r in rows:
+            v = r[i]
+            if v is None:
+                continue
+            for types, label in _TYPE_CLASSES:
+                if isinstance(v, types):
+                    sig[c] = label
+                    break
+            break
+    return sig
 
 
 def compare(
@@ -125,6 +163,13 @@ def compare(
             diff.append(f"row count differs: spark={len(s_sorted)} duck={len(o_sorted)}")
             extra = s_sorted[len(o_sorted):] or o_sorted[len(s_sorted):]
             diff.extend(extra[:3])
+    s_sig = _type_sig(s_cols, s_rows)
+    o_sig = _type_sig(o_cols, o_rows)
+    mismatches = [
+        f"{c}: spark={s_sig[c]} duck={o_sig[c]}"
+        for c in sorted(set(s_sig) & set(o_sig))
+        if s_sig[c] != o_sig[c]
+    ]
     return ParityReport(
         name=name,
         spark_rows=len(s_rows),
@@ -134,6 +179,7 @@ def compare(
         spark_hash=value_hash(s_cols, s_rows),
         oracle_hash=value_hash(o_cols, o_rows),
         sample_diff=diff,
+        type_mismatch=mismatches or None,
     )
 
 
