@@ -2161,3 +2161,76 @@ def dd_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(t).alias("threshold"), "n_pairs", "n_docs_flagged")
         out = row if out is None else out.unionAll(row)
     return out
+
+
+K_ANON = 5
+
+
+@register(
+    "rel_k_anonymity",
+    oracle=f"""
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS n
+      FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source, n
+    FROM cells WHERE n < {K_ANON}
+    """,
+    tags=("relational", "M5", "privacy", "audit"),
+    doc=f"k-anonymity audit (k={K_ANON}) over the quasi-identifier "
+    "pair (lang, source): any equivalence class smaller than k is a "
+    "re-identification risk a privacy review must resolve before the "
+    "corpus ships (suppress, generalize, or merge the cell). One "
+    "partial-agg shuffle on the quasi-identifier tuple; the output is "
+    "the violation list itself (empty = pass), the same gate shape as "
+    "rel_dq_audit and the complement of txt_pii_redact's value-level "
+    "masking.",
+)
+def rel_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") < K_ANON)
+    )
+
+
+@register(
+    "rel_benford_check",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM obs)
+    SELECT d AS first_digit, n,
+           round(CAST(n AS DOUBLE) / (SELECT t FROM tot), 6) AS observed_p,
+           round(log10(1.0 + 1.0 / d), 6) AS benford_p
+    FROM obs
+    """,
+    tags=("relational", "M5", "statistics", "audit"),
+    doc="Benford's-law first-digit check over order totals — the "
+    "classic fabricated-data / pipeline-corruption smoke test: "
+    "observed first-digit shares vs log10(1 + 1/d). First digit "
+    "extracted through integer-string truncation (no log-of-value "
+    "float path, so binning is exact); shares and the reference curve "
+    "round at 1e-6. Map-side digit extraction + one 9-group agg.",
+)
+def rel_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    digits = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.col("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").cast("double").alias("t"))
+    return obs.join(F.broadcast(tot)).select(
+        F.col("d").alias("first_digit"),
+        "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("observed_p"),
+        F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d")), 6).alias("benford_p"),
+    )
