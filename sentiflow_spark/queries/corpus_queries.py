@@ -2199,7 +2199,7 @@ def rel_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_benford_check",
     oracle="""
     WITH digits AS (
-      SELECT CAST(substr(CAST(CAST(o_totalprice AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS d
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS d
       FROM orders WHERE o_totalprice >= 1
     ),
     obs AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
@@ -2219,10 +2219,10 @@ def rel_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rel_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
+    # explicit floor: Spark's double->bigint cast truncates while
+    # DuckDB's ROUNDS, so a bare cast flips first digits at 9xx99.99+
     digits = orders.filter(F.col("o_totalprice") >= 1).select(
-        F.substring(
-            F.col("o_totalprice").cast("bigint").cast("string"), 1, 1
-        )
+        F.substring(F.floor("o_totalprice").cast("string"), 1, 1)
         .cast("int")
         .alias("d")
     )
