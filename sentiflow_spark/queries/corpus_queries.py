@@ -2245,3 +2245,99 @@ def rel_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n").cast("double") / F.col("t"), 6).alias("observed_p"),
         F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d")), 6).alias("benford_p"),
     )
+
+
+HIST_LO, HIST_HI, HIST_BUCKETS = 0.0, 600_000.0, 20
+_HIST_W = (HIST_HI - HIST_LO) / HIST_BUCKETS
+
+
+@register(
+    "rel_histogram_equiwidth",
+    oracle=f"""
+    SELECT bucket,
+           CAST({HIST_LO!r} + bucket * {_HIST_W!r} AS DOUBLE) AS lo,
+           CAST({HIST_LO!r} + (bucket + 1) * {_HIST_W!r} AS DOUBLE) AS hi,
+           COUNT(*) AS n
+    FROM (
+      SELECT least(CAST(floor((o_totalprice - {HIST_LO!r}) / {_HIST_W!r}) AS BIGINT),
+                   {HIST_BUCKETS - 1}) AS bucket
+      FROM orders
+      WHERE o_totalprice >= {HIST_LO!r} AND o_totalprice <= {HIST_HI!r}
+    ) GROUP BY bucket
+    """,
+    tags=("relational", "M5", "statistics"),
+    doc=f"Equi-width histogram ({HIST_BUCKETS} buckets over "
+    "[0, 600k]) of order totals — the value-distribution profile "
+    "complementing rel_column_stats' quantiles; fixed published "
+    "bounds so bucketing needs no pre-pass and stays map-side (one "
+    "partial-agg shuffle of at most bucket-count groups). The top "
+    "edge folds into the last bucket (least()), matching both "
+    "engines' floor semantics on identical doubles.",
+)
+def rel_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - HIST_LO) / _HIST_W).cast("long"),
+        F.lit(HIST_BUCKETS - 1).cast("long"),
+    )
+    return (
+        orders.filter(
+            (F.col("o_totalprice") >= HIST_LO) & (F.col("o_totalprice") <= HIST_HI)
+        )
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.lit(HIST_LO) + F.col("bucket") * _HIST_W).alias("lo"),
+            (F.lit(HIST_LO) + (F.col("bucket") + 1) * _HIST_W).alias("hi"),
+            "n",
+        )
+    )
+
+
+VOCAB_TOP_N = 1000
+
+
+@register(
+    "txt_vocab_coverage",
+    oracle=f"""
+    WITH {_DUCK_TOKS},
+    counts AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+    total AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts),
+    topv AS (
+      SELECT n FROM counts ORDER BY n DESC, term LIMIT {VOCAB_TOP_N}
+    )
+    SELECT (SELECT COUNT(*) FROM counts) AS vocab_size,
+           (SELECT t FROM total) AS total_tokens,
+           CAST((SELECT SUM(n) FROM topv) AS BIGINT) AS covered_tokens,
+           round(CAST((SELECT SUM(n) FROM topv) AS DOUBLE)
+                 / (SELECT t FROM total), 6) AS coverage
+    """,
+    tags=("text", "M5", "statistics"),
+    doc=f"Vocabulary coverage: what share of all corpus tokens the "
+    f"top-{VOCAB_TOP_N} terms cover — the number that sizes a "
+    "tokenizer vocabulary or a stopword list. One term-count "
+    "partial agg, a TakeOrdered top-N (k rows to the driver), and "
+    "two scalar aggregates; no windows.",
+)
+def txt_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    counts = _tokens(docs).groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("n").cast("long").alias("total_tokens"),
+    )
+    topv = (
+        counts.orderBy(F.col("n").desc(), "term")
+        .limit(VOCAB_TOP_N)
+        .agg(F.sum("n").cast("long").alias("covered_tokens"))
+    )
+    return total.join(topv).select(
+        "vocab_size",
+        "total_tokens",
+        "covered_tokens",
+        F.round(
+            F.col("covered_tokens").cast("double") / F.col("total_tokens"), 6
+        ).alias("coverage"),
+    )
