@@ -13,12 +13,16 @@
 - text/curation: robust length outliers (txt_robust_outliers),
   blocklist gate (txt_blocklist_filter), count-min-sketch heavy
   hitters (txt_heavy_hitters_cms)
-- similarity: bucketed k-NN graph (sim_knn_graph)
+- similarity: bucketed k-NN graph (sim_knn_graph), int8
+  scalar-quantization recall gate (sim_sq8_recall)
 - multimodal: payload content-hash dedup (mm_content_dedup)
 - time-series/analytics: retention cohorts (win_retention_cohorts),
   rolling z-score anomalies (win_anomaly_zscore), gap filling by LOCF
   and by linear interpolation (win_gapfill_locf/_interp), last-touch
-  attribution (win_attribution_last_touch)
+  attribution (win_attribution_last_touch), unrolled-EWMA smoothing
+  (win_ewma_halflife)
+- curation reporting: temperature mixing table (txt_mix_temperature),
+  gate funnel (txt_curation_funnel)
 - relational/ops: interval-overlap join (rel_interval_overlap_join),
   batch CDC apply (rel_cdc_apply), data-quality audit (rel_dq_audit),
   ANALYZE-style column stats (rel_column_stats)
@@ -68,6 +72,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from sentiflow_spark.functions.hashing import duck_md5_i32
 from sentiflow_spark.functions.numeric import MONEY
 from sentiflow_spark.functions.text import WORD_RE, duck_fingerprint
 from sentiflow_spark.functions.vectors import (
@@ -92,6 +97,12 @@ from sentiflow_spark.queries.dedup_queries import (
     dd_duplicate_clusters,
 )
 from sentiflow_spark.queries.registry import register
+from sentiflow_spark.queries.similarity_queries import (
+    _DUCK_Q_CTE,
+    _DUCK_SCORE,
+    N_PROBES,
+    TOP_K,
+)
 from sentiflow_spark.queries.retrieval_queries import (
     _DUCK_BM25_CTES,
     _DUCK_BM25_TOPK,
@@ -2341,3 +2352,411 @@ def txt_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("covered_tokens").cast("double") / F.col("total_tokens"), 6
         ).alias("coverage"),
     )
+
+
+# ------------------------------------------------- int8 scalar quantization
+
+SQ8_MAX = 127.0
+
+_DUCK_SQ8_CTES = f"""
+s8 AS (
+  SELECT vec_id,
+         {SQ8_MAX!r} / greatest(
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+           1e-9) AS scale,
+         embedding
+  FROM embeddings
+),
+q8 AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * scale) AS BIGINT)) AS qv
+  FROM s8
+),
+q8n AS (
+  SELECT vec_id, qv, {duck_dot('qv', 'qv')} AS qn FROM q8
+)"""
+
+
+@register(
+    "sim_sq8_recall",
+    oracle=f"""
+    WITH {_DUCK_Q_CTE},
+    {_DUCK_SQ8_CTES},
+    bf AS (
+      SELECT probe_id, cand_id FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {_DUCK_SCORE} DESC, c.vec_id) AS rank
+        FROM qn p JOIN qn c ON c.vec_id <> p.vec_id
+        WHERE p.vec_id < {N_PROBES}
+      ) WHERE rank <= {TOP_K}
+    ),
+    sq AS (
+      SELECT probe_id, cand_id FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {duck_cosine(duck_dot('p.qv', 'c.qv'), 'p.qn', 'c.qn')} DESC,
+                                           c.vec_id) AS rank
+        FROM q8n p JOIN q8n c ON c.vec_id <> p.vec_id
+        WHERE p.vec_id < {N_PROBES}
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT bf.probe_id,
+           CAST(SUM(CASE WHEN s.cand_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits,
+           round(SUM(CASE WHEN s.cand_id IS NULL THEN 0.0 ELSE 1.0 END) / {TOP_K}, 4)
+             AS recall_at_k
+    FROM bf LEFT JOIN sq s
+      ON s.probe_id = bf.probe_id AND s.cand_id = bf.cand_id
+    GROUP BY bf.probe_id
+    """,
+    tags=("similarity", "M5", "ann", "eval", "bench"),
+    doc=f"int8 scalar-quantization recall: each vector is affinely "
+    "quantized to 8-bit codes with a per-vector max-abs scale (the "
+    "classic SQ8 index compression — 4x fewer bytes than fp32, so a "
+    "scan-bound brute-force pass at 100 TB reads a quarter of the "
+    "I/O), then recall@k of the quantized ranking is measured against "
+    "the exact baseline per probe — the same accept/reject gate shape "
+    "as sim_ivf_recall, for the compression axis instead of the "
+    "partition-pruning axis. Per-vector scales cancel in cosine, so "
+    "SQ8 error comes only from the rounding, which this query "
+    "quantifies. Deterministic: scale is one IEEE division off an "
+    "exact max-abs; codes are exact ints; code dot products are exact "
+    "int64; ranking totals order by (cosine DESC, cand_id).",
+)
+def sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.functions.vectors import norm_sq
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = with_quantized(emb)
+    maxabs = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    scale = F.lit(SQ8_MAX) / F.greatest(maxabs, F.lit(1e-9))
+    q8 = (
+        emb.withColumn(
+            "qvec",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * scale, 0).cast("long"),
+            ),
+        )
+        .withColumn("qnorm", norm_sq(F.col("qvec")))
+    )
+    bf = brute_force_topk(
+        exact, exact.filter(F.col("vec_id") < N_PROBES), k=TOP_K
+    ).select("probe_id", "cand_id")
+    sq = (
+        brute_force_topk(q8, q8.filter(F.col("vec_id") < N_PROBES), k=TOP_K)
+        .select("probe_id", "cand_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bf.join(sq, ["probe_id", "cand_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)).cast("double"))
+                / F.lit(TOP_K),
+                4,
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+# --------------------------------------------- temperature-based source mix
+
+MIX_ALPHA = 0.3
+
+
+@register(
+    "txt_mix_temperature",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS DOUBLE) AS t, CAST(SUM(n) AS BIGINT) AS ti
+      FROM counts
+    ),
+    w AS (
+      SELECT lang, CAST(n AS BIGINT) AS n,
+             CAST(round(pow(CAST(n AS DOUBLE) / (SELECT t FROM tot),
+                            {MIX_ALPHA!r}), 8) AS DECIMAL(12,8)) AS wt
+      FROM counts
+    ),
+    sw AS (SELECT SUM(wt) AS s FROM w)
+    SELECT lang, n,
+           CAST(wt AS DOUBLE) AS weight,
+           round(CAST(wt AS DOUBLE) / CAST((SELECT s FROM sw) AS DOUBLE), 6)
+             AS share,
+           CAST(round(round(CAST(wt AS DOUBLE) / CAST((SELECT s FROM sw) AS DOUBLE), 6)
+                      * (SELECT ti FROM tot)) AS BIGINT) AS expected_docs
+    FROM w
+    """,
+    tags=("text", "M5", "curation"),
+    doc=f"Temperature-based language mixing (alpha={MIX_ALPHA}): "
+    "sampling weights proportional to p^alpha — the standard "
+    "multilingual-training rebalance that upsamples tail languages "
+    "without letting any head language dominate (alpha=1 keeps the "
+    "natural mix, alpha->0 approaches uniform). Output is the mixing "
+    "table itself: per-language natural share, temperature weight, "
+    "normalized share, and expected docs per epoch. One partial-agg "
+    "shuffle over the corpus; everything after is per-language rows "
+    "(tiny by construction). Applying the resulting keep/repeat rates "
+    "back onto the scan is txt_lang_rebalance's map-side shape. "
+    "Determinism: pow() is quantized at 1e-8 before the DECIMAL "
+    "normalization sum (both engines' pow agree to ~1 ulp at 1e-17 — "
+    "a 1e-8 rounding flip would need an exact boundary hit); shares "
+    "round at 1e-6.",
+)
+def txt_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").cast("double").alias("t"), F.sum("n").cast("long").alias("ti")
+    )
+    w = counts.join(F.broadcast(tot)).select(
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.pow(F.col("n").cast("double") / F.col("t"), MIX_ALPHA), 8)
+        .cast("decimal(12,8)")
+        .alias("wt"),
+        "ti",
+    )
+    sw = w.agg(F.sum("wt").alias("s"))
+    share = F.round(
+        F.col("wt").cast("double") / F.col("s").cast("double"), 6
+    )
+    return w.join(F.broadcast(sw)).select(
+        "lang",
+        "n",
+        F.col("wt").cast("double").alias("weight"),
+        share.alias("share"),
+        F.round(share * F.col("ti"), 0).cast("long").alias("expected_docs"),
+    )
+
+
+# ------------------------------------------------------ map-side gate funnel
+
+FUNNEL_LEN_LO, FUNNEL_LEN_HI = 100, 500
+FUNNEL_LANGS = ("en", "es", "de", "fr")
+_FUNNEL_LANGS_SQL = ", ".join(f"'{code}'" for code in FUNNEL_LANGS)
+
+
+@register(
+    "txt_curation_funnel",
+    oracle=f"""
+    WITH f AS (
+      SELECT
+        n_chars BETWEEN {FUNNEL_LEN_LO} AND {FUNNEL_LEN_HI} AS g1,
+        lang IN ({_FUNNEL_LANGS_SQL}) AS g2,
+        len(list_distinct(regexp_extract_all(text, '{WORD_RE}'))) * 2
+          >= len(regexp_extract_all(text, '{WORD_RE}')) AS g3,
+        NOT ({" OR ".join(f"contains(text, '{p}')" for p in BLOCKLIST)}) AS g4
+      FROM documents
+    ),
+    a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+             CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+             CAST(SUM(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+             CAST(SUM(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+      FROM f
+    )
+    SELECT 0 AS stage_idx, 'ingest' AS stage, s0 AS survivors, CAST(0 AS BIGINT) AS dropped FROM a
+    UNION ALL SELECT 1, 'length', s1, s0 - s1 FROM a
+    UNION ALL SELECT 2, 'lang_whitelist', s2, s1 - s2 FROM a
+    UNION ALL SELECT 3, 'uniq_tokens', s3, s2 - s3 FROM a
+    UNION ALL SELECT 4, 'blocklist', s4, s3 - s4 FROM a
+    """,
+    tags=("text", "M5", "curation", "report"),
+    doc="Curation funnel report: the per-gate survivor/drop counts a "
+    "pipeline owner reads to see WHERE documents die — length bounds, "
+    "language whitelist, unique-token ratio (>=0.5, compared as "
+    "integer cross-multiplication so no division is involved), and "
+    "the blocklist phrase gate, applied cumulatively in that order. "
+    "All four gates are map-side column expressions over one scan; "
+    "the whole funnel is ONE aggregate of conditional sums (no "
+    "per-stage re-scan), then five literal rows. At 100 TB this is "
+    "the cheapest possible shape: scan once, partial-agg to a single "
+    "row.",
+)
+def txt_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(F.col("text"), F.lit(WORD_RE), 0)
+    g1 = F.col("n_chars").between(FUNNEL_LEN_LO, FUNNEL_LEN_HI)
+    g2 = F.col("lang").isin(*FUNNEL_LANGS)
+    g3 = F.size(F.array_distinct(words)) * 2 >= F.size(words)
+    g4 = ~sum(
+        (F.col("text").contains(p).cast("int") for p in BLOCKLIST), F.lit(0)
+    ).cast("boolean")
+    cnt = lambda c: F.sum(c.cast("int")).cast("long")  # noqa: E731
+    a = docs.agg(
+        F.count(F.lit(1)).alias("s0"),
+        cnt(g1).alias("s1"),
+        cnt(g1 & g2).alias("s2"),
+        cnt(g1 & g2 & g3).alias("s3"),
+        cnt(g1 & g2 & g3 & g4).alias("s4"),
+    )
+    return a.selectExpr(
+        "stack(5, "
+        "0, 'ingest',         s0, CAST(0 AS BIGINT), "
+        "1, 'length',         s1, s0 - s1, "
+        "2, 'lang_whitelist', s2, s1 - s2, "
+        "3, 'uniq_tokens',    s3, s2 - s3, "
+        "4, 'blocklist',      s4, s3 - s4) "
+        "AS (stage_idx, stage, survivors, dropped)"
+    )
+
+
+# ------------------------------------------------- EWMA smoothing (dyadic)
+
+EWMA_LAGS = 12  # truncated exponential lookback, half-life = 1 bucket
+_EWMA_WEIGHTS = [(j, 0.5 ** (j + 1)) for j in range(EWMA_LAGS)]
+_EWMA_VALUES_SQL = ", ".join(f"({j}, {w!r})" for j, w in _EWMA_WEIGHTS)
+
+
+@register(
+    "win_ewma_halflife",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600 AS h_idx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT event_type, MIN(h_idx) AS h0, MAX(h_idx) AS h1 FROM hourly GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type, h0 + unnest(range(h1 - h0 + 1)) AS h_idx FROM spans
+    ),
+    dense AS (
+      SELECT s.event_type, s.h_idx, COALESCE(h.n, 0) AS n
+      FROM spine s LEFT JOIN hourly h
+        ON h.event_type = s.event_type AND h.h_idx = s.h_idx
+    ),
+    lags(lag, w) AS (VALUES {_EWMA_VALUES_SQL}),
+    agg AS (
+      SELECT event_type, h_idx + lag AS target,
+             SUM(n * w) AS num, SUM(w) AS den
+      FROM dense, lags GROUP BY 1, 2
+    )
+    SELECT d.event_type,
+           strftime(make_timestamp(d.h_idx * 3600 * 1000000), '{TS_FMT_DUCK}')
+             AS window_start,
+           d.n,
+           a.num / a.den AS ewma
+    FROM dense d JOIN agg a
+      ON a.event_type = d.event_type AND a.target = d.h_idx
+    """,
+    tags=("window", "timeseries", "M5", "analytics", "bench"),
+    doc=f"Exponentially-weighted moving average (half-life = 1 bucket, "
+    f"lookback truncated at {EWMA_LAGS}) over the dense hourly event "
+    "count spine — the smoothing pass feeding alerting/trend views. "
+    "The EWMA recurrence is order-dependent and therefore hostile to "
+    "distributed execution; unrolling it to a fixed-depth weighted "
+    "sum (truncation error <= 2^-12 relative, folded into the metric "
+    "definition) turns it into a bounded 12x lag-replication "
+    "EQUI-join + one partial agg — no window, no sequential scan, "
+    "per-target state is 12 rows at any corpus width. Early buckets "
+    "renormalize over the weights actually present. Bit-deterministic "
+    "by construction: weights are dyadic (2^-(j+1)) literals, counts "
+    "are integers, so every product and partial sum is exact in "
+    "double at any addition order (< 52 significant bits).",
+)
+def win_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp(F.date_trunc("hour", "ts")) / F.lit(3600))
+        .cast("long")
+        .alias("h_idx"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    spans = hourly.groupBy("event_type").agg(
+        F.min("h_idx").alias("h0"), F.max("h_idx").alias("h1")
+    )
+    spine = spans.select(
+        "event_type", F.explode(F.sequence("h0", "h1")).alias("h_idx")
+    )
+    dense = spine.join(hourly, ["event_type", "h_idx"], "left").select(
+        "event_type", "h_idx", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    lags = spark.createDataFrame(_EWMA_WEIGHTS, "lag INT, w DOUBLE")
+    agg = (
+        dense.join(F.broadcast(lags))
+        .groupBy(
+            F.col("event_type").alias("agg_type"),
+            (F.col("h_idx") + F.col("lag")).alias("target"),
+        )
+        .agg(F.sum(F.col("n") * F.col("w")).alias("num"), F.sum("w").alias("den"))
+    )
+    return dense.join(
+        agg,
+        (F.col("event_type") == F.col("agg_type"))
+        & (F.col("h_idx") == F.col("target")),
+    ).select(
+        "event_type",
+        F.date_format(
+            F.timestamp_seconds(F.col("h_idx") * 3600), TS_FMT_SPARK
+        ).alias("window_start"),
+        "n",
+        (F.col("num") / F.col("den")).alias("ewma"),
+    )
+
+
+# ------------------------------------------- deterministic weighted sampling
+
+WSAMP_K = 100
+WSAMP_SALT = "wsamp42:"
+
+
+@register(
+    "txt_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             round(
+               -ln((({duck_md5_i32(f"'{WSAMP_SALT}' || CAST(doc_id AS VARCHAR)")}) % 1000000 + 1)
+                   / 1000001.0)
+               / n_chars, 10) AS priority
+      FROM documents
+    )
+    SELECT doc_id, weight, priority FROM keyed
+    ORDER BY priority, doc_id LIMIT {WSAMP_K}
+    """,
+    tags=("text", "M5", "curation", "sampling"),
+    doc=f"Weighted sampling without replacement (top-{WSAMP_K}, "
+    "weight = document length): the exponential-keys / A-ES scheme — "
+    "priority = -ln(u)/w with u a deterministic per-doc hash uniform, "
+    "smallest-k priorities win — so inclusion probability is "
+    "proportional to weight, the sample is reproducible across runs "
+    "and engines (no RNG), and the plan is one scan + a distributed "
+    "TakeOrdered (per-partition partial top-k, k rows to the driver; "
+    "no global sort materializes). This is the length-proportional "
+    "subsample a training mix uses to hit a token budget rather than "
+    "a document budget. Determinism: u has 1e-6 granularity from an "
+    "exact integer hash, ln() agrees across engines to ~1 ulp and the "
+    "priority is quantized at 1e-10 before ranking (ties then break "
+    "by doc_id identically); swept at all three scale factors.",
+)
+def txt_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.functions.hashing import md5_i32
+
+    docs = load(spark, sf_dir, "documents")
+    u = (
+        (
+            md5_i32(F.concat(F.lit(WSAMP_SALT), F.col("doc_id").cast("string")))
+            % 1000000
+            + 1
+        )
+        / F.lit(1000001.0)
+    )
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.round(-F.log(u) / F.col("n_chars"), 10).alias("priority"),
+    )
+    return keyed.orderBy("priority", "doc_id").limit(WSAMP_K)

@@ -465,3 +465,59 @@ def st_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_stream(spark, sf_dir, "events")
     return run_to_table(streaming_kmv_distinct(ev), output_mode="update")
+
+
+TREND_K = 3
+
+
+@register(
+    "st_trending_topk",
+    oracle=f"""
+    WITH counts AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, k, n, rank FROM (
+      SELECT window_start, k, n,
+             row_number() OVER (PARTITION BY window_start
+                                ORDER BY n DESC, k) AS rank
+      FROM counts
+    ) WHERE rank <= {TREND_K}
+    """,
+    tags=("streaming", "event-time", "M3", "W4", "P6"),
+    doc=f"Streaming trending top-{TREND_K}: JSON payload field parsed "
+    "in-stream (P6 under streaming execution), watermarked hourly "
+    "tumbling counts per parsed key, then the rank cut as a batch "
+    "post-pass over the emitted window table — the standard "
+    "production split, because rank-over-window is not an incremental "
+    "operator: the stream maintains ONLY additive (window, key) "
+    "counts (mergeable state, bounded by watermark eviction), and the "
+    "non-incremental top-k runs over the already-tiny emitted rollup. "
+    "At 100 TB/day the count state is windows x keys regardless of "
+    "event volume, and the rank input is the rollup, not the firehose.",
+)
+def st_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_stream(spark, sf_dir, "events")
+    counts = (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "k",
+            "n",
+        )
+    )
+    emitted = run_to_table(counts, output_mode="complete")
+    rank_w = W.partitionBy("window_start").orderBy(F.desc("n"), F.asc("k"))
+    return (
+        emitted.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= TREND_K)
+    )

@@ -294,3 +294,38 @@ def test_interval_overlap_is_bin_equijoin(spark, sf_dir):
     plan = I.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "bin" in I.simple_plan(df)
+
+
+def test_ewma_unrolled_no_window(spark, sf_dir):
+    """The EWMA recurrence is unrolled to a lag equi-join + partial agg
+    — if a refactor reintroduces a Window (sequential per-series scan)
+    or loses the broadcast on the 12-row lag table, this fails."""
+    df = q(spark, sf_dir, "win_ewma_halflife")
+    plan = I.simple_plan(df)
+    assert "Window" not in plan
+    assert I.count_broadcast_joins(df) >= 1  # the lag-weights table
+
+
+def test_curation_funnel_single_scan(spark, sf_dir):
+    """The whole funnel is ONE scan + one conditional-sum aggregate —
+    never a per-stage re-scan."""
+    df = q(spark, sf_dir, "txt_curation_funnel")
+    plan = I.simple_plan(df)
+    assert plan.count("FileScan") == 1
+    assert I.count_exchanges(df) <= 1  # the single-row final agg
+
+
+def test_weighted_sample_take_ordered(spark, sf_dir):
+    """Top-k by priority is a distributed TakeOrdered (per-partition
+    partial top-k), not a global sort."""
+    df = q(spark, sf_dir, "txt_weighted_sample")
+    plan = I.simple_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_sq8_recall_no_cartesian_blowup(spark, sf_dir):
+    """Both ranking arms stay broadcast-probe shaped (bounded probe set
+    against the corpus), never a shuffled cross product."""
+    df = q(spark, sf_dir, "sim_sq8_recall")
+    assert not I.has_cartesian(df)

@@ -49,6 +49,10 @@ def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[32]")
+        # the 1g pyspark default driver heap dies late in a 200-query
+        # sweep (accumulated memory-sink tables + broadcasts); size it
+        # like session.get_spark does
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
