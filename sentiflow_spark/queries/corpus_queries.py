@@ -2760,3 +2760,186 @@ def txt_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.log(u) / F.col("n_chars"), 10).alias("priority"),
     )
     return keyed.orderBy("priority", "doc_id").limit(WSAMP_K)
+
+
+# --------------------------------------------------- privacy audit family
+
+LDIV_L = 3  # minimum distinct sensitive values per QI cell
+LDIV_SENS_BUCKET = 100  # sensitive attribute: length bucket of n_chars
+
+
+@register(
+    "rel_l_diversity",
+    oracle=f"""
+    SELECT lang, source, n, n_sensitive FROM (
+      SELECT lang, source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT n_chars // {LDIV_SENS_BUCKET}) AS BIGINT)
+               AS n_sensitive
+      FROM documents GROUP BY lang, source
+    ) WHERE n_sensitive < {LDIV_L}
+    """,
+    tags=("relational", "M5", "privacy", "audit"),
+    doc=f"l-diversity audit (l={LDIV_L}) over the quasi-identifier "
+    "pair (lang, source) with document-length bucket as the sensitive "
+    "attribute: a cell all of whose members share too few distinct "
+    "sensitive values leaks the attribute even when k-anonymity "
+    "passes (the homogeneity attack) — the complement of "
+    "rel_k_anonymity's size check. Same shape and cost: one "
+    "partial-agg shuffle on the QI tuple, output is the violation "
+    "list (empty = pass).",
+)
+def rel_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(
+                F.floor(F.col("n_chars") / LDIV_SENS_BUCKET)
+            ).alias("n_sensitive"),
+        )
+        .filter(F.col("n_sensitive") < LDIV_L)
+    )
+
+
+DP_EPS = 1.0  # count sensitivity 1 => Laplace scale b = 1/eps
+DP_SALT = "dp42:"
+
+
+@register(
+    "rel_dp_noisy_counts",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    unif AS (
+      SELECT lang, n,
+             (({duck_md5_i32(f"'{DP_SALT}' || lang")}) % 1000000 + 0.5)
+               / 1000000.0 - 0.5 AS u
+      FROM counts
+    )
+    SELECT lang, n,
+           round(-{1.0 / DP_EPS!r} * sign(u) * ln(1 - 2 * abs(u)), 6) AS noise,
+           round(n + round(-{1.0 / DP_EPS!r} * sign(u) * ln(1 - 2 * abs(u)), 6), 6)
+             AS noisy_n
+    FROM unif
+    """,
+    tags=("relational", "M5", "privacy"),
+    doc=f"Laplace-mechanism noisy counts (eps={DP_EPS}, count "
+    "sensitivity 1, scale b=1/eps) over per-language document counts "
+    "— the differential-privacy release shape for published corpus "
+    "statistics. Noise comes from the inverse-CDF transform of a "
+    "SEEDED per-key hash uniform, so the release is reproducible and "
+    "both engines agree bit-for-bit; a production eps-DP release "
+    "draws fresh randomness per publication (a seeded release is "
+    "only as private as the seed), so what this query demonstrates "
+    "is the mechanism and its plan shape: one partial-agg shuffle, "
+    "noise applied map-side to the tiny aggregate. ln() agrees "
+    "across engines to ~1 ulp and is rounded at 1e-6 (same argument "
+    "as txt_weighted_sample).",
+)
+def rel_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.functions.hashing import md5_i32
+
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    u = (
+        (md5_i32(F.concat(F.lit(DP_SALT), F.col("lang"))) % 1000000 + 0.5)
+        / F.lit(1000000.0)
+        - 0.5
+    )
+    noise = F.round(
+        F.lit(-1.0 / DP_EPS) * F.signum(u) * F.log(1 - 2 * F.abs(u)), 6
+    )
+    return counts.select(
+        "lang",
+        "n",
+        noise.alias("noise"),
+        F.round(F.col("n") + noise, 6).alias("noisy_n"),
+    )
+
+
+# ------------------------------------------- per-doc similarity neighbors
+
+DOC_SIM_K = 3
+DOC_SIM_MIN_J = 0.1
+DOC_SIM_DF_CAP = 50
+
+
+@register(
+    "dd_doc_sim_topk",
+    oracle=f"""
+    WITH {_duck_shingles_cte("", with_hashed=False)},
+    dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+    keep AS (
+      SELECT sh.doc_id, sh.shingle
+      FROM sh JOIN dfreq USING (shingle) WHERE dfreq.df <= {DOC_SIM_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM keep GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM keep a JOIN keep b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT doc_a, doc_b,
+               CAST(shared AS DOUBLE) / (sa.set_size + sb.set_size - shared)
+                 AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+      ) WHERE jaccard >= {DOC_SIM_MIN_J!r}
+    ),
+    sym AS (
+      SELECT doc_a AS doc_id, doc_b AS neighbor, jaccard FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a, jaccard FROM pairs
+    )
+    SELECT doc_id, neighbor, jaccard, rank FROM (
+      SELECT doc_id, neighbor, jaccard,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY jaccard DESC, neighbor) AS rank
+      FROM sym
+    ) WHERE rank <= {DOC_SIM_K}
+    """,
+    tags=("dedup", "M5", "jaccard", "similarity"),
+    doc=f"Per-document text-similarity neighbors: top-{DOC_SIM_K} most "
+    f"similar documents by exact shingle Jaccard (>= {DOC_SIM_MIN_J} "
+    "floor) — the lexical twin of sim_knn_graph's embedding k-NN, "
+    "and the view a curation owner opens to inspect WHAT a flagged "
+    "document nearly duplicates. Pair generation is the shared "
+    "inverted-index operator (shingle_pair_counts — equi-join on "
+    f"shingle, never a cross product) DF-CAPPED at {DOC_SIM_DF_CAP}: "
+    "the 20x duplicate-heavy scale probe showed the uncapped join "
+    "degrading quadratically (292 s vs ~1 s at 1x — every replicated "
+    "shingle's posting list multiplies), and the cap bounds the join "
+    "at df_cap x postings while dropping only boilerplate shingles "
+    "that carry no similarity signal. Jaccard is over the capped "
+    "sets on BOTH sides (intersections and sizes), so the metric "
+    "stays an honest set Jaccard of the rare-shingle profile; the "
+    "floor bounds each rank partition before the window.",
+)
+def dd_doc_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = shingle_pair_counts(docs, df_cap=DOC_SIM_DF_CAP).select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("shared").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("shared"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= DOC_SIM_MIN_J)
+    sym = pairs.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("neighbor"), "jaccard"
+    ).unionAll(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("neighbor"), "jaccard"
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("jaccard"), F.asc("neighbor"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= DOC_SIM_K)
+    )
