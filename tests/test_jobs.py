@@ -493,3 +493,81 @@ def test_audit_job_fails_on_violations(spark, sf_dir, tmp_path, monkeypatch):
         ["audit", "--sf-dir", sf_dir, "--out", out, "--allow-violations"]
     )
     assert res["ok"] is False and res["failed"] == ["events_value_not_null"]
+
+
+def test_streaming_trending_counts_merge_across_batches(spark):
+    """st_trending_topk's stateful stage is the windowed (window, key)
+    count — it must converge to the one-shot batch counts no matter how
+    the input is micro-batched, because count state is additive and the
+    rank cut is a stateless post-pass. Two drip-fed runs through one
+    checkpoint must end at the batch groupBy result."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="sf_trend_")
+    src, out, ckpt = f"{d}/src", f"{d}/out", f"{d}/ckpt"
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (base + datetime.timedelta(minutes=7 * i), '{"k": %d}' % (i % 3))
+        for i in range(60)  # spans 7 hours, k in {0,1,2}
+    ]
+    schema = "ts timestamp, props string"
+
+    def counts_stage(df):
+        return (
+            df.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "k",
+                "n",
+            )
+        )
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .transform(counts_stage)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.withColumn("b", F.lit(bid))
+                .write.mode("append")
+                .parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        half1 = spark.createDataFrame(rows[:30], schema)
+        half2 = spark.createDataFrame(rows[30:], schema)
+        half1.coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        half2.coalesce(1).write.mode("append").parquet(src)
+        run_once()
+
+        emitted = spark.read.parquet(out).collect()
+        # last emission per (window, k) is the converged count
+        final = {}
+        for r in emitted:
+            key = (r.window_start, r.k)
+            if key not in final or r.b > final[key][1]:
+                final[key] = (r.n, r.b)
+        got = {k: v[0] for k, v in final.items()}
+
+        expect = {
+            (r.window_start, r.k): r.n
+            for r in counts_stage(half1.unionAll(half2)).collect()
+        }
+        assert got == expect
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

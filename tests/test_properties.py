@@ -308,3 +308,65 @@ def test_pagerank_int_matches_python_reference(spark, edges, n_iter):
         }
     assert got == rank
     assert all(v > 0 for v in got.values())
+
+
+def test_curation_funnel_reconciles(spark, sf_dir):
+    """Funnel algebra: survivors are non-increasing stage over stage,
+    and each stage's dropped equals the previous stage's survivors
+    minus its own — the counts must reconcile exactly or the gates are
+    not cumulative."""
+    from sentiflow_spark.queries.registry import load_all
+
+    rows = sorted(
+        load_all()["txt_curation_funnel"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.stage_idx,
+    )
+    assert rows[0].dropped == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.survivors <= prev.survivors
+        assert cur.dropped == prev.survivors - cur.survivors
+
+
+def test_ewma_matches_direct_convolution(spark, sf_dir):
+    """Re-derive every EWMA value in plain Python from the emitted
+    (series, bucket, n) rows: the unrolled join must equal the direct
+    truncated convolution sum(n[t-j] * 2^-(j+1)) / sum(weights) — and
+    equal it EXACTLY, because every term is dyadic."""
+    from sentiflow_spark.queries.corpus_queries import EWMA_LAGS
+    from sentiflow_spark.queries.registry import load_all
+
+    rows = load_all()["win_ewma_halflife"].fn(spark, sf_dir).collect()
+    by_series: dict[str, dict[str, int]] = {}
+    for r in rows:
+        by_series.setdefault(r.event_type, {})[r.window_start] = r.n
+    for r in rows:
+        keys = sorted(by_series[r.event_type])
+        i = keys.index(r.window_start)
+        num = den = 0.0
+        for j in range(min(EWMA_LAGS, i + 1)):
+            w = 0.5 ** (j + 1)
+            num += by_series[r.event_type][keys[i - j]] * w
+            den += w
+        assert r.ewma == num / den, (r.event_type, r.window_start)
+
+
+def test_weighted_sample_formula_and_determinism(spark, sf_dir):
+    """The sample is a pure function of the data: priorities recompute
+    bit-for-bit from the documented hash formula, and two independent
+    runs return the identical row set."""
+    import hashlib
+    import math
+
+    from sentiflow_spark.queries.corpus_queries import WSAMP_SALT
+    from sentiflow_spark.queries.registry import load_all
+
+    fn = load_all()["txt_weighted_sample"].fn
+    got = sorted(fn(spark, sf_dir).collect())
+    again = sorted(fn(spark, sf_dir).collect())
+    assert got == again
+    for r in got:
+        h = int(
+            hashlib.md5(f"{WSAMP_SALT}{r.doc_id}".encode()).hexdigest()[:8], 16
+        )
+        u = (h % 1000000 + 1) / 1000001.0
+        assert r.priority == round(-math.log(u) / r.weight, 10)
