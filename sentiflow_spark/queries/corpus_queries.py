@@ -9,7 +9,8 @@
   PageRank over the dup graph (dd_pagerank_dupgraph)
 - retrieval: query-likelihood LM (ret_query_likelihood), hybrid
   sparse+dense RRF fusion (ret_hybrid_rrf), positional phrase match
-  (ret_phrase_match), inverted-index construction (ret_build_index)
+  (ret_phrase_match), inverted-index construction (ret_build_index),
+  pseudo-relevance feedback expansion (ret_prf_expansion)
 - text/curation: robust length outliers (txt_robust_outliers),
   blocklist gate (txt_blocklist_filter), count-min-sketch heavy
   hitters (txt_heavy_hitters_cms)
@@ -2943,3 +2944,166 @@ def dd_doc_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= DOC_SIM_K)
     )
+
+
+# --------------------------------------------- b-bit MinHash (compression)
+
+from sentiflow_spark.operators.dedup import NUM_PERM as _NUM_PERM
+
+
+def _bit_frac_sql(num_perm: int) -> str:
+    terms = " + ".join(
+        f"CASE WHEN (sa.sig_{i} % 2) = (sb.sig_{i} % 2) THEN 1 ELSE 0 END"
+        for i in range(num_perm)
+    )
+    return f"({terms}) / {float(num_perm)!r}"
+
+
+@register(
+    "dd_minhash_1bit_est",
+    oracle=f"""
+    WITH {_duck_sigs_cte()}{_duck_bands_cte()},
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      {_DUCK_BAND_PAIRS}
+    ),
+    cand1 AS (SELECT DISTINCT doc_a, doc_b FROM cand)
+    SELECT c.doc_a, c.doc_b,
+           {_duck_match_frac('sa', 'sb')} AS est_full,
+           greatest(0.0, 2 * {_bit_frac_sql(_NUM_PERM)} - 1) AS est_1bit
+    FROM cand1 c
+    JOIN sigs sa ON sa.doc_id = c.doc_a
+    JOIN sigs sb ON sb.doc_id = c.doc_b
+    """,
+    tags=("dedup", "M5", "minhash", "compression", "eval"),
+    doc=f"1-bit (b-bit) MinHash estimation over the LSH candidate "
+    f"pairs: keep only the low bit of each of the {_NUM_PERM} "
+    "signature components — a 32x signature-storage compression "
+    "(16 bits vs 16 int32s per doc), the textbook b-bit MinHash "
+    "trade — and estimate Jaccard via the debiased matching-bit "
+    "fraction J = max(0, 2*frac - 1) (non-matching minima agree on "
+    "a random bit half the time). Emitting est_1bit next to the "
+    "full-signature est_full on the SAME candidate pairs is the "
+    "calibration view for adopting the compressed signatures: the "
+    "text twin of sim_sq8_recall's compression-axis gate. Candidate "
+    "generation is the shared banded equi-join (never a cross "
+    "product); both estimators are exact sixteenth fractions, "
+    "bit-identical across engines.",
+)
+def dd_minhash_1bit_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sigs).select("doc_a", "doc_b")
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(_NUM_PERM)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(_NUM_PERM)],
+    )
+    full_frac = sum(
+        (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int") for i in range(_NUM_PERM)
+    ) / F.lit(float(_NUM_PERM))
+    bit_frac = sum(
+        ((F.col(f"a_{i}") % 2) == (F.col(f"b_{i}") % 2)).cast("int")
+        for i in range(_NUM_PERM)
+    ) / F.lit(float(_NUM_PERM))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            full_frac.alias("est_full"),
+            F.greatest(F.lit(0.0), 2 * bit_frac - 1).alias("est_1bit"),
+        )
+    )
+
+
+# ------------------------------------- pseudo-relevance feedback retrieval
+
+PRF_FB_K = 10  # feedback set: top-k BM25 docs for the original query
+PRF_EXP_K = 5  # expansion terms mined from the feedback set
+
+
+@register(
+    "ret_prf_expansion",
+    oracle=f"""
+    WITH {_DUCK_TOKS},{_DUCK_BM25_CTES},
+    fb AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, CAST(SUM(term_score) AS DOUBLE) AS score
+        FROM scored GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT {PRF_FB_K}
+      )
+    ),
+    exp AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS w FROM toks
+      WHERE doc_id IN (SELECT doc_id FROM fb)
+        AND term NOT IN ({_TERMS_SQL})
+      GROUP BY term ORDER BY w DESC, term LIMIT {PRF_EXP_K}
+    ),
+    tf2 AS (
+      SELECT t.doc_id, t.term, COUNT(*) AS tf
+      FROM toks t JOIN exp e ON e.term = t.term
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, score_exp, rank FROM (
+      SELECT f.doc_id,
+             CAST(SUM(f.tf * e.w) AS BIGINT) AS score_exp,
+             row_number() OVER (ORDER BY SUM(f.tf * e.w) DESC, f.doc_id)
+               AS rank
+      FROM tf2 f JOIN exp e ON e.term = f.term
+      GROUP BY f.doc_id
+    ) WHERE rank <= {PRF_FB_K}
+    """,
+    tags=("retrieval", "text", "M5"),
+    doc=f"Pseudo-relevance feedback (RM1-style query expansion): run "
+    f"BM25 for the fixed query, mine the top-{PRF_EXP_K} "
+    f"non-query terms from its top-{PRF_FB_K} feedback documents "
+    "(count-weighted — the RM1 MLE numerator over the feedback "
+    "concatenation), then re-rank the corpus by the expanded terms "
+    "with integer tf x weight scoring — the classic two-pass "
+    "retrieval loop behind 'more like these'. Every stage is "
+    "scale-bounded: the feedback set is k ids (broadcast semi "
+    "join), the expansion dictionary is a 5-row broadcast, the "
+    "second pass is one scan + one partial agg, and the final cut "
+    "is a TakeOrdered. The second-pass score is pure int64 "
+    "arithmetic — no transcendental drift at all.",
+)
+def ret_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    fb = (
+        ret_bm25_topk(spark, sf_dir)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(PRF_FB_K)
+        .select("doc_id")
+    )
+    exp = (
+        toks.join(F.broadcast(fb), "doc_id", "left_semi")
+        .filter(~F.col("term").isin(*BM25_TERMS))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .orderBy(F.desc("w"), "term")
+        .limit(PRF_EXP_K)
+    )
+    tf2 = (
+        toks.join(F.broadcast(exp), "term")
+        .groupBy("doc_id", "term", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    top = (
+        tf2.groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("w")).cast("long").alias("score_exp"))
+        .orderBy(F.desc("score_exp"), "doc_id")
+        .limit(PRF_FB_K)
+    )
+    w = W.orderBy(F.desc("score_exp"), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w))
