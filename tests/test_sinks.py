@@ -511,3 +511,36 @@ def test_text_source_roundtrip_and_declarative_log_parse(spark, sf_dir):
         assert {(r.doc_id, r.lang) for r in parsed.collect()} == orig
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_parquet_schema_evolution_merge_on_read(spark):
+    """Schema evolution on an append-only parquet table: a later batch
+    adds a column; mergeSchema reads the union schema with NULL
+    backfill for old files, and a plain read of the new files alone
+    still sees the new column. At 100 TB this is how a corpus gains a
+    quality_score column without rewriting history — evolution happens
+    at READ planning (footer merge), not by touching old data files."""
+    d = tempfile.mkdtemp(prefix="sf_evolve_")
+    try:
+        v1 = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+        )
+        v1.write.mode("append").parquet(d)
+        v2 = spark.createDataFrame(
+            [(3, "gamma", 0.9)], "doc_id long, text string, quality double"
+        )
+        v2.write.mode("append").parquet(d)
+
+        merged = spark.read.option("mergeSchema", "true").parquet(d)
+        assert set(merged.columns) == {"doc_id", "text", "quality"}
+        rows = {r.doc_id: r for r in merged.collect()}
+        assert rows[1].quality is None and rows[2].quality is None
+        assert rows[3].quality == 0.9
+
+        # old files are untouched: a read pinned to the original schema
+        # still works and never sees the new column
+        narrow = spark.read.schema("doc_id long, text string").parquet(d)
+        assert set(narrow.columns) == {"doc_id", "text"}
+        assert narrow.count() == 3
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
