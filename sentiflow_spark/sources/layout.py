@@ -201,3 +201,51 @@ def read_snapshot(spark, base_path: str, version: int | None = None):
             f"version {v} is not committed (latest committed is {latest})"
         )
     return spark.read.parquet(f"{base_path}/v={v}")
+
+
+def snapshot_diff(spark, base_path: str, v_old: int, v_new: int, key_cols):
+    """Keyed diff between two committed snapshot versions — the CDC
+    extraction a downstream consumer runs after a pointer advance:
+    ``change`` is 'added' (key only in v_new), 'removed' (key only in
+    v_old) or 'changed' (key in both, any non-key column differs).
+    Returns the key columns + ``change``.
+
+    Non-key equality is compared through a sha256 of the
+    null-sentineled, column-ordered string rendering — one expression
+    per side, so the diff is ONE full-outer join on the key with no
+    per-column join residuals. At scale both snapshot scans prune to
+    key + hashed columns, and if the snapshots were written bucketed
+    by the key the join co-locates with zero Exchange.
+    """
+    from pyspark.sql import functions as F
+
+    keys = list(key_cols)
+
+    def hashed(df, tag: str):
+        value_cols = [c for c in df.columns if c not in keys]
+        return df.select(
+            *keys,
+            F.sha2(
+                F.concat_ws(
+                    "\x1f",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                        for c in sorted(value_cols)
+                    ],
+                ),
+                256,
+            ).alias(f"_h_{tag}"),
+        )
+
+    old = hashed(read_snapshot(spark, base_path, v_old), "old")
+    new = hashed(read_snapshot(spark, base_path, v_new), "new")
+    j = old.join(new, keys, "full_outer")
+    change = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+    )
+    return (
+        j.select(*keys, change.alias("change"))
+        .filter(F.col("change").isNotNull())
+    )

@@ -176,3 +176,35 @@ def test_versioned_snapshots_time_travel_and_crash_invisibility(spark, tmp_path)
     v3 = write_snapshot(spark.range(1).withColumn("tag", F.lit("d")), base)
     assert v3 == 3
     assert read_snapshot(spark, base).count() == 1
+
+
+def test_snapshot_diff_extracts_cdc(spark):
+    """snapshot_diff between two committed versions yields exactly the
+    added/removed/changed key sets, and diffing a version against
+    itself is empty."""
+    import shutil
+    import tempfile
+
+    from sentiflow_spark.sources.layout import snapshot_diff, write_snapshot
+
+    d = tempfile.mkdtemp(prefix="sf_snapdiff_")
+    try:
+        v0_df = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+            "id long, name string, score long",
+        )
+        v0 = write_snapshot(v0_df, d)
+        v1_df = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 99), (4, "d", 40)],  # 2 changed, 3 gone, 4 new
+            "id long, name string, score long",
+        )
+        v1 = write_snapshot(v1_df, d)
+
+        diff = {
+            r.id: r.change
+            for r in snapshot_diff(spark, d, v0, v1, ["id"]).collect()
+        }
+        assert diff == {2: "changed", 3: "removed", 4: "added"}
+        assert snapshot_diff(spark, d, v1, v1, ["id"]).count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
