@@ -2164,8 +2164,17 @@ DD_CURVE_THRESHOLDS = (0.6, 0.7, 0.8, 0.9)
     "(higher id of each pair, first-wins convention) at Jaccard "
     "thresholds 0.6-0.9 from ONE pass of the exact pair statistics — "
     "the knob-setting view a curation owner reads before fixing a "
-    "production threshold. The pair join runs once; each threshold is "
-    "a conditional count over its result.",
+    "production threshold. ONE pass, literally: per-doc_b partial "
+    "aggregation carries the per-threshold pair counts AND the max "
+    "Jaccard (doc flagged at t iff its max pair Jaccard >= t — "
+    "identical semantics to COUNT(DISTINCT) per threshold), so the "
+    "expensive pair subtree appears once and the shuffle carries one "
+    "row per flagged doc, not one per (pair x threshold). The "
+    "earlier union-of-per-threshold-aggregates shape re-ran the pair "
+    "join per threshold (~500 s at the 20x probe vs the ~250 s "
+    "inherent pair cost). The pair truth itself is inherently "
+    "pairwise (dd_lsh_recall's documented lesson); production tunes "
+    "the threshold on a sampled slice.",
 )
 def dd_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -2176,14 +2185,32 @@ def dd_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("size_a") + F.col("size_b") - F.col("shared"))
         ).alias("jaccard"),
     )
-    out = None
-    for t in DD_CURVE_THRESHOLDS:
-        row = exact.filter(F.col("jaccard") >= t).agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.countDistinct("doc_b").alias("n_docs_flagged"),
-        ).select(F.lit(t).alias("threshold"), "n_pairs", "n_docs_flagged")
-        out = row if out is None else out.unionAll(row)
-    return out
+    per_doc = exact.groupBy("doc_b").agg(
+        F.max("jaccard").alias("mj"),
+        *[
+            F.sum((F.col("jaccard") >= t).cast("long")).alias(f"np_{i}")
+            for i, t in enumerate(DD_CURVE_THRESHOLDS)
+        ],
+    )
+    row = per_doc.agg(
+        *[F.sum(f"np_{i}").alias(f"np_{i}") for i in range(len(DD_CURVE_THRESHOLDS))],
+        *[
+            F.sum((F.col("mj") >= t).cast("long")).alias(f"nd_{i}")
+            for i, t in enumerate(DD_CURVE_THRESHOLDS)
+        ],
+    )
+    # 4 literal rows out of the single aggregate row; coalesce keeps
+    # the full curve even over an empty pair set (sum() over empty is
+    # NULL, the oracle emits 0)
+    stack_args = ", ".join(
+        f"CAST({t!r} AS DOUBLE), coalesce(np_{i}, CAST(0 AS BIGINT)), "
+        f"coalesce(nd_{i}, CAST(0 AS BIGINT))"
+        for i, t in enumerate(DD_CURVE_THRESHOLDS)
+    )
+    return row.selectExpr(
+        f"stack({len(DD_CURVE_THRESHOLDS)}, {stack_args}) "
+        "AS (threshold, n_pairs, n_docs_flagged)"
+    )
 
 
 K_ANON = 5

@@ -329,3 +329,26 @@ def test_sq8_recall_no_cartesian_blowup(spark, sf_dir):
     against the corpus), never a shuffled cross product."""
     df = q(spark, sf_dir, "sim_sq8_recall")
     assert not I.has_cartesian(df)
+
+
+def test_prf_expansion_broadcast_bounded(spark, sf_dir):
+    """Both PRF passes stay broadcast-bounded: the feedback semi join
+    and the expansion-dictionary join must be broadcast (k and 5 rows
+    respectively), and the final cut a TakeOrdered — a shuffle on
+    either tiny side means the two-pass loop stopped scaling."""
+    df = q(spark, sf_dir, "ret_prf_expansion")
+    plan = I.simple_plan(df)
+    assert I.count_broadcast_joins(df) >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert not I.has_cartesian(df)
+
+
+def test_doc_sim_topk_df_capped_join(spark, sf_dir):
+    """The similarity-neighbor pair join must run over the df-capped
+    posting lists: the cap shows up as a semi join against the
+    document-frequency filter before the pair self-join (the shape the
+    20x probe showed converting quadratic 292 s to linear 18.6 s)."""
+    df = q(spark, sf_dir, "dd_doc_sim_topk")
+    plan = I.simple_plan(df)
+    assert "LeftSemi" in plan  # the df-cap filter application
+    assert not I.has_cartesian(df)

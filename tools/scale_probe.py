@@ -99,7 +99,14 @@ def main() -> None:
     registry = load_all()
     for name in names:
         t0 = time.perf_counter()
-        rows = registry[name].fn(spark, out_dir).count()
+        # .rdd.count(), NOT .count(): Catalyst rewrites DataFrame
+        # count() aggressively — e.g. a row-preserving left join onto a
+        # grouped subquery is ELIMINATED entirely, so count() returned
+        # in 5 s for a query whose real plan runs 500+ s (measured on
+        # dd_threshold_curve). The RDD boundary pins the physical plan
+        # as written; the serialization overhead is uniform across
+        # queries and tiny next to what the probe measures.
+        rows = registry[name].fn(spark, out_dir).rdd.count()
         print(f"{name}: {rows} rows in {time.perf_counter() - t0:.1f} s", flush=True)
 
 
