@@ -323,3 +323,61 @@ def knn_graph(
         .filter(F.col("rank") <= k)
         .select("src", "dst", "cosine", "rank")
     )
+
+
+def dtw_distances(
+    pairs: DataFrame,
+    band: int = 3,
+    a_col: str = "p_series",
+    b_col: str = "series",
+) -> DataFrame:
+    """Banded dynamic-time-warping distance per row — the custom
+    operator Spark's built-ins genuinely cannot express (a dynamic
+    program per pair), implemented the engine's sanctioned way:
+    Arrow-batched ``mapInPandas``, integer |a-b| cell cost, Sakoe-Chiba
+    band of half-width ``band`` (classic speed/accuracy trade: O(L*band)
+    per pair instead of O(L^2), and a warping-path sanity constraint).
+
+    Input rows carry two integer series columns; output replaces them
+    with ``dtw`` (int64). All arithmetic is integer, so the distance is
+    bit-deterministic at any batch size or partitioning. Scale shape:
+    the DP runs where the pair row lives — no shuffle, no state, cost
+    linear in pairs × L × band.
+    """
+    import pandas as pd  # noqa: F401 (schema side)
+
+    out_fields = [
+        f.name for f in pairs.schema.fields if f.name not in (a_col, b_col)
+    ]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in pairs.schema.fields
+        if f.name not in (a_col, b_col)
+    ) + ", dtw long"
+
+    def batches(it):
+        import numpy as np
+
+        for pdf in it:
+            dtws = []
+            for a, b in zip(pdf[a_col], pdf[b_col]):
+                a = np.asarray(a, dtype=np.int64)
+                b = np.asarray(b, dtype=np.int64)
+                n, m = len(a), len(b)
+                r = max(band, abs(n - m))
+                INF = np.int64(2**62)
+                prev = np.full(m + 1, INF, dtype=np.int64)
+                prev[0] = 0
+                for i in range(1, n + 1):
+                    cur = np.full(m + 1, INF, dtype=np.int64)
+                    lo, hi = max(1, i - r), min(m, i + r)
+                    for j in range(lo, hi + 1):
+                        cost = abs(int(a[i - 1]) - int(b[j - 1]))
+                        cur[j] = cost + min(prev[j], cur[j - 1], prev[j - 1])
+                    prev = cur
+                dtws.append(int(prev[m]))
+            out = pdf[out_fields].copy()
+            out["dtw"] = dtws
+            yield out
+
+    return pairs.mapInPandas(batches, schema=schema)

@@ -3134,3 +3134,72 @@ def ret_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.orderBy(F.desc("score_exp"), "doc_id")
     return top.withColumn("rank", F.row_number().over(w))
+
+
+# ----------------------------------------------- DTW series similarity
+
+DTW_PROBES = 3  # probe users: user_id < 3
+DTW_K = 3
+DTW_BAND = 3
+
+
+@register(
+    "sim_dtw_topk",
+    oracle=None,  # dynamic-programming distance: not single-SQL-expressible
+    # (same justification as sim_kmeans_assign); the exact DP is
+    # verified against an independent pure-Python implementation in
+    # tests/test_kmeans.py::test_dtw_matches_reference_dp
+    tags=("similarity", "M5", "timeseries", "topk", "arrow"),
+    doc=f"Banded-DTW time-series similarity (the EDBT'19 theme, "
+    "warping-aware where sim_series_topk is lockstep-Euclidean): each "
+    "user's activity becomes a dense integer daily-count series over "
+    "the corpus day span (map built JVM-side: per-day partial agg, "
+    "map_from_entries, sequence transform — one shuffle on user_id), "
+    f"then the {DTW_PROBES}-user probe set broadcasts against all "
+    "users and a Sakoe-Chiba banded DTW (half-width "
+    f"{DTW_BAND}, integer |a-b| costs) runs per pair inside "
+    "Arrow-batched mapInPandas — the sanctioned custom-operator path "
+    "for per-pair dynamic programming, which no built-in expresses. "
+    f"Top-{DTW_K} per probe by (dtw ASC, cand ASC). All-integer DP "
+    "=> bit-deterministic at any batch size; cost is pairs x L x "
+    "band with no shuffle after the broadcast join.",
+)
+def sim_dtw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.operators.similarity import dtw_distances
+
+    ev = load(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long")
+    daily = ev.groupBy("user_id", day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    dense = (
+        daily.join(F.broadcast(bounds))
+        .groupBy("user_id", "d0", "d1")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("day"), F.col("n")))
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            F.transform(
+                F.sequence(F.col("d0"), F.col("d1")),
+                lambda d: F.coalesce(F.element_at(F.col("m"), d), F.lit(0)),
+            ).alias("series"),
+        )
+    )
+    probes = dense.filter(F.col("user_id") < DTW_PROBES).select(
+        F.col("user_id").alias("probe_id"), F.col("series").alias("p_series")
+    )
+    pairs = (
+        dense.join(F.broadcast(probes))
+        .filter(F.col("user_id") != F.col("probe_id"))
+        .select("probe_id", F.col("user_id").alias("cand_id"), "p_series", "series")
+    )
+    scored = dtw_distances(pairs, band=DTW_BAND)
+    w = W.partitionBy("probe_id").orderBy(F.asc("dtw"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= DTW_K)
+    )

@@ -39,3 +39,71 @@ def test_kmeans_inertia_improves(spark, sf_dir):
         inertia.append(out.agg(F.sum("sq_dist")).collect()[0][0])
     assert inertia[1] <= inertia[0] + 1e-6
     assert inertia[2] <= inertia[1] + 1e-6
+
+
+def test_dtw_matches_reference_dp(spark, sf_dir):
+    """sim_dtw_topk has no SQL oracle (per-pair dynamic programming);
+    verify the distances against an independent pure-Python DP over
+    the same series, and the ranking invariants."""
+    from sentiflow_spark.queries.corpus_queries import (
+        DTW_BAND,
+        DTW_K,
+        DTW_PROBES,
+    )
+    from sentiflow_spark.queries.registry import load_all
+    from sentiflow_spark.tables import load as load_table
+
+    import pyspark.sql.functions as F
+
+    # independent series build: per-user daily counts in plain Python
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
+    ).collect()
+    per_user: dict[int, dict[int, int]] = {}
+    for r in ev:
+        per_user.setdefault(r.user_id, {})[r.day] = (
+            per_user.get(r.user_id, {}).get(r.day, 0) + 1
+        )
+    d0 = min(d for m in per_user.values() for d in m)
+    d1 = max(d for m in per_user.values() for d in m)
+    series = {
+        u: [m.get(d, 0) for d in range(d0, d1 + 1)] for u, m in per_user.items()
+    }
+
+    def dtw(a, b, band=DTW_BAND):
+        n, m = len(a), len(b)
+        r = max(band, abs(n - m))
+        INF = float("inf")
+        prev = [0.0] + [INF] * m
+        for i in range(1, n + 1):
+            cur = [INF] * (m + 1)
+            for j in range(max(1, i - r), min(m, i + r) + 1):
+                cost = abs(a[i - 1] - b[j - 1])
+                cur[j] = cost + min(prev[j], cur[j - 1], prev[j - 1])
+            prev = cur
+        return prev[m]
+
+    got = load_all()["sim_dtw_topk"].fn(spark, sf_dir).collect()
+    assert got, "no DTW results"
+    by_probe: dict[int, list] = {}
+    for r in got:
+        assert r.dtw == dtw(series[r.probe_id], series[r.cand_id]), (
+            r.probe_id,
+            r.cand_id,
+        )
+        by_probe.setdefault(r.probe_id, []).append(r)
+    assert set(by_probe) == set(range(DTW_PROBES))
+    for rows in by_probe.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, DTW_K + 1))
+        # exhaustive check: these really are the k smallest distances
+        pid = rows[0].probe_id
+        all_d = sorted(
+            (dtw(series[pid], series[c]), c)
+            for c in series
+            if c != pid
+        )
+        assert rows[-1].dtw <= all_d[DTW_K - 1][0] or rows[-1].dtw == all_d[
+            DTW_K - 1
+        ][0]
+        assert [r.dtw for r in rows] == [d for d, _ in all_d[:DTW_K]]
