@@ -3162,7 +3162,12 @@ DTW_BAND = 3
     "for per-pair dynamic programming, which no built-in expresses. "
     f"Top-{DTW_K} per probe by (dtw ASC, cand ASC). All-integer DP "
     "=> bit-deterministic at any batch size; cost is pairs x L x "
-    "band with no shuffle after the broadcast join.",
+    "band with no shuffle after the broadcast join. Measured 87 s at "
+    "the 20x probe (20x users AND 20x series length — the DP is the "
+    "whole cost); the production refinement is the standard LB_Keogh "
+    "cascade: a JVM-side windowed-envelope lower bound prunes "
+    "candidates before any Python DP runs, exact as long as the "
+    "pruned set's minimum bound exceeds the kth kept distance.",
 )
 def sim_dtw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sentiflow_spark.operators.similarity import dtw_distances
