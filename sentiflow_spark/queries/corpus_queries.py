@@ -3161,16 +3161,19 @@ DTW_BAND = 3
     "Arrow-batched mapInPandas — the sanctioned custom-operator path "
     "for per-pair dynamic programming, which no built-in expresses. "
     f"Top-{DTW_K} per probe by (dtw ASC, cand ASC). All-integer DP "
-    "=> bit-deterministic at any batch size; cost is pairs x L x "
-    "band with no shuffle after the broadcast join. Measured 87 s at "
-    "the 20x probe (20x users AND 20x series length — the DP is the "
-    "whole cost); the production refinement is the standard LB_Keogh "
-    "cascade: a JVM-side windowed-envelope lower bound prunes "
-    "candidates before any Python DP runs, exact as long as the "
-    "pruned set's minimum bound exceeds the kth kept distance.",
+    "=> bit-deterministic at any batch size. The DP runs under the "
+    "LB_Keogh cascade (operators/similarity.py::dtw_topk_pruned): a "
+    "JVM-side windowed-envelope lower bound scores EVERY pair, the "
+    "Python DP runs only on the best-bounded candidates plus any "
+    "stragglers whose bound does not clear wave 1's kth distance — "
+    "provably identical to brute-force (excluded => dtw >= lb > "
+    "kth). Measured at the 20x probe (20x users AND 20x series "
+    "length): 87 s brute-force -> 22-30 s cascaded, same rows; the "
+    "DP runs on ~5% of pairs and the remaining cost is the JVM "
+    "bound scan + series checkpoints.",
 )
 def sim_dtw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sentiflow_spark.operators.similarity import dtw_distances
+    from sentiflow_spark.operators.similarity import dtw_topk_pruned
 
     ev = load(spark, sf_dir, "events")
     day = F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long")
@@ -3197,14 +3200,5 @@ def sim_dtw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = dense.filter(F.col("user_id") < DTW_PROBES).select(
         F.col("user_id").alias("probe_id"), F.col("series").alias("p_series")
     )
-    pairs = (
-        dense.join(F.broadcast(probes))
-        .filter(F.col("user_id") != F.col("probe_id"))
-        .select("probe_id", F.col("user_id").alias("cand_id"), "p_series", "series")
-    )
-    scored = dtw_distances(pairs, band=DTW_BAND)
-    w = W.partitionBy("probe_id").orderBy(F.asc("dtw"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= DTW_K)
-    )
+    cands = dense.select(F.col("user_id").alias("cand_id"), "series")
+    return dtw_topk_pruned(cands, probes, k=DTW_K, band=DTW_BAND)
