@@ -78,24 +78,52 @@ def main() -> None:
     # best-of-2 per query (the "min of N runs" convention BASELINE.md's
     # probes already use): GC pauses land on random queries in a 70-job
     # run, so either single pass has 2-4x outliers the other doesn't.
-    timings = {n: min(cold[n], warm[n]) for n in names}
-    total = round(sum(timings.values()), 4)
+    timings = {n: round(min(cold[n], warm[n]), 3) for n in names}
+    total = round(sum(timings.values()), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Raw per-pass timings go to a FILE; stdout stays ONE compact JSON
+    # line. Round 2 lost its machine-readable headline because the
+    # one-line JSON (with pass1/pass2 dicts) outgrew the driver's ~2 KB
+    # stdout tail capture — the final line must stay well under that
+    # (tools/verify.py asserts < 1500 bytes).
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {"init_s": init_s, "sf": sf_val, "pass1_queries": cold,
+             "pass2_queries": warm, "queries": timings, "value": total},
+            fh, indent=1,
+        )
+    line = json.dumps(
+        {
+            "metric": "suite wall time, best of 2 passes",
+            "value": total,
+            "unit": "sec",
+            "init_s": init_s,
+            "n_queries": len(names),
+            "sf": sf_val,
+            "queries": timings,
+        },
+        separators=(",", ":"),
+    )
+    if len(line) > 1480:  # keep the driver-parse contract even if the
+        # headline set grows: drop per-query detail last (it survives
+        # in BENCH_DETAIL.json), never the totals
+        line = json.dumps(
             {
-                "metric": "declared-query suite wall time (best of 2 passes)",
+                "metric": "suite wall time, best of 2 passes",
                 "value": total,
                 "unit": "sec",
                 "init_s": init_s,
-                "queries": timings,
-                "pass1_queries": cold,
-                "pass2_queries": warm,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "n_queries": len(names),
+                "sf": sf_val,
+                "queries": {"_detail": "BENCH_DETAIL.json"},
+            },
+            separators=(",", ":"),
         )
-    )
+    print(line)
 
 
 if __name__ == "__main__":

@@ -26,7 +26,10 @@ Cross-engine determinism rules every registered query follows:
 
 from __future__ import annotations
 
+import glob
 import importlib
+import json
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -48,13 +51,6 @@ REGISTRY: dict[str, Query] = {}
 
 # Modules that define queries; imported lazily by load_all() so that
 # importing the registry itself stays cheap.
-# Registry order is rotated per round: the driver's CORRECTNESS window
-# covers the first ~50 entries, so families that have not yet received a
-# driver-verified row go first.  Round 1 checked pipeline_queries +
-# relational + the head of tpch_extra (CORRECTNESS_r01.json); round 2
-# fronts the M5 training-data families (repair/dedup/curation/similarity/
-# retrieval/multimodal/window/pandas_udf/expression_extra).  Round 3
-# should front text/streaming + the tpch_extra tail.
 _QUERY_MODULES = (
     "sentiflow_spark.queries.repair_queries",
     "sentiflow_spark.queries.dedup_queries",
@@ -70,11 +66,53 @@ _QUERY_MODULES = (
     "sentiflow_spark.queries.pipeline_queries",
     "sentiflow_spark.queries.relational",
     "sentiflow_spark.queries.tpch_extra",
-    # Added mid-round-2, deliberately LAST so the round-2 driver window
-    # (first ~50 entries, already green locally) is not perturbed;
-    # round 3 rotation should front this module with text/streaming.
     "sentiflow_spark.queries.corpus_queries",
 )
+
+# The driver's CORRECTNESS window covers the first ~50 entries of the
+# queries() dict, so load_all() orders DRIVER-UNVERIFIED queries first —
+# the window self-rotates onto fresh families every round as the driver
+# commits CORRECTNESS_r{N}.json back into the repo.  Within the
+# unverified set, families are fronted in this fixed order (round 3:
+# corpus_queries' 48 + the 2-query pandas tail fill the window exactly;
+# round 4 inherits streaming + text + expression_extra + the rel/tpch
+# tail).  The full family→round ledger lives in COVERAGE.md.
+_ROTATION = (
+    "corpus_queries",
+    "pandas_udf_queries",
+    "streaming_queries",
+    "text_queries",
+    "expression_extra",
+    "relational",
+    "tpch_extra",
+    "pipeline_queries",
+)
+
+
+def _driver_verified() -> frozenset[str]:
+    """Query names with a green row in any committed driver
+    CORRECTNESS_r*.json (err-free + rows_match; hash-pass where an
+    oracle exists, rows-only for declared no-oracle ops)."""
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("err") is None
+                and row.get("rows_match")
+            ):
+                seen.add(name)
+    return frozenset(seen)
 
 
 def register(
@@ -91,7 +129,9 @@ def register(
 
 
 def load_all() -> dict[str, Query]:
-    """Import every query module and return the full registry."""
+    """Import every query module and return the full registry, ordered
+    driver-unverified-first (see _ROTATION) so the driver's ~50-entry
+    CORRECTNESS window lands on fresh queries each round."""
     for mod in _QUERY_MODULES:
         try:
             importlib.import_module(mod)
@@ -99,4 +139,15 @@ def load_all() -> dict[str, Query]:
             # Allow partial builds while modules are still being added.
             if exc.name != mod:
                 raise
-    return REGISTRY
+    verified = _driver_verified()
+    insertion = {name: i for i, name in enumerate(REGISTRY)}
+
+    def key(name: str) -> tuple[int, int, int]:
+        q = REGISTRY[name]
+        family = q.fn.__module__.rsplit(".", 1)[-1]
+        fam_rank = (
+            _ROTATION.index(family) if family in _ROTATION else len(_ROTATION)
+        )
+        return (1 if name in verified else 0, fam_rank, insertion[name])
+
+    return {name: REGISTRY[name] for name in sorted(REGISTRY, key=key)}

@@ -15,7 +15,31 @@ the headline `queries` map is compared in both cases.
 from __future__ import annotations
 
 import json
+import re
 import sys
+
+
+def _from_tail(tail: str) -> dict[str, float]:
+    """Recover per-query timings from a truncated stdout-tail fragment
+    (BENCH_r02.json lost its `parsed` to tail truncation; the per-query
+    dicts are flat, so the LAST surviving complete map is extractable).
+    Prefers the pass2/headline dict if its key survived; otherwise takes
+    the last numeric value seen per query name across the fragment."""
+    m = None
+    for marker in ('"queries"', '"pass2_queries"'):
+        hit = tail.rfind(marker + ": {")
+        if hit >= 0:
+            m = tail[hit + len(marker) + 3:]
+            end = m.find("}")
+            if end >= 0:
+                m = m[:end]
+            break
+    region = m if m is not None else tail
+    out: dict[str, float] = {}
+    for name, val in re.findall(r'"([A-Za-z0-9_]+)":\s*([0-9.]+)', region):
+        if name not in ("value", "init_s", "sf", "n_queries"):
+            out[name] = float(val)  # last occurrence wins
+    return out
 
 
 def main() -> int:
@@ -24,8 +48,18 @@ def main() -> int:
         return 2
     def queries_of(path: str) -> dict[str, float]:
         d = json.load(open(path))
-        # the driver wraps bench.py's JSON line under "parsed"
-        return (d.get("parsed") or d)["queries"]
+        # the driver wraps bench.py's JSON line under "parsed"; fall
+        # back to the raw tail fragment when parsing failed driver-side
+        p = d.get("parsed") or (d if "queries" in d else None)
+        if p is not None:
+            return p["queries"]
+        q = _from_tail(d.get("tail", ""))
+        if not q:
+            raise SystemExit(f"{path}: no parsed queries and no "
+                             f"recoverable tail fragment")
+        print(f"note: {path} parsed=null — recovered "
+              f"{len(q)} queries from its tail fragment")
+        return q
 
     old = queries_of(sys.argv[1])
     new = queries_of(sys.argv[2])

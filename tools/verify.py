@@ -67,11 +67,16 @@ def main() -> int:
     lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
     try:
         assert len(lines) == 1, f"stdout has {len(lines)} lines, want 1"
+        # the driver captures only a ~2 KB stdout tail: an oversized
+        # final line truncates to unparseable JSON (this cost round 2
+        # its bench headline), so length is part of the contract
+        nbytes = len(lines[0].encode())
+        assert nbytes < 1500, f"final line is {nbytes} bytes, want <1500"
         d = json.loads(lines[0])
         missing = {"metric", "value", "unit", "queries", "sf"} - set(d)
         assert not missing, f"missing keys {missing}"
-        print(f"bench: 1 clean JSON line, {len(d['queries'])} queries, "
-              f"{d['value']}s total")
+        print(f"bench: 1 clean JSON line ({nbytes}B), "
+              f"{len(d['queries'])} queries, {d['value']}s total")
     except (AssertionError, json.JSONDecodeError) as exc:
         print(f"bench FAIL: {exc}")
         failures.append("bench purity")
