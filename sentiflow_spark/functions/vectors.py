@@ -104,6 +104,55 @@ def rp_bucket(qvec: Column, planes: list[list[int]]) -> Column:
     return out.cast("long")
 
 
+def adaptive_plane_count(
+    n: int, target_bucket: int = 64, min_planes: int = 4, max_planes: int = 32
+) -> int:
+    """Self-scaling plane count: enough planes that expected bucket
+    occupancy is ~``target_bucket`` (the within-bucket join is quadratic
+    in occupancy, so planes must grow with log2(n) — measured at a
+    100k-vector corpus: 4 planes 259 s, 8 planes 13.5 s, 12 planes 2.0 s
+    for the same edge output). ``duck_plane_count`` emits the identical
+    arithmetic in SQL so oracle parity holds at any scale factor: the
+    only boundary where ceil(log2(x)) could disagree across engines is
+    x an exact power of two, where IEEE log2 is exact in both."""
+    import math
+
+    return max(
+        min_planes,
+        min(max_planes, math.ceil(math.log2(max(n, 1) / target_bucket))),
+    )
+
+
+def duck_plane_count(
+    cnt_expr: str,
+    target_bucket: int = 64,
+    min_planes: int = 4,
+    max_planes: int = 32,
+) -> str:
+    """SQL mirror of adaptive_plane_count over a COUNT(*) expression."""
+    return (
+        f"GREATEST({min_planes}, LEAST({max_planes}, "
+        f"CAST(CEIL(LOG2(CAST(GREATEST({cnt_expr}, 1) AS DOUBLE) "
+        f"/ {target_bucket}.0)) AS INT)))"
+    )
+
+
+def duck_rp_bucket_dyn(
+    qvec_expr: str, planes: list[list[int]], np_expr: str
+) -> str:
+    """Like duck_rp_bucket, but only the first ``np_expr`` (a SQL
+    integer expression, e.g. a CTE column) of ``planes`` contribute
+    bits — the dynamic half of the adaptive_plane_count contract."""
+    terms = []
+    for k, h in enumerate(planes):
+        arr = "[" + ",".join(f"{c}.0" for c in h) + "]"
+        dot = f"list_dot_product(CAST({qvec_expr} AS DOUBLE[]), {arr})"
+        terms.append(
+            f"CASE WHEN {k} < {np_expr} AND {dot} > 0 THEN {2**k} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def duck_rp_bucket(qvec_expr: str, planes: list[list[int]]) -> str:
     terms = []
     for k, h in enumerate(planes):

@@ -496,7 +496,16 @@ def dtw_topk_pruned(
     series table, never by re-running its lineage. The DP itself
     vectorizes across the Arrow batch when series lengths are
     uniform (dtw_distances), cutting per-pair Python overhead ~100x.
+
+    Exactness guards: (a) ``prefilter_m`` is clamped to >= k — with
+    fewer wave-1 rows than k the kth-distance fallback would prune
+    candidates that belong in the true top-k; (b) LB_Keogh is only
+    admissible when the DP band half-width equals ``band``, i.e. when
+    the pair's series lengths are equal (dtw_distances widens the band
+    to max(band, |n-m|) for unequal lengths), so length-mismatched
+    pairs take lb = 0 — never pruned, always handed to the exact DP.
     """
+    prefilter_m = max(prefilter_m, k)
     dense = series_df.select(id_col, b_col).localCheckpoint()
     env_up, env_lo = keogh_envelope(F.col(a_col), band)
     env = probes_df.select(
@@ -508,9 +517,14 @@ def dtw_topk_pruned(
         .select(
             probe_col,
             id_col,
-            lb_keogh_against_envelope(
-                F.col(b_col), F.col("_ub"), F.col("_lb_env")
-            ).alias("lb"),
+            F.when(
+                F.size(F.col(b_col)) == F.size(F.col("_ub")),
+                lb_keogh_against_envelope(
+                    F.col(b_col), F.col("_ub"), F.col("_lb_env")
+                ),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("lb"),
         )
     )
     w_lb = W.partitionBy(probe_col).orderBy(F.asc("lb"), F.asc(id_col))

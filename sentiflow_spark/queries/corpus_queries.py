@@ -77,10 +77,12 @@ from sentiflow_spark.functions.hashing import duck_md5_i32
 from sentiflow_spark.functions.numeric import MONEY
 from sentiflow_spark.functions.text import WORD_RE, duck_fingerprint
 from sentiflow_spark.functions.vectors import (
+    adaptive_plane_count,
     duck_cosine,
     duck_dot,
+    duck_plane_count,
     duck_quantize,
-    duck_rp_bucket,
+    duck_rp_bucket_dyn,
     rp_hyperplanes,
 )
 from sentiflow_spark.operators.dedup import (
@@ -492,14 +494,29 @@ def txt_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Default df-cap for dd_containment_pairs: generous enough to keep the
+# near-exhaustive semantics (only shingles shared by >50 docs — pure
+# boilerplate — are dropped) but it bounds the inverted-index join at
+# df_cap x postings; the round-2 uncapped form was 322 s / 1.05M pairs
+# at the 20x probe. dd_containment_capped (cap 5) stays the tight
+# production shape.
+CONTAIN_PAIRS_DF_CAP = 50
+
+
 @register(
     "dd_containment_pairs",
     oracle=f"""
     WITH {_duck_shingles_cte(with_hashed=False)},
-    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+    keep AS (
+      SELECT sh.doc_id, sh.shingle
+      FROM sh JOIN dfreq USING (shingle)
+      WHERE dfreq.df <= {CONTAIN_PAIRS_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM keep GROUP BY doc_id),
     shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM keep a JOIN keep b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a FROM (
@@ -515,14 +532,17 @@ def txt_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Asymmetric shingle-set containment pairs (|A∩B|/|A| and "
     "|A∩B|/|B|): catches a short document quoted inside a long one, "
     "which symmetric Jaccard misses because the union is dominated by "
-    "the long side. Same inverted-index equi-join shape as "
-    "dd_ngram_jaccard (df-capping is the identical 100 TB refinement); "
-    "one row per unordered pair carrying both directions.",
+    f"the long side. Guarded by a default df-cap of "
+    f"{CONTAIN_PAIRS_DF_CAP} (shingles in more docs than that carry no "
+    "containment signal and would blow the inverted-index join up "
+    "O(m²) per hot shingle), so the join output is bounded at any "
+    "corpus size; dd_containment_capped is the tighter production cap. "
+    "One row per unordered pair carrying both directions.",
 )
 def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return (
-        shingle_pair_counts(docs)
+        shingle_pair_counts(docs, df_cap=CONTAIN_PAIRS_DF_CAP)
         .select(
             "doc_a",
             "doc_b",
@@ -652,8 +672,33 @@ def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KNN_PLANES = rp_hyperplanes(4, 64)  # 16 buckets -> dozens of cohabitants
+# Plane pool for the k-NN family: the LCG generates planes
+# sequentially, so the first p of 32 are identical for every p — the
+# adaptive count just slices a prefix. The EFFECTIVE count is derived
+# from the corpus size on both sides (adaptive_plane_count in Spark,
+# the same arithmetic via duck_plane_count in the oracle), replacing
+# the round-2 hardcoded 4 planes whose 20x probe degraded
+# super-linearly (176 s sim_mutual_knn at 100k vectors; self-scaled:
+# 11 planes).
+_KNN_PLANE_POOL = rp_hyperplanes(32, 64)
 KNN_K = 3
+
+_KNN_NP_CTE = (
+    "np AS (SELECT "
+    + duck_plane_count("COUNT(*)")
+    + " AS n_planes FROM embeddings)"
+)
+_KNN_BUCKETED_CTE = f"""bucketed AS (
+      SELECT vec_id, qvec, qnorm,
+             {duck_rp_bucket_dyn("qvec", _KNN_PLANE_POOL, "n_planes")} AS rp_bucket
+      FROM qn CROSS JOIN np
+    )"""
+
+
+def _knn_planes(spark: SparkSession, sf_dir: str) -> list[list[int]]:
+    """Corpus-sized plane prefix — one cheap metadata count."""
+    n = load(spark, sf_dir, "embeddings").count()
+    return _KNN_PLANE_POOL[: adaptive_plane_count(n)]
 
 
 @register(
@@ -665,11 +710,8 @@ KNN_K = 3
     qn AS (
       SELECT vec_id, qvec, {duck_dot('qvec', 'qvec')} AS qnorm FROM q
     ),
-    bucketed AS (
-      SELECT vec_id, qvec, qnorm,
-             {duck_rp_bucket("qvec", _KNN_PLANES)} AS rp_bucket
-      FROM qn
-    )
+    {_KNN_NP_CTE},
+    {_KNN_BUCKETED_CTE}
     SELECT src, dst, cosine, rank FROM (
       SELECT a.vec_id AS src, b.vec_id AS dst,
              {duck_cosine(duck_dot('a.qvec', 'b.qvec'), 'a.qnorm', 'b.qnorm')} AS cosine,
@@ -683,20 +725,21 @@ KNN_K = 3
     """,
     tags=("similarity", "M5", "ann", "lsh", "graph", "bench"),
     doc="Bucketed k-NN graph construction (k=3): random-hyperplane "
-    "blocking (4 planes -> 16 buckets) then exact cosine rank within "
-    "the bucket — the candidate-graph primitive under graph-based ANN "
-    "indexes and density-based dedup. Candidate lists are bounded by "
-    "bucket occupancy (plane count tunes it at scale); the per-source "
-    "rank window covers one source's candidates only. Approximation "
-    "contract is the BLOCKING (same in the oracle), so results are "
-    "bit-checkable; sim_ivf_recall is the recall gate for the same "
-    "family.",
+    "blocking, then exact cosine rank within the bucket — the "
+    "candidate-graph primitive under graph-based ANN indexes and "
+    "density-based dedup. The plane count SELF-SCALES with corpus "
+    "size (ceil(log2(n/64)) clamped to [4,32], mirrored bit-for-bit "
+    "in the oracle via a COUNT(*) CTE), keeping expected bucket "
+    "occupancy ~64 so the within-bucket join stays near-linear at any "
+    "scale. Approximation contract is the BLOCKING (same in the "
+    "oracle), so results are bit-checkable; sim_ivf_recall is the "
+    "recall gate for the same family.",
 )
 def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sentiflow_spark.operators.similarity import knn_graph
 
     emb = with_quantized(load(spark, sf_dir, "embeddings"))
-    return knn_graph(emb, _KNN_PLANES, k=KNN_K)
+    return knn_graph(emb, _knn_planes(spark, sf_dir), k=KNN_K)
 
 
 @register(
@@ -944,15 +987,42 @@ def dd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in the same WITH clause (parameterized generation, not string surgery).
 _J_SHINGLES = _duck_shingles_cte("j", with_hashed=False)
 
+# dd_lsh_recall runs on a deterministic uniform doc sample (md5 of the
+# id, first hex digit in 0-7 -> 50%) with a df-capped truth join:
+# recall on a uniform sample is the standard estimator, and the
+# uncapped all-pairs exact-Jaccard truth was the round-2 quadratic
+# escape (318.7 s at the 20x probe). The sample predicate and the cap
+# are mirrored bit-for-bit in the oracle.
+LSH_RECALL_SAMPLE_HEX = ("0", "1", "2", "3", "4", "5", "6", "7")
+LSH_RECALL_TRUTH_DF_CAP = 20
+
+_LSH_SAMPLE_PRED = (
+    "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ("
+    + ", ".join(f"'{h}'" for h in LSH_RECALL_SAMPLE_HEX)
+    + ")"
+)
+_J_SHINGLES_SAMPLED = _duck_shingles_cte(
+    "j", with_hashed=False, source="lsh_sample"
+)
+
 
 @register(
     "dd_lsh_recall",
     oracle=f"""
-    WITH {_J_SHINGLES},
-    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM jsh GROUP BY doc_id),
+    WITH lsh_sample AS (
+      SELECT doc_id, text FROM documents WHERE {_LSH_SAMPLE_PRED}
+    ),
+    {_J_SHINGLES_SAMPLED},
+    jdfreq AS (SELECT shingle, COUNT(*) AS df FROM jsh GROUP BY 1),
+    jkeep AS (
+      SELECT jsh.doc_id, jsh.shingle
+      FROM jsh JOIN jdfreq USING (shingle)
+      WHERE jdfreq.df <= {LSH_RECALL_TRUTH_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM jkeep GROUP BY doc_id),
     shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-      FROM jsh a JOIN jsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM jkeep a JOIN jkeep b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
     truth AS (
@@ -964,7 +1034,7 @@ _J_SHINGLES = _duck_shingles_cte("j", with_hashed=False)
         JOIN sizes sb ON sb.doc_id = doc_b
       ) WHERE jaccard >= 0.9
     ),
-    {_duck_sigs_cte()}{_duck_bands_cte()},
+    {_duck_sigs_cte(source="lsh_sample")}{_duck_bands_cte()},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       {_DUCK_BAND_PAIRS}
@@ -978,11 +1048,14 @@ _J_SHINGLES = _duck_shingles_cte("j", with_hashed=False)
     """,
     tags=("dedup", "M5", "minhash", "lsh", "evaluation"),
     doc="LSH recall evaluation — the accept/reject gate for the banded "
-    "MinHash index: ground truth = exact shingle-Jaccard >= 0.9 pairs "
-    "(the inverted-index join), measured = fraction of true pairs the "
-    "16-perm/4-band LSH candidate stage surfaces. One scalar row "
-    "(n_truth, n_caught, recall); the same harness shape as "
-    "sim_ivf_recall for the vector side.",
+    "MinHash index, SAMPLE-ESTIMATED: both sides restrict to a "
+    "deterministic uniform 50% doc sample (first md5 hex digit of the "
+    "id in 0-7), ground truth = df-capped exact shingle-Jaccard >= 0.9 "
+    "pairs within the sample (cap 20 bounds the inverted-index join at "
+    "df_cap x postings — the production truth standard), measured = "
+    "fraction of those pairs the 16-perm/4-band LSH candidate stage "
+    "surfaces. One scalar row (n_truth, n_caught, recall); the same "
+    "harness shape as sim_ivf_recall for the vector side.",
 )
 def dd_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sentiflow_spark.operators.dedup import (
@@ -991,8 +1064,14 @@ def dd_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
-    docs = load(spark, sf_dir, "documents")
-    truth = ngram_jaccard_pairs(docs, threshold=0.9).select("doc_a", "doc_b")
+    docs = load(spark, sf_dir, "documents").filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            *LSH_RECALL_SAMPLE_HEX
+        )
+    )
+    truth = ngram_jaccard_pairs(
+        docs, threshold=0.9, df_cap=LSH_RECALL_TRUTH_DF_CAP
+    ).select("doc_a", "doc_b")
     cand = lsh_candidate_pairs(minhash_signatures(docs)).select(
         "doc_a", "doc_b", F.lit(1).alias("_hit")
     )
@@ -2037,11 +2116,8 @@ def dd_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     qn AS (
       SELECT vec_id, qvec, {duck_dot('qvec', 'qvec')} AS qnorm FROM q
     ),
-    bucketed AS (
-      SELECT vec_id, qvec, qnorm,
-             {duck_rp_bucket("qvec", _KNN_PLANES)} AS rp_bucket
-      FROM qn
-    ),
+    {_KNN_NP_CTE},
+    {_KNN_BUCKETED_CTE},
     knn AS (
       SELECT src, dst, cosine FROM (
         SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -2063,7 +2139,9 @@ def dd_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "other in its top-3 — the symmetric graph density-based clustering "
     "and dedup actually build on (one-directional neighbors of a hub "
     "are noise; mutual edges are the high-precision core). One "
-    "self-join of the k-NN edge list on the reversed pair.",
+    "self-join of the k-NN edge list on the reversed pair. Plane count "
+    "self-scales with corpus size exactly as sim_knn_graph (formula "
+    "mirrored in the oracle's np CTE).",
 )
 def sim_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sentiflow_spark.operators.similarity import knn_graph
@@ -2077,7 +2155,7 @@ def sim_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # planner outcome; the dominant cost is the one bucketed cosine
     # pass itself, governed by the plane-count knob)
     knn = (
-        knn_graph(emb, _KNN_PLANES, k=KNN_K)
+        knn_graph(emb, _knn_planes(spark, sf_dir), k=KNN_K)
         .select("src", "dst", "cosine")
         .localCheckpoint()
     )

@@ -39,19 +39,23 @@ from sentiflow_spark.tables import load
 
 # ---------------------------------------------------------- oracle fragments
 
-def _duck_shingles_cte(prefix: str = "", with_hashed: bool = True) -> str:
+def _duck_shingles_cte(
+    prefix: str = "", with_hashed: bool = True, source: str = "documents"
+) -> str:
     """Shingle CTE chain ({p}toks → {p}sh [→ {p}hashed]). The prefix
     exists so an oracle can hold this chain AND _duck_sigs_cte()'s own
     toks/sh/hashed chain in one WITH clause without name collisions
     (dd_lsh_recall, dd_method_compare) — parameterized generation, not
-    string surgery, so a reformat here can't silently mis-rename."""
+    string surgery, so a reformat here can't silently mis-rename.
+    ``source`` lets an oracle shingle a pre-filtered CTE (e.g.
+    dd_lsh_recall's deterministic doc sample) instead of documents."""
     hashed = f""",
 {prefix}hashed AS (
   SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h FROM {prefix}sh
 )"""
     return f"""
 {prefix}toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-zA-Z]+') AS t FROM documents
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-zA-Z]+') AS t FROM {source}
 ),
 {prefix}sh AS (
   SELECT doc_id,
@@ -66,12 +70,15 @@ def _duck_shingles_cte(prefix: str = "", with_hashed: bool = True) -> str:
 _DUCK_SHINGLES_CTE = _duck_shingles_cte()
 
 
-def _duck_sigs_cte(num_perm: int = NUM_PERM) -> str:
+def _duck_sigs_cte(num_perm: int = NUM_PERM, source: str = "documents") -> str:
     mins = ",\n         ".join(
         f"MIN((h * {a} + {b}) % {MERSENNE_31}) AS sig_{i}"
         for i, (a, b) in enumerate(minhash_coeffs(num_perm))
     )
-    return f"{_DUCK_SHINGLES_CTE}, sigs AS (\n  SELECT doc_id, {mins}\n  FROM hashed GROUP BY doc_id\n)"
+    return (
+        f"{_duck_shingles_cte(source=source)}, sigs AS "
+        f"(\n  SELECT doc_id, {mins}\n  FROM hashed GROUP BY doc_id\n)"
+    )
 
 
 def _duck_bands_cte(num_perm: int = NUM_PERM, band_size: int = BAND_SIZE) -> str:

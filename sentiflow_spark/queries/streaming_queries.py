@@ -489,14 +489,19 @@ TREND_K = 3
     tags=("streaming", "event-time", "M3", "W4", "P6"),
     doc=f"Streaming trending top-{TREND_K}: JSON payload field parsed "
     "in-stream (P6 under streaming execution), watermarked hourly "
-    "tumbling counts per parsed key, then the rank cut as a batch "
-    "post-pass over the emitted window table — the standard "
-    "production split, because rank-over-window is not an incremental "
-    "operator: the stream maintains ONLY additive (window, key) "
-    "counts (mergeable state, bounded by watermark eviction), and the "
+    "tumbling counts per parsed key emitted in UPDATE mode (so "
+    "operator state really is evicted past the watermark — complete "
+    "mode would retain every window forever), then a batch post-pass "
+    "over the emitted rollup: last-update-wins per (window, key) "
+    "(counts are monotone within a key, so max(n) IS the final count "
+    "— test_jobs.py proves batch-split invariance through a shared "
+    "checkpoint) and the rank cut. The standard production split, "
+    "because rank-over-window is not an incremental operator: the "
+    "stream maintains ONLY additive (window, key) counts, and the "
     "non-incremental top-k runs over the already-tiny emitted rollup. "
-    "At 100 TB/day the count state is windows x keys regardless of "
-    "event volume, and the rank input is the rollup, not the firehose.",
+    "At 100 TB/day the count state is live windows x keys regardless "
+    "of event volume, and the rank input is the rollup, not the "
+    "firehose.",
 )
 def st_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -515,9 +520,10 @@ def st_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    emitted = run_to_table(counts, output_mode="complete")
+    emitted = run_to_table(counts, output_mode="update")
+    final = emitted.groupBy("window_start", "k").agg(F.max("n").alias("n"))
     rank_w = W.partitionBy("window_start").orderBy(F.desc("n"), F.asc("k"))
     return (
-        emitted.withColumn("rank", F.row_number().over(rank_w))
+        final.withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= TREND_K)
     )

@@ -210,31 +210,33 @@ def snapshot_diff(spark, base_path: str, v_old: int, v_new: int, key_cols):
     v_old) or 'changed' (key in both, any non-key column differs).
     Returns the key columns + ``change``.
 
-    Non-key equality is compared through a sha256 of the
-    null-sentineled, column-ordered string rendering — one expression
-    per side, so the diff is ONE full-outer join on the key with no
-    per-column join residuals. At scale both snapshot scans prune to
-    key + hashed columns, and if the snapshots were written bucketed
-    by the key the join co-locates with zero Exchange.
+    Non-key equality is compared through a sha256 of the column-ordered
+    string rendering — one expression per side, so the diff is ONE
+    full-outer join on the key with no per-column join residuals. Each
+    value is LENGTH-PREFIXED (``<len>:<chars>``, NULL renders as the
+    prefix-free ``N``), so a value containing any separator-looking
+    character cannot shift content across column boundaries and NULL is
+    distinguishable from every real string — two rows hash equal iff
+    their rendered columns are identical. At scale both snapshot scans
+    prune to key + hashed columns, and if the snapshots were written
+    bucketed by the key the join co-locates with zero Exchange.
     """
     from pyspark.sql import functions as F
 
     keys = list(key_cols)
 
+    def render(c: str):
+        s = F.col(c).cast("string")
+        return F.coalesce(
+            F.concat(F.length(s).cast("string"), F.lit(":"), s), F.lit("N")
+        )
+
     def hashed(df, tag: str):
         value_cols = [c for c in df.columns if c not in keys]
+        parts = [render(c) for c in sorted(value_cols)] or [F.lit("")]
         return df.select(
             *keys,
-            F.sha2(
-                F.concat_ws(
-                    "\x1f",
-                    *[
-                        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                        for c in sorted(value_cols)
-                    ],
-                ),
-                256,
-            ).alias(f"_h_{tag}"),
+            F.sha2(F.concat(*parts), 256).alias(f"_h_{tag}"),
         )
 
     old = hashed(read_snapshot(spark, base_path, v_old), "old")

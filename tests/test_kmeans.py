@@ -107,3 +107,50 @@ def test_dtw_matches_reference_dp(spark, sf_dir):
             DTW_K - 1
         ][0]
         assert [r.dtw for r in rows] == [d for d, _ in all_d[:DTW_K]]
+
+
+def test_dtw_pruned_guards_small_prefilter_and_unequal_lengths(spark):
+    """Round-3 exactness guards on dtw_topk_pruned: (a) prefilter_m < k
+    is clamped up — previously wave 1 held fewer than k distances and
+    the kth-distance fallback could prune true top-k members; (b)
+    length-mismatched pairs take lb=0 (the envelope bound is only
+    admissible at equal lengths) so they always reach the exact DP.
+    Verified against a pure-Python DP over mixed-length series."""
+    from sentiflow_spark.operators.similarity import dtw_topk_pruned
+
+    BAND = 3
+    series = {
+        0: [1, 5, 2, 8, 3, 9, 4, 7, 2, 6],
+        1: [1, 5, 2, 8, 3, 9, 4, 7, 2, 5],
+        2: [9, 1, 8, 2, 7, 3, 6, 4, 5, 5],
+        3: [2, 2, 2, 2, 2],              # shorter than the probe
+        4: [1, 5, 2, 8, 3, 9, 4, 7, 2, 6, 1, 5, 2, 8, 3],  # longer
+        5: [0, 0, 9, 9, 0, 0, 9, 9, 0, 0],
+    }
+
+    def dp(a, b, band=BAND):
+        n, m = len(a), len(b)
+        r = max(band, abs(n - m))
+        INF = float("inf")
+        prev = [0.0] + [INF] * m
+        for i in range(1, n + 1):
+            cur = [INF] * (m + 1)
+            for j in range(max(1, i - r), min(m, i + r) + 1):
+                cost = abs(a[i - 1] - b[j - 1])
+                cur[j] = cost + min(prev[j], cur[j - 1], prev[j - 1])
+            prev = cur
+        return prev[m]
+
+    sdf = spark.createDataFrame(
+        [(i, s) for i, s in series.items()], "cand_id long, series array<long>"
+    )
+    pdf = spark.createDataFrame(
+        [(0, series[0])], "probe_id long, p_series array<long>"
+    )
+    K = 4
+    got = dtw_topk_pruned(sdf, pdf, k=K, band=BAND, prefilter_m=1)
+    rows = sorted(got.collect(), key=lambda r: r.rank)
+    want = sorted((dp(series[0], s), c) for c, s in series.items() if c != 0)
+    assert [(r.dtw, r.cand_id) for r in rows] == [
+        (int(d), c) for d, c in want[:K]
+    ]

@@ -208,3 +208,39 @@ def test_snapshot_diff_extracts_cdc(spark):
         assert snapshot_diff(spark, d, v1, v1, ["id"]).count() == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_snapshot_diff_separator_values_not_confused(spark):
+    """Round-3 fix: the diff hash length-prefixes each rendered value,
+    so a value containing the old separator byte cannot shift content
+    across column boundaries ((a='x\\x1fy', b='z') vs (a='x', b='y\\x1fz')
+    must read as CHANGED), and a literal NUL string is distinct from
+    NULL."""
+    import tempfile
+
+    from sentiflow_spark.sources.layout import snapshot_diff, write_snapshot
+
+    d = tempfile.mkdtemp(prefix="sf_snaphash_")
+    try:
+        v0 = write_snapshot(
+            spark.createDataFrame(
+                [(1, "x\x1fy", "z"), (2, "\x00", "ok")],
+                "id long, a string, b string",
+            ),
+            d,
+        )
+        v1 = write_snapshot(
+            spark.createDataFrame(
+                [(1, "x", "y\x1fz"), (2, None, "ok")],
+                "id long, a string, b string",
+            ),
+            d,
+        )
+        diff = {
+            r.id: r.change for r in snapshot_diff(spark, d, v0, v1, ["id"]).collect()
+        }
+        assert diff == {1: "changed", 2: "changed"}
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)

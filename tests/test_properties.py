@@ -370,3 +370,32 @@ def test_weighted_sample_formula_and_determinism(spark, sf_dir):
         )
         u = (h % 1000000 + 1) / 1000001.0
         assert r.priority == round(-math.log(u) / r.weight, 10)
+
+
+def test_adaptive_plane_count_matches_duckdb_formula():
+    """sim_knn_graph / sim_mutual_knn derive their hyperplane count
+    from the corpus size on both engines; the Python formula and the
+    SQL mirror (duck_plane_count) must agree for every corpus size —
+    including exact power-of-two boundaries where ceil(log2(x)) is the
+    only cross-engine risk."""
+    import duckdb
+
+    from sentiflow_spark.functions.vectors import (
+        adaptive_plane_count,
+        duck_plane_count,
+    )
+
+    con = duckdb.connect()
+    ns = (
+        [1, 63, 64, 65, 127, 128, 500, 5000, 100_000, 1_000_000]
+        + [64 * 2**k for k in range(1, 27)]  # exact boundaries
+        + [64 * 2**k + 1 for k in range(1, 27)]
+        + [64 * 2**k - 1 for k in range(1, 27)]
+    )
+    for n in ns:
+        want = adaptive_plane_count(n)
+        got = con.execute(f"SELECT {duck_plane_count(str(n))}").fetchone()[0]
+        assert got == want, (n, got, want)
+    assert adaptive_plane_count(500) == 4      # sf0.001/sf0.01 corpora
+    assert adaptive_plane_count(5000) == 7     # sf0.1 bench corpus
+    assert adaptive_plane_count(100_000) == 11  # the 20x probe corpus
