@@ -529,3 +529,198 @@ def pagerank_int(
             .localCheckpoint()
         )
     return ranks
+
+
+# ----------------------------------------------------------- Winnowing
+
+# Robust winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the
+# MOSS fingerprinting algorithm): hash every k-char gram, slide a
+# window of w consecutive gram hashes, keep the minimum of each window
+# (rightmost on ties). Guarantees any shared substring of length
+# >= k + w - 1 contributes at least one IDENTICAL selected fingerprint
+# in both documents, at ~2/(w+1) storage density — the local, position-
+# robust complement to document-level MinHash.
+WINNOW_K = 8   # gram length (chars)
+WINNOW_W = 8   # window of consecutive gram hashes
+# Position packing: key = h * BASE - pos. min(key) picks the min hash
+# and, among equal hashes, the RIGHTMOST position (robust winnowing's
+# tie rule) in one comparison. h < 2^32 and BASE = 2^21 (> max doc
+# chars) keep every key under 2^53 — exact int64 in both engines.
+WINNOW_POS_BASE = 2 ** 21
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """(id, fps: array<long>) — the distinct packed winnowed keys per
+    document. ENTIRELY map-side: gram hashing and the windowed min are
+    higher-order array expressions over each row (no per-gram explode,
+    no shuffle), so fingerprint extraction scales as one linear pass
+    over the corpus; documents shorter than k + w - 1 chars yield no
+    fingerprints (no full window exists), matching the oracle."""
+    def _keys_of(t):
+        return F.transform(
+            F.sequence(F.lit(1), F.length(t) - k + 1),
+            lambda i: md5_i32(t.substr(i, F.lit(k)))
+            * F.lit(WINNOW_POS_BASE)
+            - i,
+        )
+
+    def _sels(arr):
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - w + 1),
+                lambda j: F.array_min(F.slice(arr, j, w)),
+            )
+        )
+
+    # Both the lowered text and the gram-key array are bound through
+    # lambda variables (transform over a 1-element array) so each is
+    # evaluated ONCE per row: leaving them as plain expressions lets
+    # CollapseProject inline lower(text) into every one of the O(L)
+    # gram substrings (O(L^2) char copying) and the whole O(L) md5
+    # array build into every one of the O(L) window slices — measured
+    # 167 s vs ~2 s at sf0.01 for identical output.
+    fps = F.element_at(
+        F.transform(
+            F.array(F.lower(F.col(text_col))),
+            lambda t: F.element_at(F.transform(F.array(_keys_of(t)), _sels), 1),
+        ),
+        1,
+    )
+    return df.filter(F.length(F.lower(F.col(text_col))) >= k + w - 1).select(
+        F.col(id_col), fps.alias("fps")
+    )
+
+
+def winnow_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    df_cap: int = 50,
+) -> DataFrame:
+    """(doc_a, doc_b, shared) — pairs sharing >= 1 winnowed gram HASH
+    (positions unpacked away, so the same content matches anywhere in
+    either doc). Inverted-index equi-join on the 32-bit hash with a
+    consistent df-cap, the same bounded shape as shingle_pair_counts:
+    join output <= df_cap x postings at any corpus size."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    # materialize the slim (id, h) inverted index ONCE: three consumers
+    # (df-cap frequency table + both sides of the self-join) would each
+    # re-run the O(L) per-doc md5 extraction otherwise (measured 26 s ->
+    # 7 s at sf0.1; same pattern as the LSH edge list in
+    # connected-components)
+    inv = (
+        fps.select(F.col(id_col), F.explode("fps").alias("_key"))
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"(_key + {WINNOW_POS_BASE - 1}) DIV {WINNOW_POS_BASE}"
+            ).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    dfreq = inv.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    inv = inv.join(dfreq.filter(F.col("_df") <= df_cap), "h", "left_semi")
+    a, b = inv.alias("a"), inv.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+
+
+# --------------------------------------------- Edit-distance (PassJoin)
+
+# Segment-based exact edit-similarity self-join (PassJoin — Li, Deng,
+# Wang & Feng, VLDB 2012): for strings of equal length, if
+# lev(A, B) <= d then at least one of A's d+1 disjoint segments occurs
+# VERBATIM in B within +-d of its home position (pigeonhole over the
+# edit operations). Candidate generation is therefore a pure equi-join
+# of (segment_idx, gram) index entries against (2d+1)-shifted probe
+# grams — never an all-pairs product — followed by the exact banded
+# levenshtein. The fixed-length prefix domain keeps the segmentation
+# uniform (classic PassJoin handles variable lengths with per-length
+# groups; the prefix form is the fuzzy title/URL-key dedup shape).
+EDIT_PREFIX_LEN = 60
+EDIT_MAX_DIST = 4
+EDIT_SEG_LEN = EDIT_PREFIX_LEN // (EDIT_MAX_DIST + 1)  # 12
+
+
+def edit_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, lev) for every pair whose lowercased
+    ``EDIT_PREFIX_LEN``-char prefixes are within edit distance
+    ``EDIT_MAX_DIST`` — EXACT output (the segment blocking is
+    recall-lossless by the pigeonhole argument), verified against a
+    brute-force all-pairs oracle. Docs shorter than the prefix are out
+    of the domain (mirrored in the oracle). The verification step uses
+    Spark's THRESHOLDED levenshtein (banded O(d x L) DP, returns -1
+    past the bound) so the exact pass costs d/L of the full DP."""
+    d, q, L = EDIT_MAX_DIST, EDIT_SEG_LEN, EDIT_PREFIX_LEN
+    pref = F.substring(F.lower(F.col(text_col)), 1, L)
+    base = (
+        df.filter(F.length(F.lower(F.col(text_col))) >= L)
+        .select(F.col(id_col).alias("doc"), pref.alias("pref"))
+    )
+    n_segs = d + 1
+    idx_entries = [
+        F.struct(
+            F.lit(i).alias("seg_i"),
+            F.substring(F.col("pref"), 1 + i * q, q).alias("gram"),
+        )
+        for i in range(n_segs)
+    ]
+    probe_entries = [
+        F.struct(
+            F.lit(i).alias("seg_i"),
+            F.substring(F.col("pref"), 1 + i * q + s, q).alias("gram"),
+        )
+        for i in range(n_segs)
+        for s in range(-d, d + 1)
+        if 1 <= 1 + i * q + s <= L - q + 1
+    ]
+    index = base.select("doc", F.explode(F.array(*idx_entries)).alias("e")).select(
+        "doc", "e.seg_i", "e.gram"
+    )
+    probes = (
+        base.select("doc", F.explode(F.array(*probe_entries)).alias("e"))
+        .select("doc", "e.seg_i", "e.gram")
+        .distinct()
+    )
+    cand = (
+        index.alias("a")
+        .join(probes.alias("b"), ["seg_i", "gram"])
+        .filter(F.col("a.doc") != F.col("b.doc"))
+        .select(
+            F.least(F.col("a.doc"), F.col("b.doc")).alias("doc_a"),
+            F.greatest(F.col("a.doc"), F.col("b.doc")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    pa = base.select(F.col("doc").alias("doc_a"), F.col("pref").alias("_pa"))
+    pb = base.select(F.col("doc").alias("doc_b"), F.col("pref").alias("_pb"))
+    lev = F.levenshtein(F.col("_pa"), F.col("_pb"), d)
+    return (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select("doc_a", "doc_b", lev.alias("lev"))
+        .filter(F.col("lev") >= 0)
+    )

@@ -10,8 +10,9 @@ from pyspark.sql import functions as F
 from sentiflow_spark.functions.vectors import (
     duck_cosine,
     duck_dot,
+    duck_plane_count,
     duck_quantize,
-    duck_rp_bucket,
+    duck_rp_bucket_dyn,
     rp_hyperplanes,
 )
 from sentiflow_spark.operators.similarity import (
@@ -135,17 +136,21 @@ def sim_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RP_PLANES = rp_hyperplanes(8, 64)
+# Same adaptive contract as sim_knn_graph/sim_mutual_knn: planes are a
+# prefix of a fixed LCG pool, the effective count derives from the
+# corpus size identically in both engines.
+_RP_PLANE_POOL = rp_hyperplanes(32, 64)
 
 
 @register(
     "sim_rph_pairs",
     oracle=f"""
     WITH {_DUCK_Q_CTE},
+    np AS (SELECT {duck_plane_count("COUNT(*)")} AS n_planes FROM embeddings),
     bucketed AS (
       SELECT vec_id, qvec, qnorm,
-             {duck_rp_bucket("qvec", _RP_PLANES)} AS rp_bucket
-      FROM qn
+             {duck_rp_bucket_dyn("qvec", _RP_PLANE_POOL, "n_planes")} AS rp_bucket
+      FROM qn CROSS JOIN np
     )
     SELECT id_a, id_b, cosine FROM (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -155,16 +160,23 @@ _RP_PLANES = rp_hyperplanes(8, 64)
     ) WHERE cosine >= 0.3
     """,
     tags=("similarity", "M5", "lsh", "dedup"),
-    doc="Random-hyperplane LSH near-dup pairs: 8 deterministic "
-    "sign-bit planes → 256 buckets → equi-join candidates → exact "
-    "cosine filter. Data-independent cosine blocking (the scale "
-    "alternative to trained IVF buckets).",
+    doc="Random-hyperplane LSH near-dup pairs: deterministic sign-bit "
+    "planes → 2^p buckets → equi-join candidates → exact cosine "
+    "filter. Data-independent cosine blocking (the scale alternative "
+    "to trained IVF buckets); the plane count self-scales with corpus "
+    "size (ceil(log2(n/64)) clamped to [4,32], mirrored in the "
+    "oracle's np CTE) so bucket occupancy — and the candidate join — "
+    "stays bounded at any n.",
 )
 def sim_rph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.functions.vectors import adaptive_plane_count
     from sentiflow_spark.operators.similarity import rph_neardup_pairs
 
+    n = load(spark, sf_dir, "embeddings").count()
     emb = with_quantized(load(spark, sf_dir, "embeddings"))
-    return rph_neardup_pairs(emb, _RP_PLANES, threshold=0.3)
+    return rph_neardup_pairs(
+        emb, _RP_PLANE_POOL[: adaptive_plane_count(n)], threshold=0.3
+    )
 
 
 @register(

@@ -399,3 +399,42 @@ def test_adaptive_plane_count_matches_duckdb_formula():
     assert adaptive_plane_count(500) == 4      # sf0.001/sf0.01 corpora
     assert adaptive_plane_count(5000) == 7     # sf0.1 bench corpus
     assert adaptive_plane_count(100_000) == 11  # the 20x probe corpus
+
+
+def test_winnowing_guarantee_shared_substring_yields_shared_fingerprint(spark):
+    """Robust winnowing's core guarantee (Schleimer et al. 2003): any
+    shared substring of length >= k + w - 1 contributes at least one
+    identical selected fingerprint HASH to both documents — regardless
+    of where the substring sits in either document."""
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_POS_BASE,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog near the bank"
+    assert len(shared) >= WINNOW_K + WINNOW_W - 1
+    docs = [
+        (1, "AAAA completely unrelated prefix text here " + shared),
+        (2, shared + " zzz a different suffix entirely, nothing alike"),
+        (3, "no overlap with either of the other documents at all xq"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = {
+        r.doc_id: {
+            (key + WINNOW_POS_BASE - 1) // WINNOW_POS_BASE for key in r.fps
+        }
+        for r in winnow_fingerprints(df).collect()
+    }
+    assert fps[1] & fps[2], "shared substring must share a fingerprint"
+    # determinism: same text -> same fingerprint set
+    again = {
+        r.doc_id: {
+            (key + WINNOW_POS_BASE - 1) // WINNOW_POS_BASE for key in r.fps
+        }
+        for r in winnow_fingerprints(df).collect()
+    }
+    assert fps == again
