@@ -566,3 +566,82 @@ def dtw_topk_pruned(
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= k)
     )
+
+
+def multiprobe_knn(
+    emb: DataFrame,
+    planes: list[list[int]],
+    k: int = 3,
+    n_probe_flips: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-probe LSH k-NN (Lv, Josephson, Wang, Charikar & Li, VLDB
+    2007): each query probes its OWN hyperplane bucket plus the
+    ``n_probe_flips`` buckets reached by flipping the sign bits with
+    the SMALLEST dot-product margins — the planes the vector sits
+    closest to, where its true neighbors most likely landed on the
+    other side. Recovers most of the recall lost to bucket boundaries
+    at a fixed (1 + n_probe_flips)x candidate-cost multiplier, instead
+    of paying for it with fewer planes (bigger buckets) everywhere.
+
+    All arithmetic is exact int64 (quantized dots), the flip choice is
+    a deterministic sort on (|dot|, plane_idx), and candidate
+    generation stays an equi-join on the probed bucket id — the same
+    scale contract as knn_graph.
+    """
+    from sentiflow_spark.functions.vectors import rp_bucket
+
+    def margins(qvec):
+        entries = []
+        for j, h in enumerate(planes):
+            harr = F.array(*[F.lit(c).cast("long") for c in h])
+            d = F.aggregate(
+                F.zip_with(qvec, harr, lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            entries.append(
+                F.struct(F.abs(d).alias("m"), F.lit(j).cast("long").alias("j"))
+            )
+        return F.array(*entries)
+
+    flips = F.transform(
+        F.slice(F.array_sort(margins(F.col("qvec"))), 1, n_probe_flips),
+        lambda s: F.col("rp_bucket").bitwiseXOR(
+            F.pow(F.lit(2.0), s["j"]).cast("long")
+        ),
+    )
+    bucketed = emb.withColumn("rp_bucket", rp_bucket(F.col("qvec"), planes))
+    probes = bucketed.select(
+        F.col(id_col).alias("src"),
+        F.col("qvec").alias("a_qvec"),
+        F.col("qnorm").alias("a_qnorm"),
+        F.explode(
+            F.concat(F.array(F.col("rp_bucket")), flips)
+        ).alias("rp_bucket"),
+    )
+    cands = bucketed.select(
+        "rp_bucket",
+        F.col(id_col).alias("dst"),
+        F.col("qvec").alias("b_qvec"),
+        F.col("qnorm").alias("b_qnorm"),
+    )
+    scored = (
+        probes.join(cands, "rp_bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            cosine_q(
+                dot_long(F.col("a_qvec"), F.col("b_qvec")),
+                F.col("a_qnorm"),
+                F.col("b_qnorm"),
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "cosine", "rank")
+    )

@@ -3280,3 +3280,185 @@ def sim_dtw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cands = dense.select(F.col("user_id").alias("cand_id"), "series")
     return dtw_topk_pruned(cands, probes, k=DTW_K, band=DTW_BAND)
+
+
+# ------------------------------------------------- Multi-probe LSH kNN
+
+MP_FLIPS = 3  # probe own bucket + 3 smallest-margin flips
+MP_RECALL_PROBES = 20  # probe set for the recall gate
+
+
+def _duck_mp_cte() -> str:
+    """mp CTE: per vector, the probed bucket list = own bucket plus the
+    MP_FLIPS buckets reached by flipping the smallest-|dot| planes —
+    the same deterministic (|dot|, plane_idx) sort as the Spark
+    operator; planes at or past n_planes carry an int64-max sentinel so
+    they are never chosen."""
+    items = []
+    for j, h in enumerate(_KNN_PLANE_POOL):
+        arr = "[" + ",".join(f"{c}.0" for c in h) + "]"
+        dot = f"list_dot_product(CAST(qvec AS DOUBLE[]), {arr})"
+        items.append(
+            f"[CASE WHEN {j} < n_planes THEN CAST(abs({dot}) AS BIGINT) "
+            f"ELSE 9223372036854775807 END, {j}]"
+        )
+    margin_list = "[" + ", ".join(items) + "]"
+    return f"""mp AS (
+      SELECT vec_id, qvec, qnorm, rp_bucket,
+             list_prepend(rp_bucket,
+               list_transform(list_sort({margin_list})[1:{MP_FLIPS}],
+                 x -> xor(rp_bucket, CAST(power(2, x[2]) AS BIGINT)))) AS pbuckets
+      FROM bucketed CROSS JOIN np
+    ),
+    mprobes AS (
+      SELECT vec_id AS src, qvec AS a_qvec, qnorm AS a_qnorm,
+             unnest(pbuckets) AS rp_bucket
+      FROM mp
+    ),
+    mpknn AS (
+      SELECT src, dst, cosine, rank FROM (
+        SELECT p.src, b.vec_id AS dst,
+               {duck_cosine(duck_dot('p.a_qvec', 'b.qvec'), 'p.a_qnorm', 'b.qnorm')} AS cosine,
+               row_number() OVER (
+                 PARTITION BY p.src
+                 ORDER BY {duck_cosine(duck_dot('p.a_qvec', 'b.qvec'), 'p.a_qnorm', 'b.qnorm')} DESC,
+                          b.vec_id) AS rank
+        FROM mprobes p JOIN bucketed b
+          ON b.rp_bucket = p.rp_bucket AND b.vec_id <> p.src
+      ) WHERE rank <= {KNN_K}
+    )"""
+
+
+@register(
+    "sim_multiprobe_knn",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {duck_quantize('embedding')} AS qvec FROM embeddings
+    ),
+    qn AS (
+      SELECT vec_id, qvec, {duck_dot('qvec', 'qvec')} AS qnorm FROM q
+    ),
+    {_KNN_NP_CTE},
+    {_KNN_BUCKETED_CTE},
+    {_duck_mp_cte()}
+    SELECT src, dst, cosine, rank FROM mpknn
+    """,
+    tags=("similarity", "M5", "ann", "lsh", "graph"),
+    doc=f"Multi-probe LSH k-NN (Lv et al., VLDB 2007): each query "
+    f"probes its own hyperplane bucket PLUS the {MP_FLIPS} buckets "
+    "reached by flipping the sign bits with the smallest dot-product "
+    "margins — the planes the vector sits closest to, where its true "
+    "neighbors most likely landed on the other side. Recovers "
+    "boundary-loss recall at a fixed (1+T)x candidate multiplier "
+    "instead of shrinking the plane count (which would grow EVERY "
+    "bucket). Flip choice is a deterministic (|dot|, plane) sort over "
+    "exact int64 margins, mirrored in the oracle; candidate "
+    "generation stays an equi-join on the probed bucket id; planes "
+    "self-scale with corpus size exactly as sim_knn_graph.",
+)
+def sim_multiprobe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.operators.similarity import multiprobe_knn
+
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    return multiprobe_knn(
+        emb, _knn_planes(spark, sf_dir), k=KNN_K, n_probe_flips=MP_FLIPS
+    )
+
+
+@register(
+    "sim_multiprobe_recall",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {duck_quantize('embedding')} AS qvec FROM embeddings
+    ),
+    qn AS (
+      SELECT vec_id, qvec, {duck_dot('qvec', 'qvec')} AS qnorm FROM q
+    ),
+    {_KNN_NP_CTE},
+    {_KNN_BUCKETED_CTE},
+    {_duck_mp_cte()},
+    bf AS (
+      SELECT src, dst FROM (
+        SELECT p.vec_id AS src, c.vec_id AS dst,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY {duck_cosine(duck_dot('p.qvec', 'c.qvec'), 'p.qnorm', 'c.qnorm')} DESC,
+                          c.vec_id) AS rank
+        FROM qn p JOIN qn c ON c.vec_id <> p.vec_id
+        WHERE p.vec_id < {MP_RECALL_PROBES}
+      ) WHERE rank <= {KNN_K}
+    ),
+    single AS (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {duck_cosine(duck_dot('a.qvec', 'b.qvec'), 'a.qnorm', 'b.qnorm')} DESC,
+                          b.vec_id) AS rank
+        FROM bucketed a JOIN bucketed b
+          ON a.rp_bucket = b.rp_bucket AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < {MP_RECALL_PROBES}
+      ) WHERE rank <= {KNN_K}
+    ),
+    multi AS (
+      SELECT src, dst FROM mpknn WHERE src < {MP_RECALL_PROBES}
+    )
+    SELECT method, n_hits, recall FROM (
+      SELECT 'single' AS method,
+             CAST(SUM(CASE WHEN s.dst IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits,
+             round(SUM(CASE WHEN s.dst IS NULL THEN 0.0 ELSE 1.0 END)
+                   / {MP_RECALL_PROBES * KNN_K}, 4) AS recall
+      FROM bf LEFT JOIN single s ON s.src = bf.src AND s.dst = bf.dst
+      UNION ALL
+      SELECT 'multiprobe' AS method,
+             CAST(SUM(CASE WHEN m.dst IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits,
+             round(SUM(CASE WHEN m.dst IS NULL THEN 0.0 ELSE 1.0 END)
+                   / {MP_RECALL_PROBES * KNN_K}, 4) AS recall
+      FROM bf LEFT JOIN multi m ON m.src = bf.src AND m.dst = bf.dst
+    )
+    """,
+    tags=("similarity", "M5", "ann", "eval"),
+    doc=f"Recall gate for multi-probe: recall@{KNN_K} of single-bucket "
+    "vs multi-probe k-NN against exact brute force over a fixed "
+    f"{MP_RECALL_PROBES}-probe set — quantifies exactly how much "
+    "boundary-loss recall the smallest-margin flips buy at the "
+    f"(1+{MP_FLIPS})x candidate cost (same harness shape as "
+    "sim_ivf_recall). Two rows: (method, n_hits, recall).",
+)
+def sim_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.operators.similarity import (
+        knn_graph,
+        multiprobe_knn,
+    )
+
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    planes = _knn_planes(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < MP_RECALL_PROBES)
+    bf = brute_force_topk(emb, probes, k=KNN_K).select(
+        F.col("probe_id").alias("src"), F.col("cand_id").alias("dst")
+    )
+    single = (
+        knn_graph(emb, planes, k=KNN_K)
+        .filter(F.col("src") < MP_RECALL_PROBES)
+        .select("src", "dst", F.lit(1).alias("hit"))
+    )
+    multi = (
+        multiprobe_knn(emb, planes, k=KNN_K, n_probe_flips=MP_FLIPS)
+        .filter(F.col("src") < MP_RECALL_PROBES)
+        .select("src", "dst", F.lit(1).alias("hit"))
+    )
+    denom = float(MP_RECALL_PROBES * KNN_K)
+
+    def scored(cand: DataFrame, name: str) -> DataFrame:
+        return (
+            bf.join(cand, ["src", "dst"], "left")
+            .agg(
+                F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+                F.round(
+                    F.sum(F.coalesce("hit", F.lit(0)).cast("double")) / denom, 4
+                ).alias("recall"),
+            )
+            .select(F.lit(name).alias("method"), "n_hits", "recall")
+        )
+
+    return scored(single, "single").unionAll(scored(multi, "multiprobe"))
