@@ -4,8 +4,11 @@ MERGE path is asserted by re-running."""
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
+
+import pytest
 
 from sentiflow_spark.jobs import main
 
@@ -571,3 +574,52 @@ def test_streaming_trending_counts_merge_across_batches(spark):
         assert got == expect
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP"),
+    reason="no Kafka broker in this environment (set "
+    "SPARK_GRAFT_KAFKA_BOOTSTRAP=host:port to run; also requires the "
+    "spark-sql-kafka connector on the classpath)",
+)
+def test_kafka_broker_e2e_keyed_roundtrip(spark):
+    """Executes the real K1/S1 wire path once when a broker exists:
+    keyed-JSON batch write to a fresh topic, batch read back, payloads
+    and keys intact. Everything else about the Kafka path (options,
+    payload shape, offsets-in-checkpoint) is pinned by the
+    broker-free contract tests above; this closes the loop on the one
+    thing those cannot execute — the connector itself."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.sources.kafka_io import (
+        keyed_json_payload,
+        parse_kafka_json,
+    )
+
+    brokers = os.environ["SPARK_GRAFT_KAFKA_BOOTSTRAP"]
+    topic = f"sf-e2e-{uuid.uuid4().hex[:8]}"
+    src = spark.createDataFrame(
+        [("id-1", "hello", 1), ("id-2", "world", 2)],
+        "content_id string, body string, n int",
+    )
+    (
+        keyed_json_payload(src, "content_id")
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .save()
+    )
+    raw = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    got = parse_kafka_json(raw, src.schema).orderBy("content_id").collect()
+    assert [(r.kafka_key, r.content_id, r.body, r.n) for r in got] == [
+        ("id-1", "id-1", "hello", 1),
+        ("id-2", "id-2", "world", 2),
+    ]

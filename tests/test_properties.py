@@ -438,3 +438,69 @@ def test_winnowing_guarantee_shared_substring_yields_shared_fingerprint(spark):
         for r in winnow_fingerprints(df).collect()
     }
     assert fps == again
+
+
+def test_edit_prefix_pairs_matches_bruteforce_on_adversarial_strings(spark):
+    """PassJoin's segment blocking must be recall-lossless: on a
+    seeded corpus of near-identical strings (small alphabet, planted
+    insert/delete/substitute edits at random positions — the shapes
+    that shift segment frames) the operator's pair set must equal the
+    brute-force all-pairs filter exactly."""
+    import random
+
+    from sentiflow_spark.operators.dedup import (
+        EDIT_MAX_DIST,
+        EDIT_PREFIX_LEN,
+        edit_prefix_pairs,
+    )
+
+    rng = random.Random(20260814)
+    alpha = "abc"
+    L = EDIT_PREFIX_LEN
+
+    def mutate(s, n_edits):
+        s = list(s)
+        for _ in range(n_edits):
+            op = rng.choice("ids")
+            p = rng.randrange(len(s))
+            if op == "i":
+                s.insert(p, rng.choice(alpha))
+            elif op == "d" and len(s) > 1:
+                del s[p]
+            else:
+                s[p] = rng.choice(alpha)
+        return "".join(s)
+
+    bases = ["".join(rng.choice(alpha) for _ in range(L + 6)) for _ in range(6)]
+    texts = [b for b in bases] + [
+        mutate(b, rng.randrange(1, 7)) for b in bases for _ in range(4)
+    ]
+    rows = [(i, t) for i, t in enumerate(texts) if len(t) >= L]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def lev(a, b):
+        n, m = len(a), len(b)
+        prev = list(range(m + 1))
+        for i in range(1, n + 1):
+            cur = [i] + [0] * m
+            for j in range(1, m + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[m]
+
+    prefs = {i: t[:L].lower() for i, t in rows}
+    want = {
+        (a, b, lev(prefs[a], prefs[b]))
+        for a in prefs
+        for b in prefs
+        if a < b and lev(prefs[a], prefs[b]) <= EDIT_MAX_DIST
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.lev) for r in edit_prefix_pairs(df).collect()
+    }
+    assert want, "seeded corpus must produce at least one close pair"
+    assert got == want
