@@ -106,6 +106,12 @@ def lsh_candidate_pairs(
     join at a duplicate-heavy 100k-doc corpus (1.05M candidate pairs),
     and the gap widens with bucket skew since wide rows multiply
     within-bucket."""
+    # materialize the signature table once: it has THREE consumers here
+    # (band explode + both sides of the est-Jaccard re-join), each of
+    # which would otherwise re-run the tokenize/explode/16-min-agg
+    # lineage (k rows per doc — tiny to store; 9.8 s -> 2.6 s cold /
+    # 2.4 -> 2.0 s warm at sf0.1)
+    sigs = sigs.localCheckpoint()
     n_bands = num_perm // band_size
     bands = sigs.select(
         F.col(id_col),
