@@ -519,10 +519,19 @@ def dd_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     fps = winnow_fingerprints(docs)
     zero = F.lit(0).cast("long")
-    return fps.select(
-        "doc_id",
-        F.size("fps").alias("n_fps"),
-        F.aggregate("fps", zero, lambda acc, x: acc + x).alias("fp_sum"),
+    # the n_fps filter is a tautology (size() >= 0 for non-null
+    # arrays), kept so count-style consumers cannot column-prune the
+    # fingerprint computation away — a bare projection under .count()
+    # times a no-op scan (the .rdd.count() measurement lesson, applied
+    # to the query itself); the oracle is unchanged because no row is
+    # dropped
+    return (
+        fps.select(
+            "doc_id",
+            F.size("fps").alias("n_fps"),
+            F.aggregate("fps", zero, lambda acc, x: acc + x).alias("fp_sum"),
+        )
+        .filter(F.col("n_fps") >= 0)
     )
 
 
