@@ -318,3 +318,45 @@ def pl_nested_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("c.event_id").alias("event_id"),
         F.col("c.user_id").alias("user_id")
     )
+
+
+@register(
+    "pl_datasource_reddit_search",
+    oracle="""
+    SELECT s.sub AS subreddit, t.topic,
+           s.sub || '-' || t.topic || '-' || p.page || '-' || i.i AS post_id,
+           t.topic || ' post ' || i.i || ' on r/' || s.sub
+             || ' (page ' || p.page || ')' AS title,
+           'body ' || s.sub || '/' || t.topic || '/' || p.page || '/' || i.i
+             AS selftext,
+           'u' || i.i AS author,
+           CAST(1700000000.0 + p.page * 100 + i.i AS DOUBLE) AS created_utc,
+           CAST(p.page AS INT) AS page_idx
+    FROM (VALUES ('golang'), ('dataengineering')) s(sub)
+    CROSS JOIN (VALUES ('spark'), ('duckdb')) t(topic)
+    CROSS JOIN (SELECT unnest(range(0, 3)) AS page) p
+    CROSS JOIN (SELECT unnest(range(0, 5)) AS i) i
+    """,
+    tags=("pipeline", "S4", "datasource"),
+    doc="S4 executed through the PySpark 4 custom DataSource "
+    "(sources/http_source.py): spark.read.format('reddit_search') "
+    "with one InputPartition per (subreddit, topic) pagination chain, "
+    "the fixture transport answering from the REAL "
+    "build_reddit_search_url request URLs. The fixture is a pure "
+    "function of the crawl plan, so the oracle GENERATES the exact "
+    "expected rows in SQL — a full value-hash check of the "
+    "distributed source path (partitioning, cursor chains, schema), "
+    "not just a row count. sf_dir is unused: the source under test is "
+    "the HTTP-shaped one, not the tables.",
+)
+def pl_datasource_reddit_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.sources.http_source import RedditSearchDataSource
+
+    spark.dataSource.register(RedditSearchDataSource)
+    return (
+        spark.read.format("reddit_search")
+        .option("subreddits", "golang,dataengineering")
+        .option("topics", "spark,duckdb")
+        .option("transport", "fixture")
+        .load()
+    )

@@ -303,3 +303,101 @@ def test_fetch_paginated_follows_after_cursor(spark):
     )
     assert projected.count() == 4
     assert projected.select("content_id").distinct().count() == 4
+
+
+def test_reddit_search_datasource_distributed_pagination(spark):
+    """S4 as a real Spark source: each (subreddit, topic) pagination
+    chain is its own input partition (the ingest tier fans out with
+    the crawl plan instead of serializing on the driver), every chain
+    follows the fixture's 3-page after-cursor sequence through the
+    REAL build_reddit_search_url, and the union of chains is exactly
+    subreddits x topics x pages x posts rows."""
+    from sentiflow_spark.sources.http_source import (
+        FIXTURE_PAGES,
+        FIXTURE_POSTS_PER_PAGE,
+        RedditSearchDataSource,
+    )
+
+    spark.dataSource.register(RedditSearchDataSource)
+    df = (
+        spark.read.format("reddit_search")
+        .option("subreddits", "golang,dataengineering")
+        .option("topics", "spark,duckdb")
+        .option("transport", "fixture")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4  # 2 subreddits x 2 topics
+    rows = df.collect()
+    assert len(rows) == 4 * FIXTURE_PAGES * FIXTURE_POSTS_PER_PAGE
+    by_chain = {}
+    for r in rows:
+        by_chain.setdefault((r.subreddit, r.topic), []).append(r)
+    assert set(by_chain) == {
+        ("golang", "spark"),
+        ("golang", "duckdb"),
+        ("dataengineering", "spark"),
+        ("dataengineering", "duckdb"),
+    }
+    chain = sorted(
+        by_chain[("golang", "spark")], key=lambda r: (r.page_idx, r.post_id)
+    )
+    # cursor chain followed in order: pages 0,1,2 each with 5 posts
+    assert [r.page_idx for r in chain] == [
+        p for p in range(FIXTURE_PAGES) for _ in range(FIXTURE_POSTS_PER_PAGE)
+    ]
+    assert chain[0].post_id == "golang-spark-0-0"
+    assert chain[0].title == "spark post 0 on r/golang (page 0)"
+    assert chain[-1].created_utc == 1700000000.0 + 2 * 100 + 4
+
+
+def test_reddit_poll_stream_source_micro_batch_per_round(spark):
+    """The streaming poll source: each micro-batch is one poll round
+    over the crawl plan, the offset is the poll number, and rows carry
+    the round they were fetched in — two availableNow runs through one
+    checkpoint advance the poll offset instead of re-reading round 0
+    (the reference's ticker, with Spark's checkpoint as the clock)."""
+    import shutil
+    import tempfile
+
+    from sentiflow_spark.sources.http_source import (
+        FIXTURE_PAGES,
+        FIXTURE_POSTS_PER_PAGE,
+        RedditPollDataSource,
+    )
+
+    spark.dataSource.register(RedditPollDataSource)
+    d = tempfile.mkdtemp(prefix="sf_poll_")
+    out, ckpt = f"{d}/out", f"{d}/ckpt"
+    try:
+        def run_once():
+            q = (
+                spark.readStream.format("reddit_poll")
+                .option("subreddits", "golang")
+                .option("topics", "spark")
+                .option("transport", "fixture")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once()
+        first = spark.read.parquet(out).collect()
+        polls_after_first = {r.poll_idx for r in first}
+        run_once()
+        rows = spark.read.parquet(out).collect()
+        per_round = FIXTURE_PAGES * FIXTURE_POSTS_PER_PAGE
+        assert len(first) % per_round == 0 and len(first) > 0
+        assert len(rows) > len(first)  # second run fetched NEW rounds
+        polls = {r.poll_idx for r in rows}
+        assert polls_after_first == set(range(len(polls_after_first)))
+        assert polls == set(range(len(polls)))  # contiguous, no replays
+        by_poll = {}
+        for r in rows:
+            by_poll.setdefault(r.poll_idx, []).append(r)
+        assert all(len(v) == per_round for v in by_poll.values())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
