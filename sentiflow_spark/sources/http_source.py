@@ -109,6 +109,7 @@ class RedditSearchReader(DataSourceReader):
         self.base = options.get("base", "https://oauth.reddit.com")
         self.transport_name = options.get("transport", "fixture")
         self.max_pages = int(options.get("max_pages", "1000"))
+        self.arrow = options.get("arrow", "false").lower() == "true"
         if not self.subreddits or not self.topics:
             raise ValueError(
                 "reddit_search requires non-empty 'subreddits' and 'topics'"
@@ -121,7 +122,7 @@ class RedditSearchReader(DataSourceReader):
             ChainPartition(s, t) for s in self.subreddits for t in self.topics
         ]
 
-    def read(self, partition: ChainPartition) -> Iterator[tuple]:
+    def read(self, partition: ChainPartition) -> Iterator:
         # executor-side: build the transport here, never pickle it
         from sentiflow_spark.pipeline.model_udfs import (
             build_reddit_search_url,
@@ -152,7 +153,22 @@ class RedditSearchReader(DataSourceReader):
             ]
             return rows, payload.get("after") or ""
 
-        yield from fetch_paginated(fetch_page, max_pages=self.max_pages)
+        rows = fetch_paginated(fetch_page, max_pages=self.max_pages)
+        if self.arrow:
+            # Arrow fast path: one RecordBatch per chain instead of
+            # per-row pickling through the Python<->JVM bridge — the
+            # DataSource API accepts either; identical rows by test.
+            import pyarrow as pa
+
+            names = [f.split()[0] for f in SCHEMA.split(", ")]
+            types = [pa.string()] * 6 + [pa.float64(), pa.int32()]
+            cols = list(zip(*rows)) if rows else [[] for _ in names]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c, type=t) for c, t in zip(cols, types)],
+                names=names,
+            )
+        else:
+            yield from rows
 
 
 class RedditSearchDataSource(DataSource):
@@ -184,6 +200,7 @@ class RedditPollStreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, options: dict):
         self.inner = RedditSearchReader(options)
+        self.inner.arrow = False  # poll rounds append poll_idx per row
 
     def initialOffset(self) -> dict:
         return {"poll": 0}

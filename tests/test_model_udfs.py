@@ -401,3 +401,25 @@ def test_reddit_poll_stream_source_micro_batch_per_round(spark):
         assert all(len(v) == per_round for v in by_poll.values())
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_reddit_search_datasource_arrow_path_identical(spark):
+    """arrow=true flips the reader to one RecordBatch per chain (Arrow
+    transfer instead of per-row pickling); rows must be identical to
+    the tuple path."""
+    from sentiflow_spark.sources.http_source import RedditSearchDataSource
+
+    spark.dataSource.register(RedditSearchDataSource)
+
+    def rd(arrow):
+        return sorted(
+            spark.read.format("reddit_search")
+            .option("subreddits", "golang,dataengineering")
+            .option("topics", "spark,duckdb")
+            .option("transport", "fixture")
+            .option("arrow", arrow)
+            .load()
+            .collect()
+        )
+
+    assert rd("true") == rd("false")
