@@ -598,6 +598,31 @@ def winnow_fingerprints(
         ),
         1,
     )
+    # extraction is CPU-bound (O(L) md5 per doc), so it must be as wide
+    # as the cluster: a SMALL input is repartitioned first, because a
+    # single-row-group parquet file lands every row in one task no
+    # matter how many byte-range splits the scan plans (partition
+    # count lies — only one is non-empty), and shuffling a few MB of
+    # text costs far less than hashing it on one core (measured 3.7 s
+    # -> 0.4 s warm at sf0.1). The guard is total input SIZE, so at
+    # real corpus scale (many files, >> 256 MB) it is a no-op and the
+    # extraction stays purely map-side on the scan's own partitions.
+    try:
+        files = df.inputFiles()
+    except Exception:  # non-file sources: leave the plan alone
+        files = []
+    if files and len(files) <= 64:
+        import os as _os
+
+        try:
+            total = sum(
+                _os.path.getsize(f[7:] if f.startswith("file:") else f)
+                for f in files
+            )
+        except OSError:
+            total = None
+        if total is not None and total < (256 << 20):
+            df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return df.filter(F.length(F.lower(F.col(text_col))) >= k + w - 1).select(
         F.col(id_col), fps.alias("fps")
     )

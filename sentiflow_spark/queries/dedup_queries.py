@@ -519,18 +519,26 @@ def dd_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     fps = winnow_fingerprints(docs)
     zero = F.lit(0).cast("long")
-    # the n_fps filter is a tautology (size() >= 0 for non-null
-    # arrays), kept so count-style consumers cannot column-prune the
-    # fingerprint computation away — a bare projection under .count()
-    # times a no-op scan (the .rdd.count() measurement lesson, applied
-    # to the query itself); the oracle is unchanged because no row is
-    # dropped
+    # Two expression-duplication guards, both measured:
+    # - the fps array is bound through a transform lambda and emitted
+    #   through an explode (Generate) barrier, so the O(L) extraction
+    #   runs exactly ONCE per row — referencing the fps column from
+    #   size() and aggregate() separately lets CollapseProject inline
+    #   the whole extraction per reference (3.5 s -> 1.2 s warm);
+    # - the n_fps filter is a tautology (size() >= 0 for non-null
+    #   arrays), kept so count-style consumers cannot column-prune the
+    #   computation away — a bare projection under .count() times a
+    #   no-op scan. The oracle is unchanged: no row is dropped.
+    stats_arr = F.transform(
+        F.array(F.col("fps")),
+        lambda a: F.struct(
+            F.size(a).alias("n_fps"),
+            F.aggregate(a, zero, lambda acc, x: acc + x).alias("fp_sum"),
+        ),
+    )
     return (
-        fps.select(
-            "doc_id",
-            F.size("fps").alias("n_fps"),
-            F.aggregate("fps", zero, lambda acc, x: acc + x).alias("fp_sum"),
-        )
+        fps.select("doc_id", F.explode(stats_arr).alias("s"))
+        .select("doc_id", "s.n_fps", "s.fp_sum")
         .filter(F.col("n_fps") >= 0)
     )
 
