@@ -641,12 +641,18 @@ def winnow_pair_counts(
     either doc). Inverted-index equi-join on the 32-bit hash with a
     consistent df-cap, the same bounded shape as shingle_pair_counts:
     join output <= df_cap x postings at any corpus size."""
-    fps = winnow_fingerprints(df, text_col, id_col, k, w)
-    # materialize the slim (id, h) inverted index ONCE: three consumers
-    # (df-cap frequency table + both sides of the self-join) would each
-    # re-run the O(L) per-doc md5 extraction otherwise (measured 26 s ->
-    # 7 s at sf0.1; same pattern as the LSH edge list in
-    # connected-components)
+    # materialize the fingerprint arrays BEFORE exploding them:
+    # Generate with an expensive interpreted higher-order child
+    # re-evaluates that child per output element, not per input row —
+    # explode(extraction_expr) measured 4.4 s warm vs 0.7 s for
+    # checkpoint-then-explode of identical data at sf0.1 (the third
+    # expression-duplication trap this operator surfaced; see
+    # winnow_fingerprints for the other two)
+    fps = winnow_fingerprints(df, text_col, id_col, k, w).localCheckpoint()
+    # ... and the slim (id, h) inverted index ONCE more: three
+    # consumers (df-cap frequency table + both sides of the self-join)
+    # would each re-run the explode+distinct otherwise (same pattern
+    # as the LSH edge list in connected-components)
     inv = (
         fps.select(F.col(id_col), F.explode("fps").alias("_key"))
         .select(
