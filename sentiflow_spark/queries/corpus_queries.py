@@ -501,6 +501,7 @@ def txt_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at the 20x probe. dd_containment_capped (cap 5) stays the tight
 # production shape.
 CONTAIN_PAIRS_DF_CAP = 50
+CONTAIN_DF_CAP = 5
 
 
 @register(
@@ -1110,10 +1111,16 @@ def dd_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
     {_J_SHINGLES},
-    jsizes AS (SELECT doc_id, COUNT(*) AS set_size FROM jsh GROUP BY doc_id),
+    jdfreq AS (SELECT shingle, COUNT(*) AS df FROM jsh GROUP BY 1),
+    jkeep AS (
+      SELECT jsh.doc_id, jsh.shingle
+      FROM jsh JOIN jdfreq USING (shingle)
+      WHERE jdfreq.df <= {CONTAIN_DF_CAP}
+    ),
+    jsizes AS (SELECT doc_id, COUNT(*) AS set_size FROM jkeep GROUP BY doc_id),
     jshared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-      FROM jsh a JOIN jsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM jkeep a JOIN jkeep b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
     contained AS (
@@ -1185,8 +1192,12 @@ def dd_method_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("minhash_cluster").alias("method"), "n_flagged")
     )
 
+    # the production (df-capped) containment shape, mirrored in the
+    # oracle's jkeep CTE — the method compared is the method that
+    # actually runs at scale; the uncapped join was the last
+    # registered consumer of the all-pairs inverted index
     contained = (
-        shingle_pair_counts(docs)
+        shingle_pair_counts(docs, df_cap=CONTAIN_DF_CAP)
         .filter(F.col("shared").cast("double") / F.col("size_b") >= 0.9)
         .select("doc_b")
         .distinct()
@@ -1231,8 +1242,6 @@ def txt_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_hits") > 0)
     )
 
-
-CONTAIN_DF_CAP = 5
 
 
 @register(
@@ -2034,22 +2043,42 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sentiflow_spark.operators.dedup import (
+        exploded_shingles,
         lsh_candidate_pairs,
         minhash_signatures,
     )
 
     docs = load(spark, sf_dir, "documents")
     cand = lsh_candidate_pairs(minhash_signatures(docs))
-    exact = shingle_pair_counts(docs).select(
-        "doc_a",
-        "doc_b",
-        (
-            F.col("shared").cast("double")
-            / (F.col("size_a") + F.col("size_b") - F.col("shared"))
-        ).alias("jaccard"),
+    # exact Jaccard ONLY for candidate pairs: join each side's shingle
+    # SET onto the pair and intersect per row — O(candidates x
+    # set_size), never the uncapped inverted-index all-pairs join
+    # (which is the round-2 dd_lsh_recall escape in disguise: it ran
+    # >580 s at the 50x probe while the candidate set itself stays
+    # linear; this shape finishes in ~2 min there, identical values).
+    # The oracle keeps the brute all-pairs exact side — same numbers,
+    # since only candidate pairs are consumed.
+    sets = (
+        exploded_shingles(docs)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("_shs"))
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("_shs").alias("_sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("_shs").alias("_sb"))
+    shared = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    union = F.size("_sa") + F.size("_sb") - shared
+    scored = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            (shared.cast("double") / union).alias("jaccard"),
+        )
     )
     return (
-        cand.join(exact, ["doc_a", "doc_b"], "left")
+        scored
         .groupBy(
             F.round(F.col("est_jaccard") * 16).cast("long").alias("est_sixteenths")
         )
