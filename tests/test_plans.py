@@ -352,3 +352,23 @@ def test_doc_sim_topk_df_capped_join(spark, sf_dir):
     plan = I.simple_plan(df)
     assert "LeftSemi" in plan  # the df-cap filter application
     assert not I.has_cartesian(df)
+
+
+def test_lsh_calibration_exact_side_is_candidate_bounded(spark, sf_dir):
+    """Round-3 fix pin: dd_lsh_calibration's exact Jaccard must come
+    from per-candidate array_intersect over joined shingle SETS, never
+    the uncapped all-pairs inverted-index self-join (>580s at the 50x
+    probe vs 41s for the bounded shape, identical values)."""
+    df = q(spark, sf_dir, "dd_lsh_calibration")
+    plan = I.simple_plan(df)
+    assert "array_intersect" in plan
+
+
+def test_threshold_curve_runs_on_doc_sample(spark, sf_dir):
+    """Round-3 fix pin: dd_threshold_curve's pair truth is computed on
+    the deterministic md5 doc sample (the sampled-slice practice its
+    docstring invokes), so the filter must appear in the plan before
+    the pair join."""
+    df = q(spark, sf_dir, "dd_threshold_curve")
+    plan = I.simple_plan(df)
+    assert "md5" in plan and "substring" in plan
