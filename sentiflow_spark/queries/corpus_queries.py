@@ -1340,10 +1340,18 @@ def win_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h_idx")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # "next observed" is a RUNNING frame over DESCENDING order, not a
+    # [current, unbounded following] frame: Spark re-scans a following
+    # frame per row (O(n^2) per series — measured 145 s at the 50x
+    # probe's 21k-hour series vs 1.4 s at 20x), while a preceding
+    # running frame is incremental O(n). last(...) over the reversed
+    # running frame IS first_value-ignore-nulls over the forward
+    # following frame; same 5.6 s class as the EWMA query after the
+    # fix.
     w_next = (
         W.partitionBy("event_type")
-        .orderBy("h_idx")
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
+        .orderBy(F.desc("h_idx"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     obs_h = F.when(F.col("total").isNotNull(), F.col("h_idx"))
     bounded = joined.select(
@@ -1352,8 +1360,8 @@ def win_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
         F.last("total", ignorenulls=True).over(w_prev).alias("prev_v"),
         F.last(obs_h, ignorenulls=True).over(w_prev).alias("prev_h"),
-        F.first("total", ignorenulls=True).over(w_next).alias("next_v"),
-        F.first(obs_h, ignorenulls=True).over(w_next).alias("next_h"),
+        F.last("total", ignorenulls=True).over(w_next).alias("next_v"),
+        F.last(obs_h, ignorenulls=True).over(w_next).alias("next_h"),
     )
     interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
         (F.col("h_idx") - F.col("prev_h")).cast("double")
