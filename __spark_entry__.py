@@ -34,3 +34,17 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query; omitted for non-SQL-expressible
     operators (driver falls back to a rows-only check)."""
     return {name: q.oracle for name, q in load_all().items() if q.oracle is not None}
+
+
+def oracle_sql_big() -> dict[str, str]:
+    """Cheaper oracle overrides for LARGE scale factors (local sweeps
+    at sf0.1+). Where `oracle_sql()` registers a deliberately
+    brute-force proof-carrying oracle (e.g. dd_edit_prefix_pairs'
+    all-pairs levenshtein), this returns an equivalent mirrored-
+    blocking form so big-sf sweeps stay fast; the driver (sf0.01)
+    keeps the proof-carrying originals."""
+    return {
+        name: q.oracle_big
+        for name, q in load_all().items()
+        if q.oracle_big is not None
+    }

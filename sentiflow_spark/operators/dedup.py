@@ -623,6 +623,27 @@ def winnow_fingerprints(
             total = None
         if total is not None and total < (256 << 20):
             df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # Packing-limit guard: key = h*BASE - i is only injective (and the
+    # rightmost-tie min only correct) while every gram position
+    # i = 1..L-k+1 stays under BASE, i.e. L <= BASE + k - 2. A longer
+    # document would corrupt fingerprints IDENTICALLY in engine and
+    # oracle (parity cannot catch it), so fail loudly instead — a
+    # 100 TB corpus chunks documents long before 2 MB of text anyway.
+    max_len = WINNOW_POS_BASE + k - 2
+    guarded = F.when(
+        F.length(F.col(text_col)) > max_len,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"winnow_fingerprints: document longer than {max_len} "
+                    "chars exceeds the WINNOW_POS_BASE position-packing "
+                    "limit; chunk it first: "
+                ),
+                F.col(id_col).cast("string"),
+            )
+        ),
+    ).otherwise(F.col(text_col))
+    df = df.withColumn(text_col, guarded)
     return df.filter(F.length(F.lower(F.col(text_col))) >= k + w - 1).select(
         F.col(id_col), fps.alias("fps")
     )

@@ -1,21 +1,30 @@
-"""Local DuckDB oracle harness.
+"""Local DuckDB oracle harness — driver-identical pandas comparison.
 
-Mirrors the driver's correctness gate: run a registered query's Spark
-implementation and its ANSI-SQL oracle over the same parquet tables and
-compare row count, schema (column names), and an order-insensitive
-canonical value hash. Used by tests/test_parity.py.
+Mirrors the external driver's correctness gate: run a registered
+query's Spark implementation and its ANSI-SQL oracle over the same
+parquet tables and compare row count, schema (column names), and an
+order-insensitive canonical value hash.  Used by tests/test_parity.py.
+
+The driver compares through *pandas* (``spark_df.toPandas()`` vs
+``duckdb_rel.df()``), sorts columns by name, ``sort_values`` over all
+columns, then hashes cell values dtype-sensitively.  Round 3 proved
+that a ``.collect()``/``.fetchall()``-based comparison is NOT
+equivalent: DuckDB HUGEINT sums coerce to float64 in pandas (``0.0``
+hashed against Spark's ``0``), Spark DECIMAL outputs survive as
+``Decimal`` objects in object-dtype columns, and list/map cells crash
+``sort_values`` — five driver rows went red on value-identical
+results.  This module therefore routes BOTH sides through pandas and
+formats cells dtype-sensitively, so that class of divergence fails
+locally first.
 """
 
 from __future__ import annotations
 
-import datetime as _dt
-import decimal
 import hashlib
-import json
-import math
 from dataclasses import dataclass
 
 import duckdb
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from sentiflow_spark.tables import TABLE_NAMES
@@ -30,49 +39,49 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _canon(v: object) -> object:
-    """Canonicalize a cell so Spark and DuckDB results compare equal."""
-    if v is None:
-        return None
-    if isinstance(v, bool):
-        return v
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # doubles must be bitwise-identical across engines by construction
-        return repr(v)
-    if isinstance(v, decimal.Decimal):
+def _fmt_cell(v: object, kind: str) -> str:
+    """Dtype-sensitive formatting: int64 0 and float64 0.0 must format
+    DIFFERENTLY (the driver's HUGEINT→float64 class), and exotic
+    object-dtype cells (Decimal, list) must be loud, not coerced."""
+    if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
+        return "<null>"
+    try:
+        if pd.isna(v):
+            return "<null>"
+    except (TypeError, ValueError):
+        pass  # arrays/lists: not NA, fall through to repr
+    if kind == "f":
         return repr(float(v))
-    if isinstance(v, _dt.datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
-    if isinstance(v, _dt.date):
+    if kind in ("i", "u"):
+        return repr(int(v))
+    if kind == "b":
+        return repr(bool(v))
+    if kind == "M":
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return [_canon(x) for x in v]
-    if isinstance(v, dict):
-        return {k: _canon(x) for k, x in sorted(v.items())}
-    if isinstance(v, (bytes, bytearray)):
-        return v.hex()
-    return v
+    return f"{type(v).__name__}:{v!r}"
 
 
-def canonical_rows(columns: list[str], rows: list[tuple]) -> tuple[list[str], list[str]]:
-    """Sort columns by name, canonicalize values, return (cols, sorted row-json)."""
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    cols = [columns[i] for i in order]
-    out = [
-        json.dumps([_canon(r[i]) for i in order], default=str, sort_keys=True)
-        for r in rows
+def canon_pdf(pdf: pd.DataFrame) -> tuple[list[str], dict[str, str], list[str]]:
+    """Driver-style canonicalization of a pandas frame: columns sorted
+    by name, rows sorted by all columns (raises on unhashable cells,
+    exactly like the driver's ``sort_values`` canon), every cell
+    formatted dtype-sensitively.  Returns (cols, dtype_kinds, rows)."""
+    pdf = pdf[sorted(pdf.columns)]
+    pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+    kinds = {c: pdf[c].dtype.kind for c in pdf.columns}
+    rows = [
+        "\x1f".join(_fmt_cell(row[c], kinds[c]) for c in pdf.columns)
+        for row in pdf.to_dict("records")
     ]
-    out.sort()
-    return cols, out
+    return list(pdf.columns), kinds, rows
 
 
-def value_hash(columns: list[str], rows: list[tuple]) -> str:
-    cols, out = canonical_rows(columns, rows)
+def _hash(cols: list[str], rows: list[str]) -> str:
     h = hashlib.sha256()
-    h.update(json.dumps(cols).encode())
-    for line in out:
+    h.update("\x1e".join(cols).encode())
+    for line in rows:
         h.update(line.encode())
         h.update(b"\n")
     return h.hexdigest()
@@ -89,95 +98,82 @@ class ParityReport:
     oracle_hash: str
     sample_diff: list[str]
 
+    # dtype-kind mismatches (e.g. Spark int64 vs oracle float64) and
+    # canonicalization crashes (unhashable list/map cells) — each is a
+    # driver red row even when values are equal
     type_mismatch: list[str] | None = None
+    canon_err: str | None = None
 
     @property
     def ok(self) -> bool:
         return (
-            self.spark_rows == self.oracle_rows
+            self.canon_err is None
+            and self.spark_rows == self.oracle_rows
             and self.spark_cols == self.oracle_cols
             and self.spark_hash == self.oracle_hash
             and not self.type_mismatch
         )
 
 
-_TYPE_CLASSES = (
-    (bool, "bool"),
-    (int, "int"),
-    (float, "float"),
-    (decimal.Decimal, "decimal"),
-    (_dt.datetime, "timestamp"),
-    (_dt.date, "date"),
-    (str, "str"),
-    ((bytes, bytearray), "binary"),
-    ((list, tuple), "array"),
-    (dict, "map"),
-)
-
-
-def _type_sig(cols: list[str], rows: list[tuple]) -> dict[str, str]:
-    """Broad type class per column from the first non-null cell.
-    Canonicalization coerces Decimal→float for VALUE comparison, which
-    is correct when both engines emit the same class — but it would
-    MASK a query whose Spark side emits DOUBLE while its oracle emits
-    DECIMAL (a real schema divergence the external driver may flag).
-    This signature keeps the class visible."""
-    sig: dict[str, str] = {}
-    for i, c in enumerate(cols):
-        for r in rows:
-            v = r[i]
-            if v is None:
-                continue
-            for types, label in _TYPE_CLASSES:
-                if isinstance(v, types):
-                    sig[c] = label
-                    break
-            break
-    return sig
-
-
 def compare(
     name: str, spark_df: DataFrame, oracle_sql: str, sf_dir: str
 ) -> ParityReport:
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    s_cols = list(spark_df.columns)
+    spdf = spark_df.toPandas()
     con = duck_connect(sf_dir)
     try:
-        res = con.execute(oracle_sql)
-        o_cols = [d[0] for d in res.description]
-        o_rows = res.fetchall()
+        opdf = con.execute(oracle_sql).df()
     finally:
         con.close()
 
-    sc, s_sorted = canonical_rows(s_cols, s_rows)
-    oc, o_sorted = canonical_rows(o_cols, o_rows)
+    def bad(stage: str, exc: Exception) -> ParityReport:
+        return ParityReport(
+            name=name,
+            spark_rows=len(spdf),
+            oracle_rows=len(opdf),
+            spark_cols=sorted(spdf.columns),
+            oracle_cols=sorted(opdf.columns),
+            spark_hash="",
+            oracle_hash="",
+            sample_diff=[],
+            canon_err=f"{stage}: {type(exc).__name__}: {exc}",
+        )
+
+    try:
+        sc, sk, srows = canon_pdf(spdf)
+    except Exception as exc:  # noqa: BLE001 - the driver would crash here too
+        return bad("spark canon", exc)
+    try:
+        oc, okk, orows = canon_pdf(opdf)
+    except Exception as exc:  # noqa: BLE001
+        return bad("oracle canon", exc)
+
     diff: list[str] = []
-    if s_sorted != o_sorted:
-        for a, b in zip(s_sorted, o_sorted):
+    if srows != orows:
+        for a, b in zip(srows, orows):
             if a != b:
-                diff.append(f"spark={a}")
-                diff.append(f"duck ={b}")
+                diff.append(f"spark={a[:160]}")
+                diff.append(f"duck ={b[:160]}")
                 if len(diff) >= 6:
                     break
         if not diff:
-            diff.append(f"row count differs: spark={len(s_sorted)} duck={len(o_sorted)}")
-            extra = s_sorted[len(o_sorted):] or o_sorted[len(s_sorted):]
-            diff.extend(extra[:3])
-    s_sig = _type_sig(s_cols, s_rows)
-    o_sig = _type_sig(o_cols, o_rows)
+            diff.append(
+                f"row count differs: spark={len(srows)} duck={len(orows)}"
+            )
+            extra = srows[len(orows):] or orows[len(srows):]
+            diff.extend(r[:160] for r in extra[:3])
     mismatches = [
-        f"{c}: spark={s_sig[c]} duck={o_sig[c]}"
-        for c in sorted(set(s_sig) & set(o_sig))
-        if s_sig[c] != o_sig[c]
+        f"{c}: spark={sk[c]} duck={okk[c]}"
+        for c in sorted(set(sk) & set(okk))
+        if sk[c] != okk[c]
     ]
     return ParityReport(
         name=name,
-        spark_rows=len(s_rows),
-        oracle_rows=len(o_rows),
+        spark_rows=len(srows),
+        oracle_rows=len(orows),
         spark_cols=sc,
         oracle_cols=oc,
-        spark_hash=value_hash(s_cols, s_rows),
-        oracle_hash=value_hash(o_cols, o_rows),
+        spark_hash=_hash(sc, srows),
+        oracle_hash=_hash(oc, orows),
         sample_diff=diff,
         type_mismatch=mismatches or None,
     )

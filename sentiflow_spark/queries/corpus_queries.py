@@ -460,7 +460,7 @@ def ret_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.source, COUNT(*) AS n_docs,
            MIN(d.med) AS med, MIN(md.mad) AS mad,
-           SUM(CASE WHEN d.dev > md.mad * {OUTLIER_MAD_SCALE!r} THEN 1 ELSE 0 END) AS n_outliers
+           CAST(SUM(CASE WHEN d.dev > md.mad * {OUTLIER_MAD_SCALE!r} THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM d JOIN md ON md.source = d.source
     GROUP BY d.source
     """,
@@ -1659,7 +1659,7 @@ def win_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE l_quantity < 1 OR l_quantity > 50)
     UNION ALL
     SELECT 'documents_docid_unique',
-           (SELECT COALESCE(SUM(n - 1), 0) FROM
+           (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM
              (SELECT COUNT(*) AS n FROM documents GROUP BY doc_id) g
             WHERE n > 1)
     UNION ALL
@@ -1778,7 +1778,7 @@ def _duck_pr_iter(prev: str, out: str) -> str:
     it0 AS (
       SELECT node, {PR_SCALE} // (SELECT n FROM nn) AS r FROM nodes
     ),{_duck_pr_iter("it0", "it1")},{_duck_pr_iter("it1", "it2")},{_duck_pr_iter("it2", "it3")}
-    SELECT node, r AS rank_scaled FROM it{PR_ITER}
+    SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM it{PR_ITER}
     """,
     tags=("dedup", "M5", "graph", "iterative", "pagerank"),
     doc=f"PageRank over the MinHash-LSH duplicate graph ({PR_ITER} "
@@ -1821,7 +1821,9 @@ IDX_POSTINGS_CAP = 20
     SELECT term,
            COUNT(*) AS df,
            CAST(SUM(tf) AS BIGINT) AS cf,
-           list_slice(list_sort(list(doc_id)), 1, {IDX_POSTINGS_CAP}) AS head_postings
+           array_to_string(
+             list_slice(list_sort(list(doc_id)), 1, {IDX_POSTINGS_CAP}), ','
+           ) AS head_postings
     FROM tf
     GROUP BY term
     HAVING COUNT(*) >= {IDX_MIN_DF}
@@ -1846,8 +1848,15 @@ def ret_build_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("df"),
             F.sum("tf").alias("cf"),
-            F.slice(
-                F.sort_array(F.collect_list("doc_id")), 1, IDX_POSTINGS_CAP
+            # serialized to a string: collection-typed output cells
+            # crash the driver's pandas sort_values canonicalization
+            # (CORRECTNESS_r03 'unhashable type: list'), so postings
+            # heads ship as a comma-joined string on both sides
+            F.array_join(
+                F.slice(
+                    F.sort_array(F.collect_list("doc_id")), 1, IDX_POSTINGS_CAP
+                ),
+                ",",
             ).alias("head_postings"),
         )
         .filter(F.col("df") >= IDX_MIN_DF)
@@ -1866,7 +1875,7 @@ def _duck_col_stats(c: str) -> str:
     return f"""
     SELECT '{c}' AS col_name,
            COUNT(*) AS n,
-           SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
            COUNT(DISTINCT {v}) AS ndv,
            CAST(MIN({v}) AS DOUBLE) / 100.0 AS min_v,
            CAST(MAX({v}) AS DOUBLE) / 100.0 AS max_v,

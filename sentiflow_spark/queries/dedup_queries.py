@@ -598,6 +598,41 @@ def dd_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM p a JOIN p b ON a.doc_id < b.doc_id
     ) WHERE lev <= 4
     """,
+    # The registered oracle above is DELIBERATELY O(n^2) — at sf0.01
+    # (the driver's scale) hash parity against it PROVES the segment
+    # blocking recall-lossless. At sf0.1+ that proof costs ~175 s of
+    # every local sweep, so big-sf sweeps use this mirrored-blocking
+    # variant instead: the same PassJoin candidate generation written
+    # independently in SQL (range() cross joins, not Spark explode),
+    # so it still cross-checks the implementation — just not the
+    # pigeonhole theory, which sf0.01 continues to carry.
+    oracle_big="""
+    WITH p AS (
+      SELECT doc_id AS doc, substring(lower(text), 1, 60) AS pref
+      FROM documents WHERE length(lower(text)) >= 60
+    ),
+    idx AS (
+      SELECT doc, i AS seg_i, substring(pref, 1 + i*12, 12) AS gram
+      FROM p, range(0, 5) t(i)
+    ),
+    probes AS (
+      SELECT DISTINCT doc, i AS seg_i,
+             substring(pref, 1 + i*12 + s, 12) AS gram
+      FROM p, range(0, 5) t(i), range(-4, 5) sh(s)
+      WHERE 1 + i*12 + s BETWEEN 1 AND 60 - 12 + 1
+    ),
+    cand AS (
+      SELECT DISTINCT least(a.doc, b.doc) AS doc_a,
+                      greatest(a.doc, b.doc) AS doc_b
+      FROM idx a JOIN probes b USING (seg_i, gram)
+      WHERE a.doc <> b.doc
+    )
+    SELECT c.doc_a, c.doc_b, levenshtein(pa.pref, pb.pref) AS lev
+    FROM cand c
+    JOIN p pa ON pa.doc = c.doc_a
+    JOIN p pb ON pb.doc = c.doc_b
+    WHERE levenshtein(pa.pref, pb.pref) <= 4
+    """,
     tags=("dedup", "M5", "editdist"),
     doc="Edit-distance near-dup pairs on the 60-char lowercased prefix "
     "(fuzzy title/URL-key dedup), lev <= 4 — EXACT output from "

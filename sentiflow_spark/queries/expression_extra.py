@@ -75,7 +75,10 @@ _REL_TOL = "1e-6"
              ((nd * sxyd) - (sxd * syd))
                / ((nd * sxxd) - (sxd * sxd)) AS slope_f
       FROM d)
-    SELECT l_returnflag, n, sx, sy, sxx, syy, sxy,
+    SELECT l_returnflag, n,
+           CAST(sx AS VARCHAR) AS sx, CAST(sy AS VARCHAR) AS sy,
+           CAST(sxx AS VARCHAR) AS sxx, CAST(syy AS VARCHAR) AS syy,
+           CAST(sxy AS VARCHAR) AS sxy,
            abs(bi_corr - corr_f)
              < {_REL_TOL} * (abs(corr_f) + 1.0) AS corr_builtin_ok,
            abs(bi_var - var_f)
@@ -141,14 +144,18 @@ def rel_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bi_slope",
     )
     ok = lambda b, f: (F.abs(F.col(b) - F.col(f)) < tol * (F.abs(F.col(f)) + 1.0))
+    # exact DECIMAL sums ship as strings: raw Decimal cells land in an
+    # object-dtype pandas column on the Spark side vs float64 on the
+    # DuckDB side, which the driver's pandas canon flags (registry
+    # determinism rule #1 applies to the OUTPUT representation too)
     return fm.select(
         "l_returnflag",
         "n",
-        "sx",
-        "sy",
-        "sxx",
-        "syy",
-        "sxy",
+        F.col("sx").cast("string").alias("sx"),
+        F.col("sy").cast("string").alias("sy"),
+        F.col("sxx").cast("string").alias("sxx"),
+        F.col("syy").cast("string").alias("syy"),
+        F.col("sxy").cast("string").alias("sxy"),
         ok("bi_corr", "corr_f").alias("corr_builtin_ok"),
         ok("bi_var", "var_f").alias("var_builtin_ok"),
         ok("bi_cov", "cov_f").alias("cov_builtin_ok"),
@@ -218,15 +225,19 @@ def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS words
       FROM documents)
     SELECT doc_id,
-           list_transform(list_slice(words, 1, 5), x -> upper(x)) AS up5,
-           len(list_filter(words, x -> length(x) > 6)) AS n_long,
+           array_to_string(
+             list_transform(list_slice(words, 1, 5), x -> upper(x)), ','
+           ) AS up5,
+           CAST(len(list_filter(words, x -> length(x) > 6)) AS INTEGER)
+             AS n_long,
            len(list_filter(words, x -> x = 'the')) > 0 AS has_the,
            len(list_filter(words, x -> NOT (length(x) < 20))) = 0
              AS all_short,
            CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT)
              AS total_len,
-           list_transform(list_slice(words, 1, 3), x -> x || '|' || x)
-             AS zipped
+           array_to_string(
+             list_transform(list_slice(words, 1, 3), x -> x || '|' || x), ','
+           ) AS zipped
     FROM w
     """,
     tags=("text", "expression", "higher-order"),
@@ -247,16 +258,21 @@ def txt_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     head3 = F.slice(w, 1, 3)
     return toks.select(
         "doc_id",
-        F.transform(F.slice(w, 1, 5), lambda x: F.upper(x)).alias("up5"),
+        # higher-order results ship comma-joined — list cells crash the
+        # driver's pandas canon (see ret_build_index in CORRECTNESS_r03)
+        F.array_join(
+            F.transform(F.slice(w, 1, 5), lambda x: F.upper(x)), ","
+        ).alias("up5"),
         F.size(F.filter(w, lambda x: F.length(x) > 6)).alias("n_long"),
         F.exists(w, lambda x: x == F.lit("the")).alias("has_the"),
         F.forall(w, lambda x: F.length(x) < 20).alias("all_short"),
         F.aggregate(
             w, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
         ).alias("total_len"),
-        F.zip_with(head3, head3, lambda a, b: F.concat(a, F.lit("|"), b)).alias(
-            "zipped"
-        ),
+        F.array_join(
+            F.zip_with(head3, head3, lambda a, b: F.concat(a, F.lit("|"), b)),
+            ",",
+        ).alias("zipped"),
     )
 
 

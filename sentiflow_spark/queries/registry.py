@@ -17,11 +17,26 @@ Cross-engine determinism rules every registered query follows:
 
 1. Aggregates over doubles go through DECIMAL (exact, order-independent)
    and the final value is cast back to DOUBLE — bitwise identical in
-   both engines.
+   both engines. This applies to the OUTPUT representation too: a raw
+   DECIMAL output column reaches the driver as Python ``Decimal``
+   objects on the Spark side vs float64 on the DuckDB side (exact
+   sums that must stay exact ship as strings instead).
 2. Timestamps in output are formatted to strings (or cast to DATE).
 3. Any "pick one row per key" uses an explicit row_number tiebreak,
    never dropDuplicates (whose pick is partition-order dependent).
 4. Column names are aliased identically on both sides.
+5. Collection-typed (array/map) output columns are serialized to
+   strings on both sides (``array_join``/``to_json`` vs
+   ``array_to_string``/``to_json``) — list cells crash the driver's
+   pandas ``sort_values`` canonicalization.
+6. Integer-valued oracle aggregates are cast to BIGINT: DuckDB
+   ``SUM(int)`` returns HUGEINT, which pandas coerces to float64 and
+   the driver then hashes ``0.0`` against Spark's ``0``.
+
+Rules 5-6 (and the pandas path generally) are enforced locally by
+tools/pandas_canon.py / tools/oracle_sweep.py, which canonicalize
+exactly like the driver; round 3 shipped 5 value-identical red rows
+because the old tuple-based sweep could not see this class.
 """
 
 from __future__ import annotations
@@ -45,6 +60,11 @@ class Query:
     oracle: str | None
     tags: tuple[str, ...] = field(default=())
     doc: str = ""
+    # Optional cheaper oracle for LARGE scale factors in local sweeps
+    # (e.g. a mirrored-blocking variant where `oracle` is deliberately
+    # brute-force). The driver always gets `oracle` (it runs sf0.01,
+    # where the expensive proof-carrying form is affordable).
+    oracle_big: str | None = None
 
 
 REGISTRY: dict[str, Query] = {}
@@ -106,23 +126,39 @@ def _driver_verified() -> frozenset[str]:
         if not isinstance(rows, dict):
             continue
         for name, row in rows.items():
-            if (
-                isinstance(row, dict)
-                and row.get("err") is None
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") == "no_oracle":
+                # declared rows-only contract: verified once the driver
+                # saw it run and produce rows
+                if (row.get("spark_rows") or 0) > 0:
+                    seen.add(name)
+            elif (
+                row.get("err") is None
                 and row.get("rows_match")
+                and row.get("hash_match")
             ):
+                # hash-fail rows stay UNverified so they re-enter the
+                # driver window after their oracle/representation fix
+                # (round 3 shipped 4 value-identical hash-fails caused
+                # by pandas canonicalization; see tools/pandas_canon.py)
                 seen.add(name)
     return frozenset(seen)
 
 
 def register(
-    name: str, oracle: str | None = None, tags: tuple[str, ...] = (), doc: str = ""
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    doc: str = "",
+    oracle_big: str | None = None,
 ) -> Callable[[SparkQuery], SparkQuery]:
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
         REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, tags=tags,
-                               doc=doc or (fn.__doc__ or ""))
+                               doc=doc or (fn.__doc__ or ""),
+                               oracle_big=oracle_big)
         return fn
 
     return deco

@@ -133,8 +133,9 @@ def st_count_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id, event_id,
            row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq,
-           SUM(CAST(round(value * 100) AS BIGINT))
-             OVER (PARTITION BY user_id ORDER BY event_id) AS cum_cents
+           CAST(SUM(CAST(round(value * 100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT)
+             AS cum_cents
     FROM events
     """,
     tags=("streaming", "stateful", "M3", "W1"),

@@ -194,12 +194,15 @@ def txt_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
            greatest(l_discount, l_tax) AS max_rate,
            least(l_discount, l_tax) AS min_rate,
-           round(CAST(l_extendedprice AS DECIMAL(18,2)) * 2, 0) AS doubled_round
+           CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 2, 0) AS DOUBLE)
+             AS doubled_round
     FROM lineitem WHERE l_orderkey % 100 = 0
     """,
     tags=("text", "expression", "math"),
     doc="Math function family. sqrt is IEEE-correctly-rounded in both "
-    "engines; exp/ln are not guaranteed and stay out of oracle scope.",
+    "engines; exp/ln are not guaranteed and stay out of oracle scope. "
+    "The decimal round is cast back to DOUBLE per determinism rule #1 "
+    "(raw Decimal objects dtype-mismatch the driver's pandas canon).",
 )
 def txt_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
@@ -215,7 +218,9 @@ def txt_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (qty.cast("long") % 7).alias("qty_mod7"),
         F.greatest(F.col("l_discount"), F.col("l_tax")).alias("max_rate"),
         F.least(F.col("l_discount"), F.col("l_tax")).alias("min_rate"),
-        F.round(price.cast("decimal(18,2)") * 2, 0).alias("doubled_round"),
+        F.round(price.cast("decimal(18,2)") * 2, 0)
+        .cast("double")
+        .alias("doubled_round"),
     )
 
 
@@ -223,18 +228,21 @@ def txt_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "txt_array_funcs",
     oracle="""
     SELECT lang,
-           list_sort(list_distinct(list(source))) AS sources,
-           len(list_distinct(list(source))) AS n_sources,
+           array_to_string(list_sort(list_distinct(list(source))), ',') AS sources,
+           CAST(len(list_distinct(list(source))) AS INTEGER) AS n_sources,
            list_contains(list_distinct(list(source)), 'src0') AS has_src0,
            array_to_string(list_sort(list_distinct(list(source))), '+') AS joined
     FROM documents GROUP BY lang
     """,
     tags=("text", "expression", "array", "E4"),
-    doc="Array functions: collect_set/sort/size/contains/join (E4 surface).",
+    doc="Array functions: collect_set/sort/size/contains/join (E4 "
+    "surface). The array itself is exercised in-plan; the OUTPUT ships "
+    "it comma-joined because list-typed cells crash the driver's pandas "
+    "sort_values canonicalization (CORRECTNESS_r03 ret_build_index).",
 )
 def txt_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    sources = F.sort_array(F.collect_set("source"))
+    sources = F.array_join(F.sort_array(F.collect_set("source")), ",")
     return docs.groupBy("lang").agg(
         sources.alias("sources"),
         F.size(F.collect_set("source")).alias("n_sources"),
@@ -272,14 +280,15 @@ def txt_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "txt_map_funcs",
     oracle="""
     SELECT event_id,
-           ['type', 'uid'] AS ks,
+           'type,uid' AS ks,
            event_type AS type_val,
            CAST(user_id AS VARCHAR) AS uid_val
     FROM events
     """,
     tags=("text", "expression", "map"),
     doc="Map function family: create_map / map_keys / element_at; the "
-    "oracle states the ground-truth values directly.",
+    "oracle states the ground-truth values directly. map_keys output "
+    "ships comma-joined (collection cells crash the driver canon).",
 )
 def txt_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -291,7 +300,7 @@ def txt_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("ks"),
+        F.array_join(F.map_keys(m), ",").alias("ks"),
         F.element_at(m, "type").alias("type_val"),
         F.element_at(m, "uid").alias("uid_val"),
     )
@@ -426,7 +435,7 @@ VOCAB_MIN_COUNT = 5
       FROM t
     )
     SELECT doc_id, lang, n_tokens,
-           (cum - n_tokens) // {SEQ_BUDGET} AS seq_id
+           CAST((cum - n_tokens) // {SEQ_BUDGET} AS BIGINT) AS seq_id
     FROM c
     """,
     tags=("text", "M5", "sampling", "bench"),
@@ -531,7 +540,7 @@ def txt_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM kept
     )
     SELECT doc_id, lang, quality, n_tokens,
-           (cum - n_tokens) // {SEQ_BUDGET} AS seq_id
+           CAST((cum - n_tokens) // {SEQ_BUDGET} AS BIGINT) AS seq_id
     FROM packed
     """.format(
         FP=duck_fingerprint("text"),

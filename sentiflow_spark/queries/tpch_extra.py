@@ -339,10 +339,10 @@ def rel_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_q12_ship_lag_buckets",
     oracle="""
     SELECT lag_bucket,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 0 ELSE 1 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
     FROM (SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) >= 60
                       THEN 'slow' ELSE 'fast' END AS lag_bucket,
                  o_orderpriority

@@ -440,6 +440,32 @@ def test_winnowing_guarantee_shared_substring_yields_shared_fingerprint(spark):
     assert fps == again
 
 
+def test_winnowing_rejects_doc_beyond_position_packing_limit(spark):
+    """key = h*BASE - pos is only injective while every gram position
+    stays under WINNOW_POS_BASE; a longer document would corrupt
+    fingerprints identically in engine and oracle (parity-invisible),
+    so the operator must fail loudly instead of silently."""
+    import pytest
+
+    from sentiflow_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_POS_BASE,
+        winnow_fingerprints,
+    )
+
+    max_len = WINNOW_POS_BASE + WINNOW_K - 2
+    ok_doc = (1, "ab" * (1000 // 2))
+    too_long = (2, "x" * (max_len + 1))
+    df = spark.createDataFrame([ok_doc, too_long], "doc_id long, text string")
+    with pytest.raises(Exception, match="WINNOW_POS_BASE"):
+        winnow_fingerprints(df).collect()
+    # at exactly the limit the operator still runs
+    at_limit = spark.createDataFrame(
+        [(3, "y" * max_len)], "doc_id long, text string"
+    )
+    assert winnow_fingerprints(at_limit).count() == 1
+
+
 def test_edit_prefix_pairs_matches_bruteforce_on_adversarial_strings(spark):
     """PassJoin's segment blocking must be recall-lossless: on a
     seeded corpus of near-identical strings (small alphabet, planted

@@ -1,6 +1,7 @@
 """Focused oracle parity check: run NAMED registered queries vs their
-DuckDB oracles with the sweep's exact comparison — for iterating on a
-single query without paying the 207-query sweep.
+DuckDB oracles with the sweep's exact driver-identical pandas
+comparison — for iterating on a single query without paying the
+full-registry sweep.
 
 Run: python tools/oracle_one.py SF_DIR NAME [NAME ...]
 """
@@ -11,9 +12,10 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.oracle_sweep import TABLES, canon  # noqa: E402
+from pandas_canon import TABLES, check_one  # noqa: E402
 
 
 def main() -> int:
@@ -41,26 +43,13 @@ def main() -> int:
     rc = 0
     for name in names:
         t0 = time.perf_counter()
-        sdf = qs[name](spark, sf)
-        sc, sr = canon(sdf.columns, [tuple(r) for r in sdf.collect()])
-        t_spark = time.perf_counter() - t0
-        if name not in osql:
-            print(f"{name}: {len(sr)} rows in {t_spark:.2f}s (rows-only, no oracle)")
-            continue
-        t0 = time.perf_counter()
-        rel = con.execute(osql[name])
-        oc = [d[0] for d in rel.description]
-        oc, orows = canon(oc, rel.fetchall())
-        t_duck = time.perf_counter() - t0
-        if sc == oc and sr == orows:
-            print(f"PASS {name}: {len(sr)} rows (spark {t_spark:.2f}s, duck {t_duck:.2f}s)")
+        ok, detail = check_one(name, qs[name], osql.get(name), spark, con, sf)
+        dt = time.perf_counter() - t0
+        if ok:
+            print(f"PASS {name}: {detail} ({dt:.2f}s)")
         else:
             rc = 1
-            print(f"FAIL {name}: spark {len(sr)}x{sc} vs duck {len(orows)}x{oc}")
-            for s, o in list(zip(sr, orows))[:5]:
-                if s != o:
-                    print("  spark:", s)
-                    print("  duck :", o)
+            print(f"FAIL {name}: {detail} ({dt:.2f}s)")
     return rc
 
 

@@ -1,43 +1,30 @@
 """Fresh-process, driver-identical oracle sweep: run EVERY registered
 query through __spark_entry__ and compare against its DuckDB oracle
-the same way the external driver does (columns sorted by name, floats
-canonicalized via repr, timestamps via isoformat, rows sorted).
+the same way the external driver does — through PANDAS
+(``toPandas()`` vs ``.df()``), columns sorted by name, rows sorted via
+``sort_values`` (crashing on unhashable list/map cells exactly like
+the driver's canon), cells formatted dtype-sensitively so int64 0 vs
+float64 0.0 FAILS (the round-3 HUGEINT class).
 
 Run: python tools/oracle_sweep.py [sf_dir]   (default /root/testdata/sf0.01)
 
 This is deliberately NOT built on sentiflow_spark.oracle — that module
-is code under test; this script re-implements the comparison so a bug
-there cannot mask itself.
+is code under test; the comparison lives in tools/pandas_canon.py so a
+bug there cannot mask itself.  Round 3 shipped 5 red driver rows from
+a .collect()-based sweep that was 213/213 green — the pandas path is
+the one that counts.
 """
 
 from __future__ import annotations
 
-import datetime
 import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
-
-
-def canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(cols), sorted(
-        tuple(
-            repr(float(r[i]))
-            if isinstance(r[i], float)
-            else r[i].isoformat()
-            if isinstance(r[i], (datetime.datetime, datetime.date))
-            else repr(r[i])
-            for i in order
-        )
-        for r in rows
-    )
+from pandas_canon import TABLES, check_one  # noqa: E402
 
 
 def main() -> int:
@@ -60,6 +47,12 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs, osql = entry.queries(), entry.oracle_sql()
+    # at sf0.1+ swap in the cheap mirrored-blocking oracle variants;
+    # the driver (sf0.01) always gets the proof-carrying originals
+    if getattr(entry, "oracle_sql_big", None) and not sf.rstrip("/").endswith(
+        ("sf0.001", "sf0.01")
+    ):
+        osql = {**osql, **entry.oracle_sql_big()}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -69,22 +62,13 @@ def main() -> int:
     npass, fails = 0, []
     for name, fn in qs.items():
         try:
-            sdf = fn(spark, sf)
-            sc, sr = canon(sdf.columns, [tuple(r) for r in sdf.collect()])
-            if name in osql:
-                rel = con.execute(osql[name])
-                oc = [d[0] for d in rel.description]
-                oc, orows = canon(oc, rel.fetchall())
-                ok = sc == oc and sr == orows
-            else:
-                ok = True  # rows-only contract
+            ok, detail = check_one(name, fn, osql.get(name), spark, con, sf)
         except Exception as exc:  # noqa: BLE001 - report, don't crash the sweep
-            ok = False
-            fails.append((name, str(exc)[:150]))
+            ok, detail = False, f"query exec: {str(exc)[:150]}"
         if ok:
             npass += 1
-        elif not fails or fails[-1][0] != name:
-            fails.append((name, "value/schema mismatch"))
+        else:
+            fails.append((name, detail))
     print(f"{npass}/{len(qs)} pass at {sf} in {time.perf_counter() - t0:.0f} s")
     for f in fails:
         print("FAIL:", f)

@@ -7,12 +7,21 @@ whose cost curves bend quadratic (pair generation, windows over hot
 keys) show it between 1× and 20× long before a cluster would. Results
 are recorded in BASELINE.md's scale-headroom sections.
 
-Run: python tools/scale_probe.py [N] [query ...]
+Run: python tools/scale_probe.py [N] [--overlap] [query ...]
 Defaults: N=20, the corpus-family headline queries.
 
 Replication remaps ids (id + rep * 10_000_000) so keys stay unique;
 text/embedding payloads repeat, which deliberately creates 20-way
 duplicate clusters — the worst realistic case for dedup operators.
+
+--overlap builds a documents variant (.tmp/scale{N}ov/) that ALSO
+contains partner docs with genuine PARTIAL overlap: for every 100th
+base doc, a partner shares its left half verbatim and ends in a
+doc-unique tail. The replica corpus alone is adversarial for the
+local-overlap pair operators (every gram hash is >=20-way duplicated,
+so the df-cap drops them all and dd_winnow_pairs outputs 0 rows —
+documented in BASELINE.md); partners share hashes at df = 2*reps,
+under the cap of 50 at 20x, so the pair PATH produces real output.
 """
 
 from __future__ import annotations
@@ -30,6 +39,9 @@ from sentiflow_spark.session import get_spark  # noqa: E402
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ID_STRIDE = 10_000_000
+# partner ids sit between base ids (<~100k) and the first replica
+# stride so all three ranges stay disjoint
+OVERLAP_STRIDE = 5_000_000
 
 DEFAULT_QUERIES = (
     "dd_segment_dedup",
@@ -44,12 +56,38 @@ DEFAULT_QUERIES = (
 TABLES = {"documents": "doc_id", "embeddings": "vec_id"}
 
 
-def build(spark, n: int, out_dir: str) -> None:
+def build(spark, n: int, out_dir: str, overlap: bool = False) -> None:
     for table, id_col in TABLES.items():
         dst = f"{out_dir}/{table}.parquet"
         if os.path.exists(dst):
             continue
         base = spark.read.parquet(f"{BASE_SF}/{table}.parquet")
+        if overlap and table == "documents":
+            # Genuine partial overlap that SURVIVES the df-cap: the
+            # corpus's own text is useless for this (synthetic vocab ->
+            # median gram-hash df 300 at 20x, all capped away), so the
+            # shared region is a doc-UNIQUE 256-char block (md5 hex
+            # repeated) spliced into every 100th base doc and into a
+            # partner doc. Each block's gram hashes then appear in
+            # exactly 2*reps docs (40 at 20x, under the cap of 50) and
+            # a ~256-char shared substring yields ~2/(w+1)*249 ~ 55
+            # shared winnowed fingerprints >> shared_min 8.
+            blk = F.repeat(F.md5(F.col("doc_id").cast("string")), 8)
+            sampled = F.col("doc_id") % 100 == 0
+            base = base.withColumn(
+                "text",
+                F.when(sampled, F.concat(F.col("text"), F.lit(" "), blk))
+                .otherwise(F.col("text")),
+            )
+            partners = (
+                base.filter(sampled)
+                .withColumn(
+                    "text",
+                    F.concat(blk, F.lit(" ovltail"), F.col("doc_id").cast("string")),
+                )
+                .withColumn("doc_id", F.col("doc_id") + OVERLAP_STRIDE)
+            )
+            base = base.unionByName(partners)
         reps = spark.range(n).select(F.col("id").alias("_rep"))
         (
             base.crossJoin(reps)
@@ -88,14 +126,19 @@ def build(spark, n: int, out_dir: str) -> None:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    names = sys.argv[2:] or list(DEFAULT_QUERIES)
+    args = sys.argv[1:]
+    overlap = "--overlap" in args
+    if overlap:
+        args.remove("--overlap")
+    n = int(args[0]) if args else 20
+    names = args[1:] or list(DEFAULT_QUERIES)
+    suffix = f"scale{n}ov" if overlap else f"scale{n}"
     out_dir = os.path.abspath(
-        os.path.join(os.path.dirname(__file__), "..", ".tmp", f"scale{n}")
+        os.path.join(os.path.dirname(__file__), "..", ".tmp", suffix)
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("scale-probe")
-    build(spark, n, out_dir)
+    build(spark, n, out_dir, overlap=overlap)
     registry = load_all()
     for name in names:
         t0 = time.perf_counter()

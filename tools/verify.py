@@ -2,8 +2,12 @@
 
 1. driver contract — fresh-process oracle sweep of EVERY registered
    query vs DuckDB at the given scale factor (delegates to
-   tools/oracle_sweep.py), plus an ``entry(spark)`` smoke check
-   (runs, >=0 rows, stable schema);
+   tools/oracle_sweep.py, which since round 4 compares through the
+   DRIVER'S pandas canonicalization — toPandas()/.df(), sort_values,
+   dtype-sensitive cell formatting — so HUGEINT/Decimal/list-cell
+   representation breaks fail HERE before a driver round sees them),
+   plus an ``entry(spark)`` smoke check (runs, >=0 rows, stable
+   schema);
 2. bench CLI — stdout purity (exactly one line, valid JSON, required
    keys) at a small scale factor.
 
