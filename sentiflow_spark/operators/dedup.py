@@ -265,7 +265,17 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
             )
         ).alias("token"),
     )
-    h = md5_i60(F.col("token"))
+    return simhash_from_tokens(toks, id_col=id_col)
+
+
+def simhash_from_tokens(
+    toks: DataFrame, id_col: str = "doc_id", token_col: str = "token"
+) -> DataFrame:
+    """SimHash core over an arbitrary (id, token) feature stream — the
+    signed per-bit vote is feature-agnostic, so the same operator
+    fingerprints word tokens (simhash) or byte grams
+    (multimodal_queries.mm_bytes_simhash_pairs)."""
+    h = md5_i60(F.col(token_col))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -425,3 +425,130 @@ def dd_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "canon")
     )
+
+
+# ------------------------------------------------------- DSIR weights
+
+DSIR_BUCKETS = 1024  # hashed n-gram feature space (paper uses 10k)
+
+
+@register(
+    "txt_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_extract_all(lower(text), '{WORD_RE}') AS t
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang,
+             {duck_md5_i32("g")} % {DSIR_BUCKETS} AS b
+      FROM (
+        SELECT doc_id, lang,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(t) - 1, 0)),
+                 i -> t[i] || ' ' || t[i+1])) AS g
+        FROM toks
+      )
+    ),
+    src AS (SELECT b, COUNT(*) AS cs FROM feats GROUP BY b),
+    tgt AS (SELECT b, COUNT(*) AS ct FROM feats WHERE lang = 'en' GROUP BY b),
+    ns AS (SELECT COUNT(*) AS n_src FROM feats),
+    nt AS (SELECT COUNT(*) AS n_tgt FROM feats WHERE lang = 'en'),
+    lr AS (
+      SELECT s.b,
+             CAST(round(ln(
+               (CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)
+                 * (ns.n_src + {DSIR_BUCKETS}))
+               / (CAST(s.cs + 1 AS DOUBLE) * (nt.n_tgt + {DSIR_BUCKETS}))
+             ), 6) AS DECIMAL(18,6)) AS logratio
+      FROM src s LEFT JOIN tgt t USING (b)
+      CROSS JOIN ns CROSS JOIN nt
+    )
+    SELECT doc_id, n_feats, logw FROM (
+      SELECT f.doc_id, COUNT(*) AS n_feats,
+             -- + 0.0 normalizes IEEE negative zero: a tiny negative
+             -- sum rounds to -0.0 here but 0.0 in Spark
+             round(CAST(SUM(lr.logratio) AS DOUBLE), 3) + 0.0 AS logw
+      FROM feats f JOIN lr USING (b)
+      GROUP BY f.doc_id
+    )
+    """,
+    tags=("text", "M5", "curation", "sampling", "dsir"),
+    doc="DSIR importance weights (Xie et al., 'Data Selection for "
+    "Language Models via Importance Resampling', NeurIPS 2023): score "
+    "every raw document by log p_target/p_source under hashed-bigram "
+    f"bag-of-words models ({DSIR_BUCKETS} md5 buckets; the target "
+    "distribution is the corpus's lang='en' slice standing in for the "
+    "high-quality reference corpus, the source is the whole corpus). "
+    "Resampling by these weights is the principled alternative to the "
+    "hard quality gates in txt_quality_filter. Plan shape: tokenize → "
+    "map-side bigram assembly (zip with own tail, no self-join) → two "
+    "partial-agg bucket counts (source and target in one pass family) "
+    "→ a BUCKET-space log-ratio table (1024 rows, broadcast onto the "
+    "feature stream) → per-doc partial-agg sum. The only data-sized "
+    "shuffles key on the bucket id and the doc id; the model itself "
+    "is O(buckets), so the same plan holds when the corpus is 100 TB "
+    "— the per-bucket counts are the sufficient statistic, never the "
+    "features. Cross-engine determinism: one ln() per bucket (not per "
+    "token instance), quantized fine (1e-6, exact DECIMAL sums) with "
+    "the per-doc output rounded coarse (1e-3) — the "
+    "txt_unigram_logprob discipline.",
+)
+def txt_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", word_tokens(F.col("text")).alias("t"))
+    feats = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("g"),
+    ).select("doc_id", "lang", (md5_i32(F.col("g")) % DSIR_BUCKETS).alias("b"))
+    src = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
+    tgt = (
+        feats.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    ns = feats.agg(F.count(F.lit(1)).alias("n_src"))
+    nt = feats.filter(F.col("lang") == "en").agg(
+        F.count(F.lit(1)).alias("n_tgt")
+    )
+    lr = (
+        src.join(tgt, "b", "left")
+        .join(F.broadcast(ns))
+        .join(F.broadcast(nt))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                        * (F.col("n_src") + F.lit(DSIR_BUCKETS))
+                    )
+                    / (
+                        (F.col("cs") + 1).cast("double")
+                        * (F.col("n_tgt") + F.lit(DSIR_BUCKETS))
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("logratio"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            (F.round(F.sum("logratio").cast("double"), 3) + F.lit(0.0)).alias(
+                "logw"
+            ),
+        )
+        .select("doc_id", "n_feats", "logw")
+    )

@@ -170,3 +170,119 @@ def mm_cross_modal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("qnorm").cast("long").alias("total_qnorm"),
         )
     )
+
+
+# --------------------------------------- byte-level SimHash near-dup
+
+from sentiflow_spark.operators.dedup import (  # noqa: E402
+    SIMHASH_BITS,
+    SIMHASH_CHUNK_BITS,
+    SIMHASH_CHUNK_MASK,
+    SIMHASH_CHUNKS,
+    simhash_from_tokens,
+    simhash_near_pairs,
+)
+
+MM_GRAM_HEX = 8   # 8 hex chars = 4 payload bytes per gram
+MM_GRAM_STRIDE = 4  # stride 4 hex chars = 2 bytes (50% overlap)
+
+_DUCK_MM_SIMHASH_CTE = (
+    f"""
+h AS (
+  SELECT doc_id, hex(CAST(text AS BLOB)) AS hx FROM documents
+  WHERE length(hex(CAST(text AS BLOB))) >= {MM_GRAM_HEX}
+),
+toksd AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           generate_series(0, CAST((length(hx) - {MM_GRAM_HEX}) // {MM_GRAM_STRIDE} AS BIGINT)),
+           i -> substr(hx, CAST(1 + {MM_GRAM_STRIDE} * i AS BIGINT), {MM_GRAM_HEX}))) AS token
+  FROM h
+),
+th AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h FROM toksd
+),
+bs AS (
+  SELECT doc_id,
+         """
+    + ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS bs_{k}"
+        for k in range(SIMHASH_BITS)
+    )
+    + """
+  FROM th GROUP BY doc_id
+),
+simhashes AS (
+  SELECT doc_id, CAST("""
+    + " + ".join(
+        f"CASE WHEN bs_{k} > 0 THEN {2**k} ELSE 0 END" for k in range(SIMHASH_BITS)
+    )
+    + """ AS BIGINT) AS simhash
+  FROM bs
+)"""
+)
+
+
+@register(
+    "mm_bytes_simhash_pairs",
+    oracle=f"""
+    WITH {_DUCK_MM_SIMHASH_CTE},
+    chunks AS (
+      {" UNION ALL ".join(f"SELECT doc_id, simhash, {c} AS chunk_idx, (simhash >> {c * SIMHASH_CHUNK_BITS}) & {SIMHASH_CHUNK_MASK} AS chunk_val FROM simhashes" for c in range(SIMHASH_CHUNKS))}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("multimodal", "M5", "dedup", "simhash"),
+    doc=f"Byte-level SimHash near-duplicate pairs over OPAQUE binary "
+    "payloads — the no-decode analog of perceptual-hash dedup: "
+    f"features are overlapping {MM_GRAM_HEX // 2}-byte grams of the "
+    f"payload (hex substrings, stride {MM_GRAM_STRIDE // 2} bytes), "
+    f"voted into the shared {SIMHASH_BITS}-bit SimHash core "
+    "(operators/dedup.py::simhash_from_tokens — the same operator "
+    "that fingerprints word tokens, re-used on a byte-gram stream), "
+    "then the same 4x15-bit chunk pigeonhole blocking as "
+    "dd_simhash_near_pairs (exact for hamming <= 3) and exact "
+    "bit_count verification. Catches re-encoded/truncated/padded "
+    "payload variants that the exact sha256 pass (mm_content_dedup) "
+    "misses, without ever decoding the media. Gram extraction is "
+    "map-side; the only data-sized shuffles are the per-doc vote agg "
+    "and the 32k-bucket-per-chunk candidate equi-join — bucket "
+    "occupancy, not corpus size, bounds the join at 100 TB.",
+)
+def mm_bytes_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.operators.multimodal import attach_binary
+
+    media = attach_binary(load(spark, sf_dir, "documents"))
+    # bind hex(payload) through a 1-element transform so the O(L) hex
+    # string is evaluated once per row, not once per gram (the
+    # CollapseProject duplication trap documented on
+    # operators/dedup.py::winnow_fingerprints)
+    def _grams(h):
+        return F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor(
+                        (F.length(h) - MM_GRAM_HEX) / MM_GRAM_STRIDE
+                    ).cast("int"),
+                ),
+                lambda i: h.substr(
+                    i * MM_GRAM_STRIDE + 1, F.lit(MM_GRAM_HEX)
+                ),
+            )
+        )
+
+    grams = F.element_at(
+        F.transform(F.array(F.hex(F.col("payload"))), _grams), 1
+    )
+    toks = (
+        media.filter(F.length(F.hex(F.col("payload"))) >= MM_GRAM_HEX)
+        .select("doc_id", F.explode(grams).alias("token"))
+    )
+    sims = simhash_from_tokens(toks)
+    return simhash_near_pairs(sims, max_hamming=3)
