@@ -74,3 +74,77 @@ def test_gate_catches_float_drift(spark, sf_dir):
     # row-at-a-time UDF is fine here: 5 rows, test-only, not a plan
     bad = good.select("r_regionkey", drift("x").alias("x"))
     assert not compare("ctl", bad, oracle, sf_dir).ok
+
+
+# ---- round-4 classes: the driver's pandas canonicalization ----
+# Round 3 shipped 5 red driver rows that the old .collect()-based gate
+# called green; each class below must now FAIL the gate.
+
+
+def test_gate_catches_int_vs_float_dtype(spark, sf_dir):
+    """DuckDB HUGEINT sums coerce to float64 in pandas while Spark
+    emits int64 — equal values, different dtype kind, driver red."""
+    oracle = "SELECT r_regionkey, SUM(r_regionkey) AS s FROM region GROUP BY r_regionkey"
+    # DuckDB SUM(int) -> HUGEINT -> pandas float64; Spark emits long
+    df = load(spark, sf_dir, "region").groupBy("r_regionkey").agg(
+        F.sum("r_regionkey").alias("s")
+    )
+    rep = compare("ctl", df, oracle, sf_dir)
+    assert not rep.ok
+    assert rep.type_mismatch, "dtype-kind divergence must be flagged"
+    # and the CAST BIGINT fix makes it pass
+    fixed = oracle.replace("SUM(r_regionkey)", "CAST(SUM(r_regionkey) AS BIGINT)")
+    assert compare("ctl", df, fixed, sf_dir).ok
+
+
+def test_gate_crashes_on_list_cells_like_the_driver(spark, sf_dir):
+    """List-typed output cells crash the driver's pandas sort_values
+    ('unhashable type: list', CORRECTNESS_r03 ret_build_index) — the
+    gate must record a canon error, not silently pass."""
+    oracle = "SELECT r_regionkey, [r_name] AS names FROM region"
+    df = load(spark, sf_dir, "region").select(
+        "r_regionkey", F.array("r_name").alias("names")
+    )
+    rep = compare("ctl", df, oracle, sf_dir)
+    assert not rep.ok
+    assert rep.canon_err is not None
+
+
+def test_gate_catches_decimal_object_output(spark, sf_dir):
+    """Spark DECIMAL outputs survive toPandas() as Decimal objects in
+    an object-dtype column while the oracle emits float64 — flagged."""
+    oracle = "SELECT r_regionkey, CAST(r_regionkey AS DECIMAL(10,2)) / 2 AS half FROM region"
+    df = load(spark, sf_dir, "region").select(
+        "r_regionkey",
+        (F.col("r_regionkey").cast("decimal(10,2)") / 2).alias("half"),
+    )
+    rep = compare("ctl", df, oracle, sf_dir)
+    assert not rep.ok
+
+
+def test_gate_catches_negative_zero(spark, sf_dir):
+    """-0.0 and 0.0 hash differently through repr — the class the
+    sf0.1 sweep caught on txt_dsir_weights."""
+    # DuckDB's double round keeps the sign of a tiny negative (-0.0);
+    # Spark's round goes through BigDecimal and emits +0.0
+    oracle = (
+        "SELECT r_regionkey,"
+        " round(CAST(-0.0000001 AS DOUBLE) * (r_regionkey + 1), 3) AS z"
+        " FROM region"
+    )
+    df = load(spark, sf_dir, "region").select(
+        "r_regionkey",
+        F.round(F.lit(-0.0000001) * (F.col("r_regionkey") + 1), 3).alias("z"),
+    )
+    rep = compare("ctl", df, oracle, sf_dir)
+    assert not rep.ok
+    # and the +0.0 normalization fix (the txt_dsir_weights fix) passes
+    fixed_df = load(spark, sf_dir, "region").select(
+        "r_regionkey",
+        (
+            F.round(F.lit(-0.0000001) * (F.col("r_regionkey") + 1), 3)
+            + F.lit(0.0)
+        ).alias("z"),
+    )
+    fixed_oracle = oracle.replace(", 3) AS z", ", 3) + 0.0 AS z")
+    assert compare("ctl", fixed_df, fixed_oracle, sf_dir).ok
