@@ -552,3 +552,132 @@ def txt_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_feats", "logw")
     )
+
+
+# --------------------------------------------------- Gopher rule set
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+
+
+@register(
+    "txt_gopher_rules",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '\\S+') AS toks,
+             regexp_extract_all(lower(text), '{WORD_RE}') AS words,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+               + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
+               AS n_symbols
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, n_symbols,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+               AS sum_len,
+             CAST(len(list_filter(toks,
+                    x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+               AS n_alpha,
+             CAST(len(list_intersect(list_distinct(words),
+                    [{", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)}])) AS BIGINT)
+               AS n_stop
+      FROM base
+    )
+    SELECT doc_id, n_words,
+           n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+             AS ok_word_count,
+           3 * n_words <= sum_len AND sum_len <= 10 * n_words
+             AS ok_mean_word_len,
+           10 * n_symbols < n_words AS ok_symbol_ratio,
+           5 * n_alpha >= 4 * n_words AS ok_alpha_frac,
+           n_stop >= 2 AS ok_stopwords,
+           (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+             AND (3 * n_words <= sum_len AND sum_len <= 10 * n_words)
+             AND 10 * n_symbols < n_words
+             AND 5 * n_alpha >= 4 * n_words
+             AND n_stop >= 2 AS passes_all
+    FROM m
+    """,
+    tags=("text", "M5", "curation", "quality", "gopher"),
+    doc="The Gopher quality rule set (Rae et al. 2021, arXiv:2112.11446 "
+    "§A1.1) as ONE map-side plan — the reference heuristic suite most "
+    "pretraining curation stacks start from: word-count bounds "
+    f"[{GOPHER_MIN_WORDS}, {GOPHER_MAX_WORDS}], mean word length in "
+    "[3, 10], symbol-to-word ratio (#/ellipsis) < 0.1, >= 80% of "
+    "tokens containing an alphabetic character, and >= 2 distinct "
+    "required stop words. Every rule is evaluated in EXACT integer "
+    "arithmetic (ratio thresholds cross-multiplied: 10*symbols < "
+    "words, 5*alpha >= 4*words, 3n <= sum_len <= 10n) so both engines "
+    "agree bitwise with no float boundaries at all. All counts come "
+    "from higher-order array expressions over each row — zero "
+    "shuffles, zero explodes; at 100 TB this is a pure scan-side "
+    "gate that composes with any downstream pass (the per-rule "
+    "booleans, not just the verdict, are emitted because curation "
+    "tuning needs the breakdown).",
+)
+def txt_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0)).alias(
+            "toks"
+        ),
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0)
+        ).alias("words"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"))))
+            .cast("long")
+            + F.floor(
+                (
+                    F.length("text")
+                    - F.length(F.replace(F.col("text"), F.lit("...")))
+                )
+                / 3
+            ).cast("long")
+        ).alias("n_symbols"),
+    )
+    m = base.select(
+        "doc_id",
+        "n_symbols",
+        F.size("toks").cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(F.col("toks"), lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+        F.size(
+            F.filter(F.col("toks"), lambda x: x.rlike("[A-Za-z]"))
+        )
+        .cast("long")
+        .alias("n_alpha"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.col("words")),
+                F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            )
+        )
+        .cast("long")
+        .alias("n_stop"),
+    )
+    ok_wc = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    ok_mwl = (3 * F.col("n_words") <= F.col("sum_len")) & (
+        F.col("sum_len") <= 10 * F.col("n_words")
+    )
+    ok_sym = 10 * F.col("n_symbols") < F.col("n_words")
+    ok_alpha = 5 * F.col("n_alpha") >= 4 * F.col("n_words")
+    ok_stop = F.col("n_stop") >= 2
+    return m.select(
+        "doc_id",
+        "n_words",
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_frac"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("passes_all"),
+    )
