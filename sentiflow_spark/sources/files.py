@@ -86,6 +86,44 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    row_tag: str = "row",
+) -> DataFrame:
+    """XML ingest via Spark 4's NATIVE xml source (no external
+    spark-xml package). Like JSON, XML is not self-describing in a
+    typed sense — the explicit schema keeps the scan single-pass (no
+    inference job) and makes malformed-row behavior deterministic."""
+    return (
+        spark.read.schema(schema)
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .format("xml")
+        .load(path)
+    )
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML export (one <row_tag> element per row, files wrapped in
+    <root_tag>). Feed/sitemap-style interchange; still written
+    distributed, one file per partition like every other text format."""
+    (
+        df.write.mode(mode)
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .format("xml")
+        .save(path)
+    )
+
+
 def dir_bytes(spark: SparkSession, path: str) -> int:
     """Total byte size of a data directory via the Hadoop FS API (works
     for any scheme Spark can read: file://, hdfs://, s3a://...)."""

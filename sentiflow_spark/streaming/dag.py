@@ -122,6 +122,24 @@ def watermarked_dedup(
     return events.withWatermark(ts_col, retention).dropDuplicatesWithinWatermark(keys)
 
 
+def read_state_store(
+    spark: SparkSession, checkpoint_dir: str, **options: str
+) -> DataFrame:
+    """K4 closed the reference's Valkey dedup-mark set with watermarked
+    streaming state; this exposes that state as a queryable DataFrame
+    via Spark 4's built-in ``statestore`` reader — the operational
+    surface the reference gets from redis-cli (inspect marks, count
+    keys, debug retention) without any side channel into RocksDB.
+    Reads the LAST committed batch's state by default; pass e.g.
+    ``batchId``/``operatorId``/``storeName`` options to aim elsewhere.
+    Cite: internal/clients/valkey_client (reference dedup marks);
+    SURVEY.md §2.2 K4."""
+    reader = spark.read.format("statestore")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(checkpoint_dir)
+
+
 def count_flush_batches(
     stream: DataFrame,
     key_col: str = "event_type",

@@ -544,3 +544,98 @@ def test_parquet_schema_evolution_merge_on_read(spark):
         assert narrow.count() == 3
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_xml_roundtrip(spark, sf_dir):
+    """Spark 4 native XML source: typed schema'd read back of a
+    distributed XML export equals the source rows exactly."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from sentiflow_spark.sources.files import read_xml, write_xml
+    from sentiflow_spark.tables import load
+
+    d = tempfile.mkdtemp(prefix="sf_xml_")
+    try:
+        src = (
+            load(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+        )
+        write_xml(src, d, row_tag="nation", root_tag="nations")
+        schema = T.StructType(
+            [
+                T.StructField("n_nationkey", T.LongType()),
+                T.StructField("n_name", T.StringType()),
+                T.StructField("n_regionkey", T.LongType()),
+            ]
+        )
+        back = read_xml(spark, d, schema, row_tag="nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        src_l = src.select(
+            src.n_nationkey.cast("long").alias("n_nationkey"),
+            "n_name",
+            src.n_regionkey.cast("long").alias("n_regionkey"),
+        )
+        assert back.exceptAll(src_l).count() == 0
+        assert src_l.exceptAll(back).count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_state_store_reader_exposes_dedup_marks(spark, sf_dir):
+    """K4 (state-store dedup marks): the watermarked-dedup operator's
+    streaming state IS the reference's Valkey mark set, and Spark 4's
+    statestore reader makes it directly queryable — one state row per
+    distinct key within the watermark, inspectable after the run like
+    redis-cli SCAN over the marks."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.streaming.dag import (
+        load_stream,
+        read_state_store,
+        watermarked_dedup,
+    )
+    from sentiflow_spark.tables import load
+
+    ckpt = tempfile.mkdtemp(prefix="sf_state_ckpt_")
+    name = f"t_state_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = load_stream(spark, sf_dir, "events")
+        dedup = watermarked_dedup(
+            ev, ["user_id", "event_type"], retention="720 hours"
+        ).select("user_id", "event_type")
+        q = (
+            dedup.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        marks = read_state_store(spark, ckpt)
+        # every distinct (user_id, event_type) within the 720h
+        # watermark holds exactly one mark in the store
+        expected = (
+            load(spark, sf_dir, "events")
+            .select("user_id", "event_type")
+            .distinct()
+            .count()
+        )
+        assert marks.count() == expected
+        # and the marks carry the actual key values, not opaque bytes
+        keys = {
+            (r["key"]["user_id"], r["key"]["event_type"])
+            for r in marks.select("key").collect()
+        }
+        some = load(spark, sf_dir, "events").select(
+            "user_id", "event_type"
+        ).first()
+        assert (some["user_id"], some["event_type"]) in keys
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
