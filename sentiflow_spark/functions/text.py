@@ -178,3 +178,49 @@ def fingerprint(text: Column) -> Column:
 
 def duck_fingerprint(t: str) -> str:
     return f"md5(trim(regexp_replace(lower({t}), '[^a-z0-9]+', ' ', 'g')))"
+
+
+def bpe_learn(
+    word_freqs: dict[str, int], n_merges: int
+) -> list[tuple[str, str]]:
+    """Driver-side BPE merge loop (Sennrich et al., ACL 2016) over an
+    ALREADY-AGGREGATED word-frequency dict — the bounded-metadata
+    companion of the distributed pair count in ``txt_bpe_pairs``. At
+    100 TB the corpus never comes to the driver: one partial-agg scan
+    produces the Zipf-bounded vocabulary (the same shape production
+    tokenizer trainers collect), and the O(V * merges) loop here runs
+    over that metadata exactly like the k-centroid loop in k-means.
+    Ties break by (count desc, pair asc), matching txt_bpe_pairs'
+    ordering, so the learned merge table is deterministic."""
+    segs: dict[tuple[str, ...], int] = {
+        (*word, "</w>"): f for word, f in word_freqs.items()
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in segs.items():
+            for pair in zip(syms, syms[1:]):
+                counts[pair] = counts.get(pair, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        joined = best[0] + best[1]
+        out: dict[tuple[str, ...], int] = {}
+        for syms, f in segs.items():
+            new: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    new.append(joined)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            out[tuple(new)] = out.get(tuple(new), 0) + f
+        segs = out
+    return merges

@@ -792,3 +792,90 @@ def edit_prefix_pairs(
         .select("doc_a", "doc_b", lev.alias("lev"))
         .filter(F.col("lev") >= 0)
     )
+
+
+# ------------------------------------- Exact-substring duplicate spans
+
+SPAN_DF_CAP = 50            # shared-hash doc-frequency cap (boilerplate guard)
+SPAN_MERGE_GAP = WINNOW_K + WINNOW_W   # island merge distance, chars
+SPAN_MIN_FPS = 2            # fingerprints a span must contain to be emitted
+
+
+def winnow_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    df_cap: int = SPAN_DF_CAP,
+    merge_gap: int = SPAN_MERGE_GAP,
+    min_fps: int = SPAN_MIN_FPS,
+) -> DataFrame:
+    """(id, span_start, span_end, n_shared) — maximal character ranges of
+    each document whose content also appears in at least one OTHER
+    document: the cut-list the ExactSubstr pass of "Deduplicating
+    Training Data Makes Language Models Better" (Lee et al., ACL 2022)
+    produces with a suffix array, re-expressed for Spark on top of the
+    winnowing core. Winnowed fingerprints KEEP their positions (the
+    packed key is h*BASE - pos, so pos unpacks exactly); a position is
+    flagged when its gram hash occurs in >= 2 distinct documents (and
+    <= df_cap — ultra-common boilerplate grams are excluded on both
+    engines); flagged positions closer than ``merge_gap`` merge into
+    islands (one gaps-and-islands window per doc) and each island emits
+    [min_pos, max_pos + k - 1]. Winnowing guarantees any cross-doc
+    match >= w + k - 1 chars selects a shared fingerprint, so no
+    duplicated region longer than the guarantee is missed.
+
+    Scale shape: NO doc-to-doc join anywhere — extraction is map-side,
+    the doc-frequency table is a partial aggregate over fingerprints
+    (~2/(w+1) of corpus chars), flagging is one semi-join against that
+    table, and the island window partitions by doc (bounded by doc
+    length x density). Output is linear in flagged positions at any
+    corpus size, unlike pair-based detectors whose output is quadratic
+    in clique size."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, w).localCheckpoint()
+    b = WINNOW_POS_BASE
+    pos = (
+        fps.select(F.col(id_col), F.explode("fps").alias("_key"))
+        .select(
+            F.col(id_col),
+            F.expr(f"(_key + {b - 1}) DIV {b}").alias("h"),
+            F.expr(
+                f"((_key + {b - 1}) DIV {b}) * {b} - _key"
+            ).alias("pos"),
+        )
+        .distinct()
+        .localCheckpoint()  # 3 consumers: dfreq + flagging + window
+    )
+    dfreq = (
+        pos.select(id_col, "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= df_cap))
+    )
+    flagged = (
+        pos.join(dfreq, "h", "left_semi").select(id_col, "pos").distinct()
+    )
+    seq = W.partitionBy(id_col).orderBy("pos")
+    with_prev = flagged.withColumn("_prev", F.lag("pos").over(seq))
+    islands = with_prev.withColumn(
+        "_island",
+        F.sum(
+            F.when(
+                F.col("_prev").isNull()
+                | (F.col("pos") - F.col("_prev") > merge_gap),
+                1,
+            ).otherwise(0)
+        ).over(seq),
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+        .filter(F.col("n_shared") >= min_fps)
+        .select(id_col, "span_start", "span_end", "n_shared")
+    )

@@ -681,3 +681,140 @@ def txt_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("passes_all"),
     )
+
+
+# ------------------------------------------ Tokenizer training (BPE)
+
+BPE_PAIR_TOPK = 25
+
+
+@register(
+    "txt_bpe_pairs",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    ),
+    wf AS (SELECT w, COUNT(*) AS f FROM words GROUP BY w),
+    pairs AS (
+      SELECT unnest(list_append(
+               list_transform(range(1, length(w)),
+                 i -> substring(w, CAST(i AS INT), 1) || ' ' ||
+                      substring(w, CAST(i AS INT) + 1, 1)),
+               substring(w, length(w), 1) || ' </w>')) AS pair,
+             f
+      FROM wf
+    )
+    SELECT pair, CAST(SUM(f) AS BIGINT) AS n
+    FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT {BPE_PAIR_TOPK}
+    """,
+    tags=("curation", "M5", "tokenizer", "aggregate"),
+    doc="The distributed step of BPE tokenizer training (Sennrich et "
+    "al., ACL 2016): adjacent-symbol pair counts over the corpus, "
+    "top-25 merge candidates with a lexicographic tiebreak. The key "
+    "scale move is counting over the VOCABULARY, not the corpus: one "
+    "word-frequency partial aggregate compresses 100 TB of text to "
+    "its Zipf-bounded distinct-word table, and the per-word "
+    "char-pair explosion (with the classic </w> end-of-word marker) "
+    "runs over that compressed table weighted by frequency — exactly "
+    "how production tokenizer trainers split the work (distributed "
+    "word count, then merge-loop over the count dict). Pair counts "
+    "are frequency-weighted exact integers on both engines.",
+)
+def txt_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("w")
+    )
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    # chars + end-of-word marker; pairs = zip of the symbol array with
+    # its own tail (same no-self-join idiom as txt_ngram_counts)
+    cs = F.concat(F.split(F.col("w"), ""), F.array(F.lit("</w>")))
+    npairs = F.greatest(F.size(cs) - 1, F.lit(0))
+    pairs = wf.select(
+        F.explode(
+            F.zip_with(
+                F.slice(cs, 1, npairs),
+                F.slice(cs, 2, npairs),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("pair"),
+        "f",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_PAIR_TOPK)
+    )
+
+
+# ------------------------------------- Data-constrained mixing planner
+
+MIX_BUDGET_X = 2        # token budget as a multiple of corpus size
+MIX_MAX_EPOCHS_PM = 4000  # repeat cap, permille (4 epochs)
+
+
+@register(
+    "txt_mix_epochs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             len(regexp_extract_all(text,
+                 '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS nt
+      FROM documents
+    ),
+    per AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS tokens
+            FROM tok GROUP BY source),
+    tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+                   COUNT(*) AS n_src FROM per)
+    SELECT source, tokens,
+           LEAST({MIX_MAX_EPOCHS_PM},
+                 ((({MIX_BUDGET_X} * total) // n_src) * 1000) // tokens)
+             AS epochs_permille,
+           (tokens * LEAST({MIX_MAX_EPOCHS_PM},
+                 ((({MIX_BUDGET_X} * total) // n_src) * 1000) // tokens))
+             // 1000 AS sampled_tokens
+    FROM per CROSS JOIN tot
+    """,
+    tags=("curation", "M5", "mixing", "aggregate"),
+    doc="Data-constrained mixing planner (Muennighoff et al., NeurIPS "
+    "2023 'Scaling Data-Constrained Language Models'): given a token "
+    "budget of 2x the corpus and an equal per-source allocation, "
+    "compute each source's repeat factor capped at 4 epochs (beyond "
+    "which repeated data stops helping) and the resulting sampled "
+    "token count. One partial-agg scan to per-source token counts, "
+    "then a broadcast of the 1-row corpus total onto the 20-row "
+    "source table — the whole plan after the scan is metadata-sized "
+    "at any corpus scale. All arithmetic is integer permille "
+    "(cross-multiplied, no doubles), bit-identical across engines.",
+)
+def txt_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.functions.text import token_count
+
+    docs = load(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", token_count(F.col("text")).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("long").alias("tokens"))
+    )
+    tot = per.agg(
+        F.sum("tokens").cast("long").alias("total"),
+        F.count(F.lit(1)).alias("n_src"),
+    )
+    fair_pm = F.expr(
+        f"((({MIX_BUDGET_X} * total) DIV n_src) * 1000) DIV tokens"
+    )
+    epochs = F.least(F.lit(MIX_MAX_EPOCHS_PM).cast("long"), fair_pm)
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        epochs.alias("epochs_permille"),
+        F.expr(
+            f"(tokens * least(CAST({MIX_MAX_EPOCHS_PM} AS BIGINT),"
+            f" ((({MIX_BUDGET_X} * total) DIV n_src) * 1000) DIV tokens))"
+            " DIV 1000"
+        ).alias("sampled_tokens"),
+    )

@@ -757,3 +757,74 @@ def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return emb.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
+
+
+# ------------------------------------- Exact-substring duplicate spans
+
+
+def _duck_span_oracle() -> str:
+    from sentiflow_spark.operators.dedup import (
+        SPAN_DF_CAP,
+        SPAN_MERGE_GAP,
+        SPAN_MIN_FPS,
+        WINNOW_K,
+        WINNOW_POS_BASE,
+    )
+
+    b, k = WINNOW_POS_BASE, WINNOW_K
+    return f"""
+    WITH {_duck_winnow_sels_cte()},
+    fpe AS (SELECT doc_id, unnest(fps) AS key FROM sels),
+    pos AS (
+      SELECT DISTINCT doc_id,
+             (key + {b - 1}) // {b} AS h,
+             ((key + {b - 1}) // {b}) * {b} - key AS pos
+      FROM fpe
+    ),
+    dfreq AS (
+      SELECT h FROM (SELECT DISTINCT doc_id, h FROM pos)
+      GROUP BY h HAVING COUNT(*) BETWEEN 2 AND {SPAN_DF_CAP}
+    ),
+    flagged AS (SELECT DISTINCT doc_id, pos FROM pos JOIN dfreq USING (h)),
+    lagged AS (
+      SELECT doc_id, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM flagged
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos - prev > {SPAN_MERGE_GAP}
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM lagged
+    )
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {k - 1} AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM isl GROUP BY doc_id, island HAVING COUNT(*) >= {SPAN_MIN_FPS}
+    """
+
+
+@register(
+    "dd_exact_substring_spans",
+    oracle=_duck_span_oracle(),
+    tags=("dedup", "M5", "winnowing", "spans"),
+    doc="ExactSubstr duplicate-SPAN extraction (Lee et al., ACL 2022 "
+    "'Deduplicating Training Data Makes Language Models Better'): the "
+    "per-document cut-list of character ranges whose content also "
+    "occurs in another document, built on the winnowing core instead "
+    "of a monolithic suffix array. Fingerprint positions unpack from "
+    "the packed h*2^21-pos keys; positions whose gram hash appears in "
+    "2..50 distinct docs are flagged; a per-doc gaps-and-islands "
+    "window merges flagged positions closer than k+w chars into "
+    "maximal spans. Detection guarantee: every cross-doc match >= "
+    "w+k-1 = 15 chars shares a selected fingerprint. NO doc-to-doc "
+    "join — df partial-agg + semi-join + per-doc window — so the "
+    "plan's output is linear in duplicated content, not quadratic in "
+    "clique size (the property that makes span-cutting, unlike "
+    "pair-listing, viable on a 100 TB crawl).",
+)
+def dd_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.operators.dedup import winnow_duplicate_spans
+
+    docs = load(spark, sf_dir, "documents")
+    return winnow_duplicate_spans(docs)

@@ -530,3 +530,101 @@ def test_edit_prefix_pairs_matches_bruteforce_on_adversarial_strings(spark):
     }
     assert want, "seeded corpus must produce at least one close pair"
     assert got == want
+
+
+def test_duplicate_spans_cover_planted_shared_block(spark):
+    """ExactSubstr span extraction: a 48-char block planted in two docs
+    at different offsets yields a span in EACH doc overlapping the
+    planted range; a doc with no cross-doc content yields no span.
+    (Lee et al. 2022 semantics: the cut-list covers duplicated
+    content wherever it sits, not just aligned duplicates.)"""
+    from sentiflow_spark.operators.dedup import winnow_duplicate_spans
+
+    block = "thequickbrownfoxjumpsoverthelazydogagainandmore!"  # 48 chars
+    filler_a = "".join(f"q{i % 10}" for i in range(40))   # 80 unique-ish
+    filler_b = "".join(f"z{9 - i % 10}" for i in range(40))
+    unique = "".join(f"m{i % 7}x" for i in range(40))      # no shared grams
+    d1 = filler_a + block + filler_a            # block at 81..128
+    d2 = filler_b + filler_b + block            # block at 161..208
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, unique)], "doc_id long, text string"
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in winnow_duplicate_spans(df, min_fps=1).collect()
+    }
+    assert 3 not in spans
+    s1, e1 = spans[1]
+    s2, e2 = spans[2]
+    # each span overlaps its doc's planted block (1-based char ranges)
+    assert s1 <= len(filler_a) + len(block) and e1 >= len(filler_a) + 1
+    assert s2 <= len(d2) and e2 >= 2 * len(filler_b) + 1
+
+
+def test_bpe_pairs_match_python_reference(spark, sf_dir):
+    """txt_bpe_pairs vs an independent pure-Python BPE pair count over
+    the same parquet: identical top-25 (count desc, pair asc)."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from sentiflow_spark.queries.curation_queries import txt_bpe_pairs
+
+    texts = pq.read_table(f"{sf_dir}/documents.parquet")["text"].to_pylist()
+    wf = Counter(
+        w for t in texts for w in re.findall("[a-z]+", (t or "").lower())
+    )
+    pairs: Counter = Counter()
+    for w, f in wf.items():
+        syms = list(w) + ["</w>"]
+        for a, b in zip(syms, syms[1:]):
+            pairs[f"{a} {b}"] += f
+    want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    got = [(r["pair"], r["n"]) for r in txt_bpe_pairs(spark, sf_dir).collect()]
+    assert got == want
+
+
+def test_mix_epochs_budget_invariants(spark, sf_dir):
+    """Mixing planner: every repeat factor is capped at 4 epochs, no
+    source under-runs its fair share when data is plentiful, and the
+    total sampled tokens never exceed the budget."""
+    from sentiflow_spark.queries.curation_queries import (
+        MIX_BUDGET_X,
+        MIX_MAX_EPOCHS_PM,
+        txt_mix_epochs,
+    )
+
+    rows = txt_mix_epochs(spark, sf_dir).collect()
+    total = sum(r["tokens"] for r in rows)
+    budget = MIX_BUDGET_X * total
+    assert all(0 < r["epochs_permille"] <= MIX_MAX_EPOCHS_PM for r in rows)
+    assert sum(r["sampled_tokens"] for r in rows) <= budget
+    for r in rows:
+        # sampled = tokens * epochs // 1000 exactly (integer contract)
+        assert r["sampled_tokens"] == r["tokens"] * r["epochs_permille"] // 1000
+
+
+def test_bpe_learn_first_merge_matches_distributed_pair_count(spark, sf_dir):
+    """The driver-side merge loop and the distributed pair count agree:
+    bpe_learn's FIRST merge is exactly txt_bpe_pairs' top row (same
+    corpus, same count-desc/pair-asc tiebreak), and the classic
+    Sennrich toy example learns the published merges."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from sentiflow_spark.functions.text import bpe_learn
+    from sentiflow_spark.queries.curation_queries import txt_bpe_pairs
+
+    assert bpe_learn({"low": 5, "lower": 2, "newest": 6, "widest": 3}, 3) == [
+        ("e", "s"), ("es", "t"), ("est", "</w>"),
+    ]
+
+    texts = pq.read_table(f"{sf_dir}/documents.parquet")["text"].to_pylist()
+    wf = Counter(
+        w for t in texts for w in re.findall("[a-z]+", (t or "").lower())
+    )
+    top = txt_bpe_pairs(spark, sf_dir).first()
+    assert bpe_learn(dict(wf), 1) == [tuple(top["pair"].split(" "))]
