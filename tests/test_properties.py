@@ -628,3 +628,45 @@ def test_bpe_learn_first_merge_matches_distributed_pair_count(spark, sf_dir):
     )
     top = txt_bpe_pairs(spark, sf_dir).first()
     assert bpe_learn(dict(wf), 1) == [tuple(top["pair"].split(" "))]
+
+
+@given(
+    data=st.tuples(
+        st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=15, max_size=40),
+        st.integers(min_value=0, max_value=50),
+        st.integers(min_value=0, max_value=50),
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_duplicate_span_guarantee_property(spark, data):
+    """Property form of the ExactSubstr detection guarantee: for ANY
+    shared block of length >= w + k - 1 planted at ANY offsets (fillers
+    drawn from disjoint alphabets so no accidental gram collisions),
+    each document emits a duplicate span overlapping its planted
+    range."""
+    from sentiflow_spark.operators.dedup import winnow_duplicate_spans
+
+    shared, off1, off2 = data
+    f1 = "".join("0123"[i % 4] for i in range(off1))
+    f2 = "".join("5678"[(i * 3) % 4] for i in range(off2))
+    d1 = f1 + shared + f1
+    d2 = f2 + f2 + shared + f2
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id long, text string"
+    )
+    spans = winnow_duplicate_spans(df, min_fps=1).collect()
+    blocks = {
+        1: (len(f1) + 1, len(f1) + len(shared)),
+        2: (2 * len(f2) + 1, 2 * len(f2) + len(shared)),
+    }
+    for doc_id, (lo, hi) in blocks.items():
+        assert any(
+            r["doc_id"] == doc_id
+            and r["span_start"] <= hi
+            and r["span_end"] >= lo
+            for r in spans
+        ), (doc_id, blocks, sorted(map(tuple, spans)))
