@@ -879,3 +879,70 @@ def winnow_duplicate_spans(
         .filter(F.col("n_shared") >= min_fps)
         .select(id_col, "span_start", "span_end", "n_shared")
     )
+
+
+def cut_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, clean_text, clean_len, orig_len) — remove every [span_start,
+    span_end] character range (1-based, inclusive, disjoint) from each
+    document and reassemble the rest in order. Docs absent from
+    ``spans`` pass through verbatim; docs spanned end-to-end become the
+    empty string (distinguished from no-spans via a distinct-doc flag —
+    the case a bare left-join-coalesce silently un-deletes). Complement
+    intervals via one lag() window over the spans plus a tail segment;
+    reassembly is array_sort + concat per doc. Shuffles only on the id."""
+    docs = docs.select(id_col, text_col)
+    seq = W.partitionBy(id_col).orderBy("span_start")
+    seg_mid = spans.select(
+        id_col,
+        (F.coalesce(F.lag("span_end").over(seq), F.lit(0)) + 1)
+        .alias("seg_start"),
+        (F.col("span_start") - 1).alias("seg_end"),
+    )
+    lens = docs.select(id_col, F.length(text_col).alias("_len"))
+    seg_tail = (
+        spans.groupBy(id_col)
+        .agg((F.max("span_end") + 1).alias("seg_start"))
+        .join(lens, id_col)
+        .select(id_col, "seg_start", F.col("_len").alias("seg_end"))
+    )
+    pieces = (
+        seg_mid.unionByName(seg_tail)
+        .filter(F.col("seg_end") >= F.col("seg_start"))
+        .join(docs, id_col)
+        .select(
+            id_col,
+            "seg_start",
+            F.expr(
+                f"substring({text_col}, CAST(seg_start AS INT),"
+                " CAST(seg_end - seg_start + 1 AS INT))"
+            ).alias("piece"),
+        )
+    )
+    cleaned = pieces.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_start", "piece"))),
+                lambda x: x["piece"],
+            ),
+            "",
+        ).alias("_clean")
+    )
+    flagged = spans.select(id_col).distinct().withColumn("_has", F.lit(1))
+    out_text = F.when(
+        F.col("_has").isNull(), F.col(text_col)
+    ).otherwise(F.coalesce(F.col("_clean"), F.lit("")))
+    return (
+        docs.join(flagged, id_col, "left")
+        .join(cleaned, id_col, "left")
+        .select(
+            id_col,
+            out_text.alias("clean_text"),
+            F.length(out_text).alias("clean_len"),
+            F.length(text_col).alias("orig_len"),
+        )
+    )

@@ -828,3 +828,68 @@ def dd_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return winnow_duplicate_spans(docs)
+
+
+def _duck_span_apply_oracle() -> str:
+    return f"""
+    WITH spans AS ({_duck_span_oracle().strip()}),
+    seg AS (
+      SELECT doc_id,
+             coalesce(lag(span_end) OVER (PARTITION BY doc_id
+                                          ORDER BY span_start), 0) + 1
+               AS seg_start,
+             span_start - 1 AS seg_end
+      FROM spans
+      UNION ALL
+      SELECT s.doc_id, max(s.span_end) + 1 AS seg_start,
+             length(d.text) AS seg_end
+      FROM spans s JOIN documents d USING (doc_id)
+      GROUP BY s.doc_id, length(d.text)
+    ),
+    pieces AS (
+      SELECT g.doc_id, g.seg_start,
+             substring(d.text, CAST(g.seg_start AS INT),
+                       CAST(g.seg_end - g.seg_start + 1 AS INT)) AS piece
+      FROM seg g JOIN documents d USING (doc_id)
+      WHERE g.seg_end >= g.seg_start
+    ),
+    cleaned AS (
+      SELECT doc_id, string_agg(piece, '' ORDER BY seg_start) AS clean_text
+      FROM pieces GROUP BY doc_id
+    ),
+    flagged AS (SELECT DISTINCT doc_id FROM spans)
+    SELECT d.doc_id,
+           CASE WHEN f.doc_id IS NULL THEN d.text
+                ELSE coalesce(c.clean_text, '') END AS clean_text,
+           length(CASE WHEN f.doc_id IS NULL THEN d.text
+                       ELSE coalesce(c.clean_text, '') END) AS clean_len,
+           length(d.text) AS orig_len
+    FROM documents d
+    LEFT JOIN flagged f USING (doc_id)
+    LEFT JOIN cleaned c USING (doc_id)
+    """
+
+
+@register(
+    "dd_substring_dedup_apply",
+    oracle=_duck_span_apply_oracle(),
+    tags=("dedup", "M5", "winnowing", "spans"),
+    doc="The APPLY side of ExactSubstr dedup (Lee et al., ACL 2022): "
+    "cut every detected duplicate span out of every document and "
+    "reassemble the surviving text — detection emits a cut-list, this "
+    "emits the training corpus. Complement intervals come from one "
+    "lag() window over the (already disjoint, sorted) spans plus a "
+    "per-doc tail segment; reassembly is an ordered array_sort + "
+    "concat per doc. A doc with no cross-doc content passes through "
+    "verbatim; a doc spanned END-TO-END becomes the empty string "
+    "(distinguished from no-spans via a distinct-doc semi side — the "
+    "subtle case a naive left-join-coalesce gets wrong). Cuts ALL "
+    "copies (the paper's default), so the op composes with "
+    "dd_cluster_reps when a keep-one policy is wanted. Every shuffle "
+    "is on doc_id; span metadata is tiny next to the corpus scan.",
+)
+def dd_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.operators.dedup import cut_spans, winnow_duplicate_spans
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return cut_spans(docs, winnow_duplicate_spans(docs))

@@ -670,3 +670,60 @@ def test_duplicate_span_guarantee_property(spark, data):
             and r["span_end"] >= lo
             for r in spans
         ), (doc_id, blocks, sorted(map(tuple, spans)))
+
+
+def test_cut_spans_removes_exactly_the_detected_ranges(spark):
+    """cut_spans is the exact inverse-complement of the span list: for
+    each doc, clean_text equals the Python-side reconstruction from
+    its collected spans; a doc with no spans passes through verbatim;
+    a doc spanned end-to-end becomes '' (NOT its original text — the
+    left-join-coalesce trap)."""
+    from sentiflow_spark.operators.dedup import (
+        cut_spans,
+        winnow_duplicate_spans,
+    )
+
+    block = "thequickbrownfoxjumpsoverthelazydogagainandmore!"
+    filler_a = "".join(f"q{i % 10}" for i in range(40))
+    filler_b = "".join(f"z{9 - i % 10}" for i in range(40))
+    unique = "".join(f"m{i % 7}x" for i in range(40))
+    texts = {
+        1: filler_a + block + filler_a,
+        2: filler_b + filler_b + block,
+        3: unique,
+        4: block,          # entire doc is shared content
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    spans = winnow_duplicate_spans(df, min_fps=1)
+    got = {
+        r["doc_id"]: (r["clean_text"], r["clean_len"], r["orig_len"])
+        for r in cut_spans(df, spans).collect()
+    }
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for r in spans.collect():
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    for doc_id, text in texts.items():
+        keep = [True] * len(text)
+        for s, e in by_doc.get(doc_id, []):
+            for i in range(s - 1, e):
+                keep[i] = False
+        want = "".join(c for c, k in zip(text, keep) if k)
+        assert got[doc_id] == (want, len(want), len(text)), doc_id
+    assert got[3][0] == unique          # untouched
+    # end-to-end coverage (handmade spans — winnowing selections never
+    # pin the very first gram, so force the edge case directly): a doc
+    # spanned [1, len] must become '', not silently revert to original
+    manual = spark.createDataFrame(
+        [(1, 1, len(texts[1]), 3), (4, 1, len(block), 2)],
+        "doc_id long, span_start long, span_end long, n_shared long",
+    )
+    got2 = {
+        r["doc_id"]: r["clean_text"]
+        for r in cut_spans(df, manual).collect()
+    }
+    assert got2[1] == "" and got2[4] == ""
+    assert got2[3] == unique and got2[2] == texts[2]
