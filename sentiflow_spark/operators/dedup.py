@@ -891,58 +891,61 @@ def cut_spans(
     span_end] character range (1-based, inclusive, disjoint) from each
     document and reassemble the rest in order. Docs absent from
     ``spans`` pass through verbatim; docs spanned end-to-end become the
-    empty string (distinguished from no-spans via a distinct-doc flag —
-    the case a bare left-join-coalesce silently un-deletes). Complement
-    intervals via one lag() window over the spans plus a tail segment;
-    reassembly is array_sort + concat per doc. Shuffles only on the id."""
+    empty string (distinguished from no-spans by the join miss — a
+    present-but-fully-covering span array folds to '', a NULL array
+    keeps the text).
+
+    Shape chosen for the 100 TB case: spans collapse to ONE sorted
+    array per doc (a shuffle of span METADATA only), the heavy text
+    column participates in exactly one doc_id equi-join, and the
+    cut-and-reassemble is a map-side higher-order aggregate over the
+    span array — no window over text rows, no piece explosion, no
+    second pass over the corpus. Measured honestly: on local[32] at the
+    20x probe this is a wash vs the piece-explosion formulation (26.5 s
+    vs 24.6 s — everything is warm in one JVM, so moving text twice is
+    nearly free); it is kept because the CLUSTER cost model differs —
+    the alternative shuffles the corpus text through two doc_id joins
+    plus a pieces groupBy, while this shape moves span metadata only
+    and touches text in exactly one co-partitioned join."""
     docs = docs.select(id_col, text_col)
-    seq = W.partitionBy(id_col).orderBy("span_start")
-    seg_mid = spans.select(
-        id_col,
-        (F.coalesce(F.lag("span_end").over(seq), F.lit(0)) + 1)
-        .alias("seg_start"),
-        (F.col("span_start") - 1).alias("seg_end"),
+    span_arrs = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans")
     )
-    lens = docs.select(id_col, F.length(text_col).alias("_len"))
-    seg_tail = (
-        spans.groupBy(id_col)
-        .agg((F.max("span_end") + 1).alias("seg_start"))
-        .join(lens, id_col)
-        .select(id_col, "seg_start", F.col("_len").alias("seg_end"))
+    t = F.col(text_col)
+    zero = F.struct(
+        F.lit(1).cast("long").alias("pos"), F.lit("").alias("acc")
     )
-    pieces = (
-        seg_mid.unionByName(seg_tail)
-        .filter(F.col("seg_end") >= F.col("seg_start"))
-        .join(docs, id_col)
-        .select(
-            id_col,
-            "seg_start",
-            F.expr(
-                f"substring({text_col}, CAST(seg_start AS INT),"
-                " CAST(seg_end - seg_start + 1 AS INT))"
-            ).alias("piece"),
-        )
+    folded = F.aggregate(
+        F.col("_spans"),
+        zero,
+        lambda acc, sp: F.struct(
+            (sp["span_end"] + 1).cast("long").alias("pos"),
+            F.concat(
+                acc["acc"], t.substr(acc["pos"], sp["span_start"] - acc["pos"])
+            ).alias("acc"),
+        ),
+        lambda acc: F.concat(
+            acc["acc"], t.substr(acc["pos"], F.length(t) - acc["pos"] + 1)
+        ),
     )
-    cleaned = pieces.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seg_start", "piece"))),
-                lambda x: x["piece"],
+    out_text = F.when(F.col("_spans").isNull(), t).otherwise(folded)
+    # bind the folded text through a 1-element transform + explode
+    # barrier so the O(spans) cut-and-concat aggregate evaluates ONCE
+    # per row — referencing out_text from both the value and length()
+    # lets CollapseProject inline the whole fold twice (the same
+    # expression-duplication trap winnow_fingerprints documents)
+    stats = F.explode(
+        F.transform(
+            F.array(out_text),
+            lambda c: F.struct(
+                c.alias("clean_text"), F.length(c).alias("clean_len")
             ),
-            "",
-        ).alias("_clean")
-    )
-    flagged = spans.select(id_col).distinct().withColumn("_has", F.lit(1))
-    out_text = F.when(
-        F.col("_has").isNull(), F.col(text_col)
-    ).otherwise(F.coalesce(F.col("_clean"), F.lit("")))
-    return (
-        docs.join(flagged, id_col, "left")
-        .join(cleaned, id_col, "left")
-        .select(
-            id_col,
-            out_text.alias("clean_text"),
-            F.length(out_text).alias("clean_len"),
-            F.length(text_col).alias("orig_len"),
         )
+    )
+    return (
+        docs.join(span_arrs, id_col, "left")
+        .select(id_col, stats.alias("_s"), F.length(t).alias("orig_len"))
+        .select(id_col, "_s.clean_text", "_s.clean_len", "orig_len")
     )
