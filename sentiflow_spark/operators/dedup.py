@@ -833,20 +833,7 @@ def winnow_duplicate_spans(
     length x density). Output is linear in flagged positions at any
     corpus size, unlike pair-based detectors whose output is quadratic
     in clique size."""
-    fps = winnow_fingerprints(df, text_col, id_col, k, w).localCheckpoint()
-    b = WINNOW_POS_BASE
-    pos = (
-        fps.select(F.col(id_col), F.explode("fps").alias("_key"))
-        .select(
-            F.col(id_col),
-            F.expr(f"(_key + {b - 1}) DIV {b}").alias("h"),
-            F.expr(
-                f"((_key + {b - 1}) DIV {b}) * {b} - _key"
-            ).alias("pos"),
-        )
-        .distinct()
-        .localCheckpoint()  # 3 consumers: dfreq + flagging + window
-    )
+    pos = _unpacked_positions(df, text_col, id_col, k, w)
     dfreq = (
         pos.select(id_col, "h")
         .distinct()
@@ -857,6 +844,38 @@ def winnow_duplicate_spans(
     flagged = (
         pos.join(dfreq, "h", "left_semi").select(id_col, "pos").distinct()
     )
+    return _position_islands(flagged, id_col, k, merge_gap, min_fps)
+
+
+def _unpacked_positions(
+    df: DataFrame, text_col: str, id_col: str, k: int, w: int
+) -> DataFrame:
+    """(id, h, pos) — distinct winnowed selections with their 32-bit
+    gram hash and 1-based char position unpacked from the packed
+    h*BASE - pos keys. localCheckpointed: every consumer uses it at
+    least twice (frequency table + flagging)."""
+    b = WINNOW_POS_BASE
+    fps = winnow_fingerprints(df, text_col, id_col, k, w).localCheckpoint()
+    return (
+        fps.select(F.col(id_col), F.explode("fps").alias("_key"))
+        .select(
+            F.col(id_col),
+            F.expr(f"(_key + {b - 1}) DIV {b}").alias("h"),
+            F.expr(
+                f"((_key + {b - 1}) DIV {b}) * {b} - _key"
+            ).alias("pos"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+def _position_islands(
+    flagged: DataFrame, id_col: str, k: int, merge_gap: int, min_fps: int
+) -> DataFrame:
+    """Merge flagged (id, pos) rows closer than ``merge_gap`` into
+    maximal [min_pos, max_pos + k - 1] spans — one gaps-and-islands
+    window per doc, bounded by doc length x winnow density."""
     seq = W.partitionBy(id_col).orderBy("pos")
     with_prev = flagged.withColumn("_prev", F.lag("pos").over(seq))
     islands = with_prev.withColumn(
@@ -880,6 +899,42 @@ def winnow_duplicate_spans(
         .select(id_col, "span_start", "span_end", "n_shared")
     )
 
+
+def winnow_selfrepeat_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    merge_gap: int = SPAN_MERGE_GAP,
+    min_fps: int = SPAN_MIN_FPS,
+) -> DataFrame:
+    """(id, span_start, span_end, n_shared) — maximal character ranges
+    of WITHIN-document repetition: positions whose winnowed gram hash
+    is selected at >= 2 distinct positions of the SAME document. This
+    is the cut-list form of the Gopher duplicate-fraction signal —
+    that filter FLAGS a page as repetitive, this says which bytes are
+    the repeats (nav boilerplate, spammy keyword runs, copy-pasted
+    paragraphs) so the page can be salvaged instead of dropped. Every
+    copy is flagged (composition with dd_cluster_reps-style keep-one
+    policies happens downstream). Same guarantee as the cross-doc
+    form: any self-repeat of length >= w + k - 1 selects the same
+    hash in both copies. Scale shape: the repeat table is a partial
+    agg keyed (id, h) — per-DOC state, even more local than the
+    cross-doc df table; no join ever leaves the document."""
+    pos = _unpacked_positions(df, text_col, id_col, k, w)
+    rep = (
+        pos.groupBy(id_col, "h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select(id_col, "h")
+    )
+    flagged = (
+        pos.join(rep, [id_col, "h"], "left_semi")
+        .select(id_col, "pos")
+        .distinct()
+    )
+    return _position_islands(flagged, id_col, k, merge_gap, min_fps)
 
 def cut_spans(
     docs: DataFrame,

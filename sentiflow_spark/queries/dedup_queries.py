@@ -893,3 +893,69 @@ def dd_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return cut_spans(docs, winnow_duplicate_spans(docs))
+
+
+def _duck_selfrepeat_oracle() -> str:
+    from sentiflow_spark.operators.dedup import (
+        SPAN_MERGE_GAP,
+        SPAN_MIN_FPS,
+        WINNOW_K,
+        WINNOW_POS_BASE,
+    )
+
+    b, k = WINNOW_POS_BASE, WINNOW_K
+    return f"""
+    WITH {_duck_winnow_sels_cte()},
+    fpe AS (SELECT doc_id, unnest(fps) AS key FROM sels),
+    pos AS (
+      SELECT DISTINCT doc_id,
+             (key + {b - 1}) // {b} AS h,
+             ((key + {b - 1}) // {b}) * {b} - key AS pos
+      FROM fpe
+    ),
+    rep AS (
+      SELECT doc_id, h FROM pos GROUP BY doc_id, h HAVING COUNT(*) >= 2
+    ),
+    flagged AS (
+      SELECT DISTINCT p.doc_id, p.pos FROM pos p JOIN rep USING (doc_id, h)
+    ),
+    lagged AS (
+      SELECT doc_id, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM flagged
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos - prev > {SPAN_MERGE_GAP}
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM lagged
+    )
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {k - 1} AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM isl GROUP BY doc_id, island HAVING COUNT(*) >= {SPAN_MIN_FPS}
+    """
+
+
+@register(
+    "dd_intradoc_repeat_spans",
+    oracle=_duck_selfrepeat_oracle(),
+    tags=("dedup", "M5", "winnowing", "spans"),
+    doc="WITHIN-document repetition spans: the cut-list form of the "
+    "Gopher duplicate-fraction signal — that filter flags a page as "
+    "repetitive, this says WHICH bytes are the repeats (nav "
+    "boilerplate, keyword-stuffing runs, copy-pasted paragraphs) so "
+    "the page can be salvaged instead of dropped. A position is "
+    "flagged when its winnowed gram hash is selected at >= 2 distinct "
+    "positions of the same doc; flagged positions merge into maximal "
+    "spans via the shared gaps-and-islands helper. Detection "
+    "guarantee as the cross-doc form (self-repeats >= w+k-1 chars). "
+    "Scale: the repeat table is keyed (doc, hash) — strictly per-doc "
+    "state, no join ever crosses documents; composes with cut_spans "
+    "for the salvage pass.",
+)
+def dd_intradoc_repeat_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.operators.dedup import winnow_selfrepeat_spans
+
+    docs = load(spark, sf_dir, "documents")
+    return winnow_selfrepeat_spans(docs)

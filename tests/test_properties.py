@@ -727,3 +727,34 @@ def test_cut_spans_removes_exactly_the_detected_ranges(spark):
     }
     assert got2[1] == "" and got2[4] == ""
     assert got2[3] == unique and got2[2] == texts[2]
+
+
+def test_selfrepeat_spans_flag_planted_repeat_not_unique_doc(spark):
+    """Within-doc repetition spans: a doc containing the same 20-char
+    block twice gets spans overlapping BOTH copies; a doc of all-unique
+    content gets none; and a block shared only ACROSS docs (no
+    self-repeat) is NOT flagged by the intra-doc operator."""
+    from sentiflow_spark.operators.dedup import winnow_selfrepeat_spans
+
+    block = "abcdefghijklmnopqrst"  # 20 chars >= w + k - 1
+    # fillers must be APERIODIC: a cyclic pattern like "m0xm1x...m6x"
+    # is itself a self-repeat (period 21) and gets correctly flagged
+    fill = "".join(f"q{i:02d}" for i in range(10))
+    mid = "".join(f"z{i:02d}" for i in range(5))
+    d1 = fill + block + mid + block + fill       # self-repeat
+    d2 = "".join(f"m{i:02d}" for i in range(14))   # unique, aperiodic
+    d3 = "".join(f"y{i:02d}" for i in range(14)) + block  # cross-doc only
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    spans = winnow_selfrepeat_spans(df, min_fps=1).collect()
+    docs = {r["doc_id"] for r in spans}
+    assert 2 not in docs and 3 not in docs
+    c1 = (len(fill) + 1, len(fill) + len(block))
+    c2 = (len(fill) + len(block) + len(mid) + 1,
+          len(fill) + 2 * len(block) + len(mid))
+    for lo, hi in (c1, c2):
+        assert any(
+            r["doc_id"] == 1 and r["span_start"] <= hi and r["span_end"] >= lo
+            for r in spans
+        ), (lo, hi, sorted(map(tuple, spans)))
