@@ -818,3 +818,71 @@ def txt_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV 1000"
         ).alias("sampled_tokens"),
     )
+
+
+# ------------------------------------------ Unicode normalization
+
+# \x{...} escapes: the one hex form BOTH Java regex (Spark) and RE2
+# (DuckDB) parse — RE2 silently mis-reads Java's \uXXXX (caught by the
+# non-ASCII unit fixture, which cross-checks the two engines directly)
+_ZW_RE = "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]"      # zero-width + BOM
+_CTRL_RE = "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]"  # C0 minus \t \n \r
+
+
+@register(
+    "txt_nfc_normalize",
+    oracle=f"""
+    SELECT doc_id, norm_text,
+           CAST(norm_text <> text AS BOOLEAN) AS changed
+    FROM (
+      SELECT doc_id, text,
+             trim(regexp_replace(regexp_replace(regexp_replace(
+               nfc_normalize(text),
+               '{_ZW_RE}', '', 'g'),
+               '{_CTRL_RE}', '', 'g'),
+               '[ \\t]+', ' ', 'g')) AS norm_text
+      FROM documents
+    )
+    """,
+    tags=("curation", "M5", "normalize", "pandas_udf"),
+    doc="Unicode text normalization — the first pass of every corpus "
+    "pipeline: NFC composition (so 'e%CC%81' and precomposed "
+    "'\\u00e9' dedup/tokenize identically), zero-width/BOM strip, C0 "
+    "control strip (tab/newline kept), whitespace-run collapse, trim. "
+    "NFC runs as an Arrow-batched pandas UDF over Python's "
+    "unicodedata (Spark has no builtin normalizer); everything else "
+    "is JVM-side regexp. DuckDB's nfc_normalize implements the same "
+    "Unicode algorithm — verified bit-identical cross-engine; the "
+    "non-ASCII path (combining marks, mojibake survivors) is pinned "
+    "by unit fixtures since the synthetic corpus is pure ASCII. "
+    "Map-side only: zero shuffles at any corpus size.",
+)
+def txt_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_batch(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: None if t is None else unicodedata.normalize("NFC", t)
+        )
+
+    _nfc = pandas_udf(_nfc_batch, "string")
+
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(_nfc(F.col("text")), _ZW_RE, ""),
+                _CTRL_RE,
+                "",
+            ),
+            "[ \\t]+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (norm != F.col("text")).alias("changed"),
+    )

@@ -758,3 +758,54 @@ def test_selfrepeat_spans_flag_planted_repeat_not_unique_doc(spark):
             r["doc_id"] == 1 and r["span_start"] <= hi and r["span_end"] >= lo
             for r in spans
         ), (lo, hi, sorted(map(tuple, spans)))
+
+
+def test_nfc_normalize_non_ascii_fixtures(spark):
+    """The NFC path the ASCII corpus can't exercise: combining marks
+    compose to precomposed forms identically in Spark (pandas UDF over
+    unicodedata) and DuckDB (nfc_normalize); zero-width chars vanish;
+    control chars strip; whitespace runs collapse; tab/newline-only
+    content trims to ''. Cross-engine agreement asserted directly."""
+    import duckdb
+
+    from sentiflow_spark.queries.curation_queries import txt_nfc_normalize
+    from sentiflow_spark.queries.registry import load_all
+
+    q = load_all()["txt_nfc_normalize"]
+    fixtures = [
+        (1, "café du  monde"),          # combining acute -> café
+        (2, "naı̈ve​ test"),   # dotless i + diaeresis + ZWSP
+        (3, "a\x00b\x07c"),                   # C0 controls
+        (4, " \t \t "),                       # whitespace-only -> ''
+        (5, "plain ascii"),                   # unchanged
+    ]
+    df = spark.createDataFrame(fixtures, "doc_id long, text string")
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="sf_nfc_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {
+            r["doc_id"]: (r["norm_text"], r["changed"])
+            for r in q.fn(spark, d).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet/*.parquet')"
+        )
+        want = {
+            row[0]: (row[1], row[2])
+            for row in con.execute(q.oracle).fetchall()
+        }
+        assert got == want
+        assert got[1][0] == "café du monde" and got[1][1]
+        assert "​" not in got[2][0]
+        assert got[3][0] == "abc"
+        assert got[4][0] == ""
+        assert got[5] == ("plain ascii", False)
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
