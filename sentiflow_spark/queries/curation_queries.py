@@ -844,7 +844,7 @@ _CTRL_RE = "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]"  # C0 minus \
       FROM documents
     )
     """,
-    tags=("curation", "M5", "normalize", "pandas_udf"),
+    tags=("curation", "M5", "normalize", "arrow-udf"),
     doc="Unicode text normalization — the first pass of every corpus "
     "pipeline: NFC composition (so 'e%CC%81' and precomposed "
     "'\\u00e9' dedup/tokenize identically), zero-width/BOM strip, C0 "
