@@ -972,13 +972,35 @@ def cut_spans(
     zero = F.struct(
         F.lit(1).cast("long").alias("pos"), F.lit("").alias("acc")
     )
+    # Disjointness guard: after consuming a span, acc.pos is the first
+    # uncut position, so any valid next span starts at >= acc.pos. An
+    # overlapping/non-disjoint span list would make span_start - acc.pos
+    # negative — substr silently drops characters and the corruption is
+    # parity-INVISIBLE (the oracle mirrors the fold). Fail loudly
+    # instead, mirroring the WINNOW_POS_BASE guard's convention.
     folded = F.aggregate(
         F.col("_spans"),
         zero,
         lambda acc, sp: F.struct(
             (sp["span_end"] + 1).cast("long").alias("pos"),
             F.concat(
-                acc["acc"], t.substr(acc["pos"], sp["span_start"] - acc["pos"])
+                acc["acc"],
+                t.substr(
+                    acc["pos"],
+                    F.when(
+                        sp["span_start"] < acc["pos"],
+                        F.raise_error(
+                            F.concat(
+                                F.lit(
+                                    "cut_spans: overlapping/non-disjoint "
+                                    "span list (span_start < next uncut "
+                                    "position) for doc "
+                                ),
+                                F.col(id_col).cast("string"),
+                            )
+                        ).cast("long"),
+                    ).otherwise(sp["span_start"] - acc["pos"]),
+                ),
             ).alias("acc"),
         ),
         lambda acc: F.concat(

@@ -280,8 +280,11 @@ def mm_bytes_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.element_at(
         F.transform(F.array(F.hex(F.col("payload"))), _grams), 1
     )
+    # pre-filter on the BINARY length (2 hex chars per byte) — hex()ing
+    # the payload a second time just to measure it is the same O(L)
+    # expression-duplication class the comment above warns about
     toks = (
-        media.filter(F.length(F.hex(F.col("payload"))) >= MM_GRAM_HEX)
+        media.filter(F.length(F.col("payload")) * 2 >= MM_GRAM_HEX)
         .select("doc_id", F.explode(grams).alias("token"))
     )
     sims = simhash_from_tokens(toks)

@@ -109,14 +109,19 @@ _ROTATION = (
 )
 
 
-def _driver_verified() -> frozenset[str]:
+def _driver_verified() -> tuple[frozenset[str], frozenset[str]]:
     """Query names with a green row in any committed driver
-    CORRECTNESS_r*.json (err-free + rows_match; hash-pass where an
-    oracle exists, rows-only for declared no-oracle ops)."""
+    CORRECTNESS_r*.json, split by the strength of the check:
+    ``(hash_verified, rows_only_seen)``.  Rows-only queries (declared
+    no-oracle ops — the driver only confirms they run and produce
+    rows) never reach the hash-verified set: they stay in the driver
+    rotation at reduced priority so every round re-exercises them,
+    rather than permanently leaving the window on a weak signal."""
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     seen: set[str] = set()
+    rows_only: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -129,10 +134,10 @@ def _driver_verified() -> frozenset[str]:
             if not isinstance(row, dict):
                 continue
             if row.get("err") == "no_oracle":
-                # declared rows-only contract: verified once the driver
-                # saw it run and produce rows
+                # declared rows-only contract: the driver saw it run
+                # and produce rows — a weaker state than hash-verified
                 if (row.get("spark_rows") or 0) > 0:
-                    seen.add(name)
+                    rows_only.add(name)
             elif (
                 row.get("err") is None
                 and row.get("rows_match")
@@ -143,7 +148,7 @@ def _driver_verified() -> frozenset[str]:
                 # (round 3 shipped 4 value-identical hash-fails caused
                 # by pandas canonicalization; see tools/pandas_canon.py)
                 seen.add(name)
-    return frozenset(seen)
+    return frozenset(seen), frozenset(rows_only - seen)
 
 
 def register(
@@ -175,7 +180,7 @@ def load_all() -> dict[str, Query]:
             # Allow partial builds while modules are still being added.
             if exc.name != mod:
                 raise
-    verified = _driver_verified()
+    verified, rows_only = _driver_verified()
     insertion = {name: i for i, name in enumerate(REGISTRY)}
 
     def key(name: str) -> tuple[int, int, int]:
@@ -184,6 +189,9 @@ def load_all() -> dict[str, Query]:
         fam_rank = (
             _ROTATION.index(family) if family in _ROTATION else len(_ROTATION)
         )
-        return (1 if name in verified else 0, fam_rank, insertion[name])
+        # 0 = never driver-checked, 1 = rows-only (weak check: keep in
+        # the window every round), 2 = hash-verified (rotate out)
+        state = 2 if name in verified else (1 if name in rows_only else 0)
+        return (state, fam_rank, insertion[name])
 
     return {name: REGISTRY[name] for name in sorted(REGISTRY, key=key)}

@@ -727,6 +727,17 @@ def test_cut_spans_removes_exactly_the_detected_ranges(spark):
     }
     assert got2[1] == "" and got2[4] == ""
     assert got2[3] == unique and got2[2] == texts[2]
+    # Overlapping / non-disjoint spans would silently DROP characters
+    # (negative substr lengths in the fold) — parity-invisible because
+    # the oracle mirrors the fold. The guard must fail loudly instead.
+    overlapping = spark.createDataFrame(
+        [(1, 5, 20, 2), (1, 10, 30, 2)],
+        "doc_id long, span_start long, span_end long, n_shared long",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="overlapping|non-disjoint"):
+        cut_spans(df, overlapping).collect()
 
 
 def test_selfrepeat_spans_flag_planted_repeat_not_unique_doc(spark):

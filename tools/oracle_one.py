@@ -15,7 +15,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pandas_canon import TABLES, check_one  # noqa: E402
+from pandas_canon import TABLES, check_one, use_big_oracles  # noqa: E402
 
 
 def main() -> int:
@@ -35,6 +35,12 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs, osql = entry.queries(), entry.oracle_sql()
+    # match the sweep's behavior at big scale: swap in the cheap
+    # mirrored-blocking oracle variants so iterating on e.g.
+    # dd_edit_prefix_pairs at sf0.1 doesn't pay the ~175 s brute-force
+    # proof oracle every run
+    if getattr(entry, "oracle_sql_big", None) and use_big_oracles(sf):
+        osql = {**osql, **entry.oracle_sql_big()}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

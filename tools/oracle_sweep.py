@@ -24,7 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pandas_canon import TABLES, check_one  # noqa: E402
+from pandas_canon import TABLES, check_one, use_big_oracles  # noqa: E402
 
 
 def main() -> int:
@@ -47,11 +47,10 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs, osql = entry.queries(), entry.oracle_sql()
-    # at sf0.1+ swap in the cheap mirrored-blocking oracle variants;
-    # the driver (sf0.01) always gets the proof-carrying originals
-    if getattr(entry, "oracle_sql_big", None) and not sf.rstrip("/").endswith(
-        ("sf0.001", "sf0.01")
-    ):
+    # at big scale swap in the cheap mirrored-blocking oracle variants;
+    # the driver (sf0.01) always gets the proof-carrying originals.
+    # Decided from parquet row counts, not the path suffix.
+    if getattr(entry, "oracle_sql_big", None) and use_big_oracles(sf):
         osql = {**osql, **entry.oracle_sql_big()}
     con = duckdb.connect()
     for t in TABLES:

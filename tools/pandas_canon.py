@@ -66,6 +66,26 @@ def _fmt_cell(v, kind: str) -> str:
     return f"{type(v).__name__}:{v!r}"
 
 
+def use_big_oracles(sf_dir: str) -> bool:
+    """True when the data directory is LARGE enough that the cheap
+    mirrored-blocking oracle variants (``oracle_sql_big``) should
+    replace the deliberately brute-force proof oracles.
+
+    Decided from the DATA (parquet row counts), not the path name — a
+    symlinked/renamed/oddly-suffixed directory (``sf0.010``, trailing
+    slash, copy under another name) must not silently swap oracles.
+    The driver runs sf0.01 (lineitem ≈ 60k rows) and always gets the
+    proof-carrying originals; sf0.1 has ≈ 600k.
+    """
+    import pyarrow.parquet as pq
+
+    try:
+        n = pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
+    except Exception:  # noqa: BLE001 - unreadable ⇒ safest: proof oracles
+        return False
+    return n > 150_000
+
+
 def canon_pdf(pdf):
     """Sort columns by name, sort rows by all columns (the driver's
     _canon crashes here on unhashable cells — so do we), then format
@@ -152,13 +172,12 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs, osql = entry.queries(), entry.oracle_sql()
-    # at sf0.1+ swap in the cheap mirrored-blocking oracle variants
+    # at big scale swap in the cheap mirrored-blocking oracle variants
     # (the registered originals include a deliberately brute-force
     # proof oracle that costs ~175 s at sf0.1; the driver runs sf0.01
-    # and always gets the originals)
-    if getattr(entry, "oracle_sql_big", None) and not sf.rstrip("/").endswith(
-        ("sf0.001", "sf0.01")
-    ):
+    # and always gets the originals). Decided from the data, not the
+    # path suffix — see use_big_oracles.
+    if getattr(entry, "oracle_sql_big", None) and use_big_oracles(sf):
         osql = {**osql, **entry.oracle_sql_big()}
     con = duckdb.connect()
     for t in TABLES:
