@@ -639,3 +639,90 @@ def test_state_store_reader_exposes_dedup_marks(spark, sf_dir):
         assert (some["user_id"], some["event_type"]) in keys
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_crash_resume_exactly_once_vs_batch(spark, sf_dir):
+    """Chaos-shaped exactly-once: run the full 4-stage sentiment
+    topology (st_pipeline_e2e's flow) as a MULTI-micro-batch stream
+    (maxFilesPerTrigger=1 over a 10-file source), kill the query
+    mid-stream, resume from the same checkpoint to completion, and
+    assert the file-sink output is row-for-row identical to the batch
+    plan — no loss, no duplicates, despite the interruption. This is
+    the Structured Streaming replacement for the reference's
+    commit-after-durable Kafka semantics (internal/clients/
+    kafka_client/commit_handler.go:25-75): the checkpoint + file-sink
+    commit log together give what hand-managed offset commits +
+    transactional producers gave the reference."""
+    import time
+
+    from sentiflow_spark.operators.projections import to_raw_content
+    from sentiflow_spark.streaming.dag import streaming_sentiment_flow
+    from sentiflow_spark.tables import load
+
+    src = tempfile.mkdtemp(prefix="sf_crash_src_")
+    out = tempfile.mkdtemp(prefix="sf_crash_out_")
+    ckpt = tempfile.mkdtemp(prefix="sf_crash_ckpt_")
+    try:
+        docs = load(spark, sf_dir, "documents")
+        schema = docs.schema
+        # 10 single-part files → 10 micro-batches at maxFilesPerTrigger=1
+        for lo in range(0, 500, 50):
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 50)
+            ).coalesce(1).write.mode("append").parquet(src)
+
+        def flow(df):
+            raw = to_raw_content(
+                df,
+                topic=F.col("lang"),
+                source=F.col("source"),
+                post_id=F.col("doc_id"),
+                text=F.col("text"),
+            )
+            return streaming_sentiment_flow(raw, router_threshold=1024)
+
+        def start(available_now: bool):
+            reader = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            w = (
+                flow(reader)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+            )
+            if available_now:
+                w = w.trigger(availableNow=True)
+            return w.start()
+
+        # run 1: continuous trigger; kill as soon as SOME batches have
+        # committed but before all 10 could plausibly finish
+        q = start(available_now=False)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p["batchId"] >= 1:
+                break
+            time.sleep(0.05)
+        q.stop()  # mid-stream kill (batch N may be half-flight)
+        q.awaitTermination()
+        partial = spark.read.parquet(out).count()
+
+        # run 2: SAME checkpoint, drain to completion
+        q2 = start(available_now=True)
+        q2.awaitTermination()
+
+        got = spark.read.parquet(out)
+        want = flow(docs)
+        assert partial < want.count()  # the kill really was mid-stream
+        assert got.count() == want.count()
+        assert got.select("content_id").distinct().count() == want.count()
+        assert (
+            got.unionByName(want).distinct().count() == want.count()
+        ), "streaming output differs from the batch plan"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
