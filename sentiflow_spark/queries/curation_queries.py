@@ -886,3 +886,137 @@ def txt_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("norm_text"),
         (norm != F.col("text")).alias("changed"),
     )
+
+
+# --------------------------------------- Tokenizer apply (BPE encode)
+
+BPE_ENC_MERGES = 8
+
+
+def _bpe_oracle() -> str:
+    """Generate the DuckDB mirror of the iterative BPE trainer+apply:
+    BPE_ENC_MERGES repetitions of (pair-count over the current
+    segmentations, 1-row argmax, literal-replace apply) as a chained
+    CTE block, then the per-doc encode join. Built by a loop at import
+    time; the registered oracle is still a static string."""
+    parts = [
+        "WITH words0 AS (SELECT unnest(regexp_extract_all(lower(text),"
+        " '[a-z]+')) AS w FROM documents),",
+        "wf AS (SELECT w, COUNT(*) AS f FROM words0 GROUP BY w),",
+        "seg0 AS (SELECT w, f, '⟨' || array_to_string(list_append("
+        "regexp_extract_all(w, '.'), '</w>'), '⟩⟨') ||"
+        " '⟩' AS s FROM wf),",
+    ]
+    for i in range(BPE_ENC_MERGES):
+        parts += [
+            f"li{i} AS (SELECT f, s, regexp_extract_all(s,"
+            f" '⟨([^⟩]*)⟩', 1) AS li FROM seg{i}),",
+            f"pr{i} AS (SELECT unnest(list_transform(generate_series(1,"
+            f" len(li) - 1), k -> li[k] || ' ' || li[k+1])) AS pair, f"
+            f" FROM li{i}),",
+            f"best{i} AS (SELECT pair FROM (SELECT pair, SUM(f) AS n"
+            f" FROM pr{i} GROUP BY pair) ORDER BY n DESC, pair LIMIT 1),",
+            f"seg{i + 1} AS (SELECT w, f, replace(s,"
+            f" '⟨' || split_part(pair, ' ', 1) || '⟩⟨' ||"
+            f" split_part(pair, ' ', 2) || '⟩',"
+            f" '⟨' || replace(pair, ' ', '') || '⟩') AS s"
+            f" FROM seg{i} CROSS JOIN best{i}),",
+        ]
+    parts += [
+        f"wtok AS (SELECT w, len(regexp_extract_all(s,"
+        f" '⟨([^⟩]*)⟩', 1)) AS nt"
+        f" FROM seg{BPE_ENC_MERGES}),",
+        "dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),"
+        " '[a-z]+')) AS w FROM documents),",
+        "agg AS (SELECT doc_id, CAST(SUM(nt) AS BIGINT) AS n FROM dw"
+        " JOIN wtok USING (w) GROUP BY doc_id)",
+        "SELECT d.doc_id, COALESCE(agg.n, 0) AS n_bpe_tokens"
+        " FROM documents d LEFT JOIN agg USING (doc_id)",
+    ]
+    return "\n".join(parts)
+
+
+@register(
+    "txt_bpe_encode",
+    oracle=_bpe_oracle(),
+    tags=("curation", "M5", "tokenizer", "aggregate", "join", "iterative"),
+    doc="Closes the BPE loop (Sennrich et al., ACL 2016): train "
+    f"{BPE_ENC_MERGES} merges end-to-end, then ENCODE the corpus — "
+    "per-doc BPE token counts. Scale shape: segmentations live as "
+    "⟨sym⟩ block strings on the Zipf-bounded VOCABULARY "
+    "table (never the corpus); each training iteration is a "
+    "distributed pair-count partial agg over that table and the "
+    "driver collects exactly ONE row (the argmax pair) per merge — "
+    "the same bounded-metadata contract as the k-means centroid "
+    "loop. Merge application is a literal string replace (left-to-"
+    "right non-overlapping — exactly BPE's one-pass merge rule), "
+    "identical on both engines. The encode pass touches the corpus "
+    "once: word stream -> broadcast join against the tiny "
+    "word->token-count map -> per-doc sum. Ties in the argmax break "
+    "(count DESC, pair ASC) on both sides.",
+)
+def txt_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("w")
+    )
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    sym_arr = F.concat(F.split(F.col("w"), ""), F.array(F.lit("</w>")))
+    seg0 = F.concat(
+        F.lit("⟨"), F.array_join(sym_arr, "⟩⟨"), F.lit("⟩")
+    )
+    # vocab is the sufficient statistic: localCheckpoint pins it so the
+    # corpus scan runs once, and re-pins each iteration so the replace
+    # chain doesn't deepen the plan
+    cur = wf.select("w", "f", seg0.alias("s")).localCheckpoint()
+    blocks = F.regexp_extract_all(
+        F.col("s"), F.lit("⟨([^⟩]*)⟩"), 1
+    )
+    for _ in range(BPE_ENC_MERGES):
+        npair = F.greatest(F.size(blocks) - 1, F.lit(0))
+        pairs = cur.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(blocks, 1, npair),
+                    F.slice(blocks, 2, npair),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("pair"),
+            "f",
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("f").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0]["pair"].split(" ")
+        cur = cur.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(f"⟨{a}⟩⟨{b}⟩"),
+                F.lit(f"⟨{a}{b}⟩"),
+            ),
+        ).localCheckpoint()
+    wtok = cur.select("w", F.size(blocks).alias("nt"))
+    dw = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    )
+    agg = (
+        dw.join(F.broadcast(wtok), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("nt").cast("long").alias("n"))
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_bpe_tokens"),
+    )
