@@ -796,7 +796,8 @@ def edit_prefix_pairs(
 
 # ------------------------------------- Exact-substring duplicate spans
 
-SPAN_DF_CAP = 50            # shared-hash doc-frequency cap (boilerplate guard)
+SPAN_DF_CAP = 50            # shared-hash doc-frequency cap floor (boilerplate guard)
+SPAN_CAP_DENOM = 10         # self-scaling cap: max(floor, n_docs // DENOM)
 SPAN_MERGE_GAP = WINNOW_K + WINNOW_W   # island merge distance, chars
 SPAN_MIN_FPS = 2            # fingerprints a span must contain to be emitted
 
@@ -807,7 +808,7 @@ def winnow_duplicate_spans(
     id_col: str = "doc_id",
     k: int = WINNOW_K,
     w: int = WINNOW_W,
-    df_cap: int = SPAN_DF_CAP,
+    df_cap: int | None = None,
     merge_gap: int = SPAN_MERGE_GAP,
     min_fps: int = SPAN_MIN_FPS,
 ) -> DataFrame:
@@ -832,7 +833,18 @@ def winnow_duplicate_spans(
     table, and the island window partitions by doc (bounded by doc
     length x density). Output is linear in flagged positions at any
     corpus size, unlike pair-based detectors whose output is quadratic
-    in clique size."""
+    in clique size.
+
+    ``df_cap=None`` (default) SELF-SCALES the boilerplate cap to
+    max(SPAN_DF_CAP, n_docs // SPAN_CAP_DENOM): a boilerplate guard is
+    a corpus FRACTION, not an absolute count. dd_substring_recall
+    measured the fixed cap of 50 collapsing char-level recall from
+    0.93 (500 docs) to 0.046 (5000 docs) — 86% of winnowed selections
+    carried hashes legitimately duplicated in >50 docs. The one
+    metadata-cheap count() is the same self-scaling contract input as
+    dd_semantic_dedup's plane stair."""
+    if df_cap is None:
+        df_cap = max(SPAN_DF_CAP, df.count() // SPAN_CAP_DENOM)
     pos = _unpacked_positions(df, text_col, id_col, k, w)
     dfreq = (
         pos.select(id_col, "h")
