@@ -41,6 +41,15 @@ def norm_sq(a: Column) -> Column:
     return dot_long(a, a)
 
 
+def l2_sq(a: Column, b: Column) -> Column:
+    """Exact int64 squared Euclidean distance of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def cosine_q(dot: Column, norm_a: Column, norm_b: Column) -> Column:
     """cosine from exact integer parts — identical doubles everywhere."""
     return dot.cast("double") / F.sqrt((norm_a * norm_b).cast("double"))
@@ -64,6 +73,18 @@ def duck_dot(a: str, b: str) -> str:
 
 def duck_cosine(dot: str, na: str, nb: str) -> str:
     return f"CAST({dot} AS DOUBLE) / sqrt(CAST({na} AS DOUBLE) * CAST({nb} AS DOUBLE))"
+
+
+def duck_l2_sq(a: str, b: str) -> str:
+    """SQL mirror of l2_sq: exact squared Euclidean distance between two
+    quantized integer vectors, shipped as BIGINT. list_dot_product runs
+    in doubles, but every term here is an exact integer well under 2^53
+    (components ≤ ~1e3·max|x|, ≤ 64 terms), so the round() is a no-op
+    cast, never a correction."""
+    return (
+        f"CAST(round({duck_dot(a, a)} - 2 * {duck_dot(a, b)} "
+        f"+ {duck_dot(b, b)}) AS BIGINT)"
+    )
 
 
 # ------------------------------------------- random-hyperplane LSH (cosine)

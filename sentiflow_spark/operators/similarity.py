@@ -645,3 +645,148 @@ def multiprobe_knn(
         .filter(F.col("rank") <= k)
         .select("src", "dst", "cosine", "rank")
     )
+
+
+# ----------------------------------------------- product quantization (PQ)
+
+PQ_M = 8  # subspaces (64-dim embedding -> 8 x 8-dim subvectors)
+PQ_SUB = 8  # dims per subspace
+PQ_K = 16  # codewords per subspace -> 4 bits/code, M bytes/vector << 256B fp32
+
+
+def pq_subvectors(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Explode each quantized vector into its PQ_M subvectors:
+    (id, sub_id, subv). Pure Generate + slice — map-side, no shuffle."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.slice(F.col("qvec"), m * PQ_SUB + 1, PQ_SUB),
+            )
+        ).alias("sub_id", "subv"),
+    )
+
+
+def pq_codebook(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Deterministic sampled codebook: codeword c of subspace m is the
+    m-th subvector of training vector ``vec_id == c`` (c < PQ_K).
+
+    A production index k-means-trains each subspace codebook
+    (``kmeans_lite`` above is that trainer); a corpus-sampled codebook
+    is the standard zero-training fallback and — unlike k-means — is
+    SQL-expressible, so the oracle can hash-check code assignment, LUT
+    construction and ADC scoring end to end. The index structure
+    (codes, LUT, asymmetric distance) is identical either way."""
+    return pq_subvectors(
+        df.filter(F.col(id_col) < PQ_K), id_col
+    ).select(
+        F.col(id_col).cast("int").alias("code_id"),
+        "sub_id",
+        F.col("subv").alias("cw"),
+    )
+
+
+def pq_encode(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """PQ codes: per (vector, subspace), the L2-nearest codeword id
+    (ties to the lowest code_id). One broadcast join against the
+    K×M-row codebook + a partial-aggregatable min_by argmin — map-side
+    combine leaves PQ_M rows per vector entering the shuffle, so the
+    encode pass scales linearly with the corpus at any cluster size."""
+    from sentiflow_spark.functions.vectors import l2_sq
+
+    subs = pq_subvectors(df, id_col)
+    cb = pq_codebook(df, id_col)
+    scored = subs.join(F.broadcast(cb), "sub_id").select(
+        id_col,
+        "sub_id",
+        "code_id",
+        l2_sq(F.col("subv"), F.col("cw")).alias("d2"),
+    )
+    return scored.groupBy(id_col, "sub_id").agg(
+        F.min(F.struct("d2", "code_id")).getField("code_id").alias("code_id")
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    n_probes: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k (Jégou, Douze & Schmid, TPAMI 2011):
+    probes stay exact, candidates are PQ codes; distance(probe, cand)
+    = Σ_m LUT[probe][m][code_m(cand)] with LUT[m][c] the exact L2² from
+    the probe's m-th subvector to codeword c.
+
+    Scale shape: the LUT (probes × M × K rows — bytes, not vectors) is
+    broadcast; the candidate side touches only the M small int codes
+    per vector (M bytes vs 256 B fp32 — a 32× scan-I/O reduction,
+    which is the entire point of PQ at 100 TB); the Σ_m is a partial
+    agg (M rows per pair combine map-side before the shuffle); the
+    per-probe top-k is a window over k·n candidates max."""
+    from sentiflow_spark.functions.vectors import l2_sq
+
+    cb = pq_codebook(corpus, id_col)
+    probe_subs = pq_subvectors(
+        corpus.filter(F.col(id_col) < n_probes), id_col
+    ).select(F.col(id_col).alias("probe_id"), "sub_id", "subv")
+    lut = probe_subs.join(F.broadcast(cb), "sub_id").select(
+        "probe_id",
+        "sub_id",
+        "code_id",
+        l2_sq(F.col("subv"), F.col("cw")).alias("d2"),
+    )
+    codes = pq_encode(corpus, id_col).select(
+        F.col(id_col).alias("cand_id"), "sub_id", "code_id"
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub_id", "code_id"])
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .groupBy("probe_id", "cand_id")
+        .agg(F.sum("d2").cast("long").alias("adc_d2"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.asc("adc_d2"), F.asc("cand_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "cand_id", "adc_d2", "rank")
+    )
+
+
+def brute_force_topk_l2(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact squared-Euclidean top-k per probe — the ground truth the
+    PQ recall gate compares against (PQ approximates L2, so the exact
+    baseline must rank by the same metric, unlike the cosine ranking
+    brute_force_topk produces)."""
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col("qvec").alias("p_qvec"),
+        F.col("qnorm").alias("p_qnorm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col("qvec").alias("c_qvec"),
+        F.col("qnorm").alias("c_qnorm"),
+    )
+    d2 = (
+        F.col("p_qnorm")
+        - 2 * dot_long(F.col("p_qvec"), F.col("c_qvec"))
+        + F.col("c_qnorm")
+    ).cast("long")
+    scored = (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .select("probe_id", "cand_id", d2.alias("d2"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.asc("d2"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "cand_id", "d2", "rank")
+    )

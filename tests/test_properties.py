@@ -820,3 +820,87 @@ def test_nfc_normalize_non_ascii_fixtures(spark):
         import shutil
 
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ------------------------------------------------ product quantization (PQ)
+
+
+def test_pq_codebook_vectors_encode_to_themselves(spark, sf_dir):
+    """A training vector's subvector is at distance 0 from its own
+    codeword, so every vec_id < PQ_K must encode to code_id == vec_id
+    in every subspace (d2=0 is a strict argmin for distinct codewords)."""
+    from sentiflow_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        pq_encode,
+        with_quantized,
+    )
+    from sentiflow_spark.tables import load
+
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    codes = (
+        pq_encode(emb)
+        .filter(F.col("vec_id") < PQ_K)
+        .collect()
+    )
+    assert len(codes) == PQ_K * PQ_M
+    for r in codes:
+        assert r["code_id"] == r["vec_id"], (
+            f"vec {r['vec_id']} sub {r['sub_id']} -> code {r['code_id']}"
+        )
+
+
+def test_pq_adc_matches_python_reference(spark, sf_dir):
+    """ADC distances and the top-k ranking match a direct NumPy
+    re-implementation of Jégou et al.'s asymmetric distance on the
+    same quantized vectors."""
+    import numpy as np
+
+    from sentiflow_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        pq_adc_topk,
+        with_quantized,
+    )
+    from sentiflow_spark.tables import load
+
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    rows = emb.select("vec_id", "qvec").collect()
+    q = {r["vec_id"]: np.array(r["qvec"], dtype=np.int64) for r in rows}
+
+    def sub(v, m):
+        return v[m * PQ_SUB:(m + 1) * PQ_SUB]
+
+    # codebook: subvectors of vec_id < PQ_K; codes: argmin codeword
+    def encode(v):
+        out = []
+        for m in range(PQ_M):
+            d2 = [int(((sub(v, m) - sub(q[c], m)) ** 2).sum()) for c in range(PQ_K)]
+            out.append(min(range(PQ_K), key=lambda c: (d2[c], c)))
+        return out
+
+    n_probes, k = 3, 4
+    expected = {}
+    codes = {vid: encode(v) for vid, v in q.items()}
+    for p in range(n_probes):
+        dists = []
+        for vid, v in q.items():
+            if vid == p:
+                continue
+            adc = sum(
+                int(((sub(q[p], m) - sub(q[codes[vid][m]], m)) ** 2).sum())
+                for m in range(PQ_M)
+            )
+            dists.append((adc, vid))
+        dists.sort()
+        expected[p] = [(vid, adc, r + 1) for r, (adc, vid) in enumerate(dists[:k])]
+
+    got = pq_adc_topk(emb, n_probes=n_probes, k=k).collect()
+    got_by_probe = {}
+    for r in got:
+        got_by_probe.setdefault(r["probe_id"], []).append(
+            (r["cand_id"], r["adc_d2"], r["rank"])
+        )
+    for p in range(n_probes):
+        assert sorted(got_by_probe[p], key=lambda t: t[2]) == expected[p]
