@@ -1020,3 +1020,146 @@ def txt_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_bpe_tokens"),
     )
+
+
+# --------------------------------- CCNet-style perplexity bucketing
+
+PPL_REF_SOURCES = ("src0", "src1", "src2", "src3")
+_PPL_REF_SQL = ", ".join(f"'{s}'" for s in PPL_REF_SOURCES)
+
+
+@register(
+    "txt_perplexity_bucket",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             regexp_extract_all(lower(text), '[a-zA-Z]+') AS t
+      FROM documents
+    ),
+    bigr AS (
+      SELECT doc_id, source,
+             unnest(list_transform(
+               generate_series(1, greatest(len(t) - 1, 0)),
+               i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS bg
+      FROM toks
+    ),
+    db AS (SELECT doc_id, source, bg.w1 AS w1, bg.w2 AS w2 FROM bigr),
+    c2 AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM db
+      WHERE source IN ({_PPL_REF_SQL}) GROUP BY 1, 2
+    ),
+    c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+    vocab AS (
+      SELECT COUNT(DISTINCT tok) + 1 AS v FROM (
+        SELECT unnest(t) AS tok FROM toks WHERE source IN ({_PPL_REF_SQL}))
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             CAST(round(ln((COALESCE(c2.c2, 0) + 1.0)
+                           / (COALESCE(c1.c1, 0) + (SELECT v FROM vocab))), 6)
+                  AS DECIMAL(18,6)) AS logp
+      FROM db d
+      LEFT JOIN c2 ON c2.w1 = d.w1 AND c2.w2 = d.w2
+      LEFT JOIN c1 ON c1.w1 = d.w1
+    ),
+    h AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(round(-CAST(SUM(logp) AS DOUBLE) / COUNT(*) * 1000)
+                  AS BIGINT) AS h_milli
+      FROM scored GROUP BY doc_id
+    ),
+    thr AS (
+      SELECT quantile_cont(h_milli, 1.0/3.0) AS t1,
+             quantile_cont(h_milli, 2.0/3.0) AS t2
+      FROM h
+    )
+    SELECT doc_id, n_bigrams, h_milli,
+           CASE WHEN h_milli <= (SELECT t1 FROM thr) THEN 'head'
+                WHEN h_milli <= (SELECT t2 FROM thr) THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM h
+    """,
+    tags=("text", "M5", "curation", "quality", "lm"),
+    doc="CCNet-style perplexity bucketing (Wenzek et al., LREC 2020 "
+    "'CCNet: Extracting High Quality Monolingual Datasets from Web "
+    "Crawl Data'): a Laplace-smoothed bigram LM is trained on the "
+    f"reference subset (source in {PPL_REF_SOURCES} — the Wikipedia "
+    "stand-in), every document is scored by cross-entropy under it "
+    "(p(w2|w1) = (c+1)/(ctx+V), unseen contexts fall back to 1/V), "
+    "and the corpus splits into head/middle/tail at the tercile "
+    "boundaries — the bucket decides keep/drop in CCNet's pipeline. "
+    "Plan: the bigram LM is two partial-agg shuffles over the "
+    "REFERENCE slice only (vocab-bounded output); scoring joins each "
+    "corpus bigram to the model (AQE broadcasts while it fits); "
+    "tercile thresholds come from ONE exact-percentile aggregate over "
+    "doc-level rows and broadcast back — no global sort/ntile "
+    "single-partition window (at 100 TB swap in approx_percentile; "
+    "the threshold-join shape is unchanged). Determinism: per-bigram "
+    "log-probs quantized at 1e-6 and DECIMAL-summed (the "
+    "txt_unigram_logprob discipline), cross-entropy shipped as "
+    "integer milli-nats, and percentile interpolation over integers "
+    "is bit-identical in both engines (rel_percentile precedent).",
+)
+def txt_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.functions.text import word_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", word_tokens(F.col("text")).alias("t")
+    )
+    tail_len = F.greatest(F.size("t") - 1, F.lit(0))
+    db = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, tail_len),
+                F.slice(F.col("t"), 2, tail_len),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    ref = db.filter(F.col("source").isin(*PPL_REF_SOURCES))
+    c2 = ref.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    vocab = (
+        toks.filter(F.col("source").isin(*PPL_REF_SOURCES))
+        .select(F.explode("t").alias("tok"))
+        .agg((F.countDistinct("tok") + 1).alias("v"))
+    )
+    scored = (
+        db.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("logp"),
+        )
+    )
+    h = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(-F.sum("logp").cast("double") / F.count(F.lit(1)) * 1000, 0)
+        .cast("long")
+        .alias("h_milli"),
+    )
+    thr = h.agg(
+        F.expr("percentile(h_milli, 1.0D/3.0D)").alias("t1"),
+        F.expr("percentile(h_milli, 2.0D/3.0D)").alias("t2"),
+    )
+    return h.join(F.broadcast(thr)).select(
+        "doc_id",
+        "n_bigrams",
+        "h_milli",
+        F.when(F.col("h_milli") <= F.col("t1"), F.lit("head"))
+        .when(F.col("h_milli") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )

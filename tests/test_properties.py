@@ -904,3 +904,23 @@ def test_pq_adc_matches_python_reference(spark, sf_dir):
         )
     for p in range(n_probes):
         assert sorted(got_by_probe[p], key=lambda t: t[2]) == expected[p]
+
+
+def test_perplexity_buckets_partition_and_order(spark, sf_dir):
+    """txt_perplexity_bucket invariants: buckets partition the corpus
+    into near-terciles, and the bucket order respects cross-entropy
+    (every head doc scores <= every middle doc <= every tail doc)."""
+    from sentiflow_spark.queries.curation_queries import txt_perplexity_bucket
+
+    rows = txt_perplexity_bucket(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["ppl_bucket"], []).append(r["h_milli"])
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    # tercile-ish sizes (exact thirds modulo ties at the boundaries)
+    for vals in by_bucket.values():
+        assert len(vals) >= n // 6
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
