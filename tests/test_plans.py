@@ -372,3 +372,20 @@ def test_threshold_curve_runs_on_doc_sample(spark, sf_dir):
     df = q(spark, sf_dir, "dd_threshold_curve")
     plan = I.simple_plan(df)
     assert "md5" in plan and "substring" in plan
+
+
+def test_smb_bucketed_join_zero_shuffle(spark, sf_dir):
+    """rel_smb_bucketed_join's entire point: with both sides bucketed
+    on the join key, the sort-merge join AND the per-order aggregate
+    need no shuffle exchange (broadcast disabled so the SMJ path is
+    what gets planned, as it would be at fact-fact scale)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q(spark, sf_dir, "rel_smb_bucketed_join")
+        plan = I.formatted_plan(df)
+        assert I.count_exchanges(df) == 0, plan
+        assert "SortMergeJoin" in plan, plan
+        assert not I.has_cartesian(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
