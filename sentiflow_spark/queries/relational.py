@@ -1360,3 +1360,46 @@ def rel_smb_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             revenue().alias("revenue"),
         )
     )
+
+
+# ------------------------------------- metadata-only (pushed) aggregation
+
+
+@register(
+    "rel_agg_pushdown",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_total,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_total,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    """,
+    tags=("relational", "aggregate", "pushdown", "layout"),
+    doc="Metadata-only aggregation: COUNT/MIN/MAX answered straight "
+    "from parquet footer statistics — the scan reads ZERO data pages "
+    "(plan-tested: the V2 BatchScan shows PushedAggregation and its "
+    "ReadSchema is the aggregate result row, not table columns). At "
+    "100 TB this is the difference between a subsecond catalog lookup "
+    "and a full-corpus scan for every row-count/freshness check a "
+    "pipeline runs before processing. The V2 parquet source is "
+    "engaged only for this relation (conf scoped to the read and "
+    "restored), so every other query keeps its planned V1 shape; "
+    "footer min/max equal true min/max because parquet writes exact "
+    "column statistics per row group.",
+)
+def rel_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prev = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev)
+    return o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("o_totalprice").cast("double").alias("min_total"),
+        F.max("o_totalprice").cast("double").alias("max_total"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )

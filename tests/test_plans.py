@@ -389,3 +389,13 @@ def test_smb_bucketed_join_zero_shuffle(spark, sf_dir):
         assert not I.has_cartesian(df)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_agg_pushdown_reads_no_table_columns(spark, sf_dir):
+    """rel_agg_pushdown must be answered from parquet footer stats:
+    the V2 BatchScan advertises PushedAggregation and its ReadSchema
+    is the aggregate result row — no table column is ever read."""
+    df = q(spark, sf_dir, "rel_agg_pushdown")
+    plan = I.formatted_plan(df)
+    assert "PushedAggregation: [COUNT(*)" in plan, plan
+    assert "BatchScan" in plan, plan
