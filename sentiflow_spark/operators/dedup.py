@@ -1038,3 +1038,73 @@ def cut_spans(
         .select(id_col, stats.alias("_s"), F.length(t).alias("orig_len"))
         .select(id_col, "_s.clean_text", "_s.clean_len", "orig_len")
     )
+
+
+def minhash_sig_array_stateless(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = NUM_PERM,
+) -> DataFrame:
+    """Per-row MinHash signature as ONE pure column expression —
+    identical values to minhash_signatures (groupBy-min over exploded
+    shingles == running-min over the shingle-hash array) but with no
+    explode/aggregation, so it runs unchanged under Structured
+    Streaming as a stateless map over Kafka partitions: the online
+    half of streaming near-dup detection (st_neardup_alert).
+
+    The k permutation mins are folded in ONE aggregate() pass over the
+    hash array (accumulator = k-wide running-min array), so the md5
+    chain is evaluated once per shingle even if Catalyst collapses the
+    projections. Docs with no shingles are dropped (same convention as
+    the batch side). Output: ``(…df columns…, sig_arr array<long>)``."""
+    coeffs = minhash_coeffs(num_perm)
+    tokd = df.withColumn("_toks", word_tokens(F.col(text_col)))
+    hashes = F.transform(
+        shingles_from_tokens(F.col("_toks")), lambda s: md5_i32(s)
+    )
+    sig_arr = F.aggregate(
+        hashes,
+        F.array(*[F.lit(MERSENNE_31).cast("long") for _ in range(num_perm)]),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_31)
+                    for a, b in coeffs
+                ]
+            ),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+    return (
+        tokd.filter(F.size(F.col("_toks")) >= 3)
+        .withColumn("sig_arr", sig_arr)
+        .drop("_toks")
+    )
+
+
+def band_structs_from_sig_array(
+    num_perm: int = NUM_PERM, band_size: int = BAND_SIZE
+):
+    """(band_idx, band_key) struct array from a sig_arr column — the
+    stateless mirror of the band construction in lsh_candidate_pairs
+    (same md5(concat_ws(',', sig_b*4 .. sig_b*4+3)) key)."""
+    n_bands = num_perm // band_size
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(F.col("sig_arr"), b * band_size + r + 1)
+                            for r in range(band_size)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )

@@ -528,3 +528,100 @@ def st_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         final.withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= TREND_K)
     )
+
+
+# ------------------------------------- streaming near-duplicate alerting
+
+from sentiflow_spark.operators.dedup import (  # noqa: E402
+    NUM_PERM,
+    band_structs_from_sig_array,
+    minhash_sig_array_stateless,
+    minhash_signatures,
+)
+from sentiflow_spark.queries.dedup_queries import (  # noqa: E402
+    _duck_bands_cte,
+    _duck_match_frac,
+    _duck_sigs_cte,
+)
+from sentiflow_spark.tables import load  # noqa: E402
+
+
+@register(
+    "st_neardup_alert",
+    oracle=f"""
+    WITH {_duck_sigs_cte()}{_duck_bands_cte()}
+    SELECT a.doc_id AS in_doc, b.doc_id AS idx_doc, a.band_idx,
+           {_duck_match_frac()} AS est_jaccard
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+    WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    """,
+    tags=("streaming", "dedup", "lsh", "M5"),
+    doc="Streaming near-duplicate ALERTING — online dedup / "
+    "decontamination as documents arrive: the incoming stream (docs "
+    "with doc_id%10=0, the ingest analog) is MinHash-signed with the "
+    "stateless per-row signature (minhash_sig_array_stateless — one "
+    "aggregate() fold, no explode/groupBy, so it is a pure map over "
+    "Kafka partitions), band keys are generated in-stream, and each "
+    "banded row probes a STATIC corpus band index (the offline-built "
+    "LSH index of the already-ingested 90%) via two stream-static "
+    "equi-joins (bands, then signatures for the exact match "
+    "fraction). Zero streaming state: no watermark, no state store — "
+    "the index is the state, exactly how an online ingest gate "
+    "deploys LSH at 100 TB (the index side is bucketed storage; the "
+    "probe side never shuffles the stream). Streaming execution "
+    "hash-matches the all-batch SQL oracle; one row per colliding "
+    "band per (incoming, indexed) pair, deterministic multiset.",
+)
+def st_neardup_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # static index: batch-built signatures + band keys for the 90%
+    static_docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 != 0
+    )
+    idx_sigs = minhash_signatures(static_docs).localCheckpoint()
+    idx_bands = idx_sigs.select(
+        F.col("doc_id").alias("idx_doc"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                ",", *[F.col(f"sig_{b * 4 + r}") for r in range(4)]
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(NUM_PERM // 4)
+                ]
+            )
+        ).alias("band"),
+    ).select("idx_doc", "band.*")
+    idx_sig_cols = idx_sigs.select(
+        F.col("doc_id").alias("idx_doc"),
+        *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(NUM_PERM)],
+    )
+
+    # stream side: stateless per-row signature + in-stream banding
+    stream_docs = load_stream(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    signed = minhash_sig_array_stateless(stream_docs)
+    probes = signed.select(
+        F.col("doc_id").alias("in_doc"),
+        "sig_arr",
+        F.explode(band_structs_from_sig_array()).alias("band"),
+    ).select("in_doc", "sig_arr", "band.*")
+
+    match_frac = sum(
+        (F.element_at(F.col("sig_arr"), i + 1) == F.col(f"b_{i}")).cast("int")
+        for i in range(NUM_PERM)
+    ) / F.lit(float(NUM_PERM))
+    alerts = (
+        probes.join(idx_bands, ["band_idx", "band_key"])
+        .join(idx_sig_cols, "idx_doc")
+        .select(
+            "in_doc", "idx_doc", "band_idx", match_frac.alias("est_jaccard")
+        )
+    )
+    return run_to_table(alerts)

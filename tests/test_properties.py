@@ -924,3 +924,28 @@ def test_perplexity_buckets_partition_and_order(spark, sf_dir):
         assert len(vals) >= n // 6
     assert max(by_bucket["head"]) <= min(by_bucket["middle"])
     assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+
+
+def test_stateless_minhash_matches_batch_signatures(spark, sf_dir):
+    """minhash_sig_array_stateless (the streaming-safe per-row fold)
+    must produce bit-identical signatures to the batch
+    explode+groupBy minhash_signatures for every document."""
+    from sentiflow_spark.operators.dedup import (
+        NUM_PERM,
+        minhash_sig_array_stateless,
+        minhash_signatures,
+    )
+    from sentiflow_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").limit(200)
+    batch = {
+        r["doc_id"]: [r[f"sig_{i}"] for i in range(NUM_PERM)]
+        for r in minhash_signatures(docs).collect()
+    }
+    stateless = {
+        r["doc_id"]: list(r["sig_arr"])
+        for r in minhash_sig_array_stateless(docs)
+        .select("doc_id", "sig_arr")
+        .collect()
+    }
+    assert stateless == batch
