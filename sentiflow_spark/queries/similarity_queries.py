@@ -526,3 +526,74 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+HARD_NEG_K = 3
+
+
+@register(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH {_DUCK_Q_CTE},
+    scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS neg_id, c.label AS neg_label,
+             {_DUCK_SCORE} AS cosine
+      FROM qn p JOIN qn c ON c.label <> p.label
+      WHERE p.vec_id < {N_PROBES}
+    )
+    SELECT probe_id, neg_id, neg_label, cosine, rank FROM (
+      SELECT probe_id, neg_id, neg_label, cosine,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, neg_id) AS rank
+      FROM scored
+    ) WHERE rank <= {HARD_NEG_K}
+    """,
+    tags=("similarity", "M5", "ann", "training"),
+    doc=f"Hard-negative mining (the contrastive-training staple — e.g. "
+    "DPR, Karpukhin et al., EMNLP 2020): for each anchor, the top-"
+    f"{HARD_NEG_K} most-similar vectors belonging to a DIFFERENT "
+    "class (label ≠ anchor's) — maximally confusable negatives, the "
+    "examples that actually move an embedding model. Same broadcast-"
+    "probe scan shape as sim_brute_topk with the class-inequality "
+    "pushed into the join condition (at corpus scale the mining pass "
+    "swaps in the bucketed/multiprobe candidate generation — "
+    "sim_ivf_topk / sim_multiprobe_knn — unchanged downstream). "
+    "Deterministic total order (cosine DESC, neg_id).",
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from sentiflow_spark.functions.vectors import cosine_q, dot_long
+
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    p = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("p_label"),
+        F.col("qvec").alias("p_qvec"),
+        F.col("qnorm").alias("p_qnorm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("qvec").alias("c_qvec"),
+        F.col("qnorm").alias("c_qnorm"),
+    )
+    scored = (
+        c.join(F.broadcast(p), F.col("neg_label") != F.col("p_label"))
+        .select(
+            "probe_id",
+            "neg_id",
+            "neg_label",
+            cosine_q(
+                dot_long(F.col("p_qvec"), F.col("c_qvec")),
+                F.col("p_qnorm"),
+                F.col("c_qnorm"),
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARD_NEG_K)
+        .select("probe_id", "neg_id", "neg_label", "cosine", "rank")
+    )
