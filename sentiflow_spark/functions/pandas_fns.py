@@ -63,6 +63,19 @@ def median_cents(cents: pd.Series) -> float:  # type: ignore[misc]
     return float(np.median(cents.to_numpy()))
 
 
+@pandas_udf(DoubleType())
+def rerank_logit(n_chars: pd.Series, bm25_rank: pd.Series) -> pd.Series:
+    """Deterministic cross-encoder stand-in for ret_rerank_stub (the
+    U1-U3 / mm_feature_extract stub convention): a fixed arithmetic
+    pseudo-logit over (n_chars, bm25_rank) the SQL oracle mirrors
+    exactly. A real deployment swaps tokenizer+model inference into
+    this same Arrow batch; everything around it is production-shaped."""
+    return (
+        (n_chars.astype("int64") * 131 + bm25_rank.astype("int64") * 17) % 2001
+        - 1000
+    ) / 1000.0
+
+
 @udtf(
     returnType=StructType(
         [StructField("pos", IntegerType()), StructField("word", StringType())]

@@ -241,3 +241,69 @@ def ret_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(BM25_TOP_K)
     )
+
+
+# ------------------------------------------- cross-encoder rerank (stubbed)
+
+RERANK_K = 10
+
+
+@register(
+    "ret_rerank_stub",
+    oracle=f"""
+    WITH {_DUCK_TOKS},{_DUCK_BM25_CTES},
+    cand AS (
+      SELECT doc_id, n_terms, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS bm25_rank
+      FROM ({_DUCK_BM25_TOPK})
+    ),
+    rer AS (
+      SELECT c.doc_id, c.score AS bm25_score, c.bm25_rank,
+             ((d.n_chars * 131 + c.bm25_rank * 17) % 2001 - 1000) / 1000.0
+               AS rerank_logit
+      FROM cand c JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, bm25_score, bm25_rank, rerank_logit, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY rerank_logit DESC, doc_id) AS rank
+      FROM rer
+    ) WHERE rank <= {RERANK_K}
+    """,
+    tags=("retrieval", "M5", "rerank", "arrow-udf"),
+    doc=f"Two-stage retrieve-then-rerank: BM25 narrows the corpus to "
+    f"{BM25_TOP_K} candidates, a cross-encoder scores ONLY those "
+    f"{BM25_TOP_K} rows through an Arrow-batched scalar pandas_udf, "
+    f"and the final top-{RERANK_K} ranks by the model logit — the "
+    "standard two-tower production shape where the expensive model "
+    "never sees more than k rows per query no matter the corpus size "
+    "(the 100 TB knob is BM25's k, not the model). The model is the "
+    "repo's deterministic stub convention (U1-U3, mm_feature_extract): "
+    "a fixed arithmetic pseudo-logit over (n_chars, bm25_rank) that "
+    "the oracle mirrors exactly, so the Arrow plumbing, candidate "
+    "pruning and rerank ordering are all hash-checked while the real "
+    "transformer stays injectable. Plan: candidates come from the "
+    "single-scan BM25 aggregate; the pandas_udf runs over "
+    f"{BM25_TOP_K} rows (ArrowEvalPython, guarded by "
+    "test_plans.py's arrow-udf sweep).",
+)
+def ret_rerank_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from sentiflow_spark.functions.pandas_fns import rerank_logit
+
+    docs = load(spark, sf_dir, "documents")
+    cand = ret_bm25_topk(spark, sf_dir).withColumn(
+        "bm25_rank",
+        F.row_number().over(W.orderBy(F.col("score").desc(), "doc_id")),
+    )
+    rer = cand.join(docs.select("doc_id", "n_chars"), "doc_id").select(
+        "doc_id",
+        F.col("score").alias("bm25_score"),
+        "bm25_rank",
+        rerank_logit(F.col("n_chars"), F.col("bm25_rank")).alias("rerank_logit"),
+    )
+    w = W.orderBy(F.col("rerank_logit").desc(), "doc_id")
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RERANK_K)
+        .select("doc_id", "bm25_score", "bm25_rank", "rerank_logit", "rank")
+    )
