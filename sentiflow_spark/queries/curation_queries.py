@@ -1079,7 +1079,7 @@ _PPL_REF_SQL = ", ".join(f"'{s}'" for s in PPL_REF_SOURCES)
                 ELSE 'tail' END AS ppl_bucket
     FROM h
     """,
-    tags=("text", "M5", "curation", "quality", "lm"),
+    tags=("text", "M5", "curation", "quality", "lm", "bench"),
     doc="CCNet-style perplexity bucketing (Wenzek et al., LREC 2020 "
     "'CCNet: Extracting High Quality Monolingual Datasets from Web "
     "Crawl Data'): a Laplace-smoothed bigram LM is trained on the "

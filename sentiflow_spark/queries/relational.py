@@ -1331,7 +1331,7 @@ def _smb_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     WHERE o.o_totalprice > {SMB_TOTALPRICE_MIN}
     GROUP BY 1, 2
     """,
-    tags=("relational", "join", "bucketing", "layout"),
+    tags=("relational", "join", "bucketing", "layout", "bench"),
     doc=f"Bucketed sort-merge join (SMB): orders and lineitem are first "
     f"written as bucketed tables ({SMB_BUCKETS} buckets, bucketBy + "
     "sortBy the join key), then joined and aggregated — with both "

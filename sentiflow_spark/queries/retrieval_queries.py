@@ -268,7 +268,7 @@ RERANK_K = 10
       FROM rer
     ) WHERE rank <= {RERANK_K}
     """,
-    tags=("retrieval", "M5", "rerank", "arrow-udf"),
+    tags=("retrieval", "M5", "rerank", "arrow-udf", "bench"),
     doc=f"Two-stage retrieve-then-rerank: BM25 narrows the corpus to "
     f"{BM25_TOP_K} candidates, a cross-encoder scores ONLY those "
     f"{BM25_TOP_K} rows through an Arrow-batched scalar pandas_udf, "

@@ -445,7 +445,7 @@ pq_topk AS (
     {_DUCK_PQ_CTES}
     SELECT probe_id, cand_id, adc_d2, rank FROM pq_topk
     """,
-    tags=("similarity", "M5", "ann"),
+    tags=("similarity", "M5", "ann", "bench"),
     doc=f"Product-quantization ANN search (Jégou, Douze & Schmid, "
     f"TPAMI 2011): the 64-dim embedding splits into {PQ_M} 8-dim "
     f"subspaces, each vector compresses to {PQ_M} 4-bit codeword ids "
