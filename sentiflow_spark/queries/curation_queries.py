@@ -1163,3 +1163,144 @@ def txt_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("ppl_bucket"),
     )
+
+
+# ------------------------------ ingest drift monitoring (PSI)
+
+PSI_LEN_BAND = 100   # chars per length bucket
+PSI_LEN_MAX_B = 9    # buckets 0..9 (>=900 chars pools into the top band)
+
+
+@register(
+    "txt_drift_psi",
+    oracle=f"""
+    WITH feat AS (
+      SELECT source, metric, bucket FROM (
+        SELECT source, 'length' AS metric,
+               CAST(least(n_chars // {PSI_LEN_BAND}, {PSI_LEN_MAX_B})
+                    AS VARCHAR) AS bucket
+        FROM documents
+        UNION ALL
+        SELECT source, 'lang' AS metric, lang AS bucket FROM documents
+      )
+    ),
+    domain AS (SELECT DISTINCT metric, bucket FROM feat),
+    bsz AS (SELECT metric, COUNT(*) AS b FROM domain GROUP BY 1),
+    refc AS (
+      SELECT metric, bucket, COUNT(*) AS c
+      FROM feat WHERE source IN ({_PPL_REF_SQL}) GROUP BY 1, 2
+    ),
+    refn AS (
+      SELECT metric, CAST(SUM(c) AS BIGINT) AS n FROM refc GROUP BY 1
+    ),
+    srcc AS (
+      SELECT source, metric, bucket, COUNT(*) AS c
+      FROM feat WHERE source NOT IN ({_PPL_REF_SQL}) GROUP BY 1, 2, 3
+    ),
+    srcn AS (
+      SELECT source, metric, CAST(SUM(c) AS BIGINT) AS n
+      FROM srcc GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT s.source, d.metric, d.bucket,
+             COALESCE(r.c, 0) AS cr, COALESCE(c.c, 0) AS cs,
+             rn.n AS nr, s.n AS ns, z.b AS b
+      FROM srcn s
+      JOIN domain d ON d.metric = s.metric
+      JOIN bsz z ON z.metric = d.metric
+      JOIN refn rn ON rn.metric = d.metric
+      LEFT JOIN refc r ON r.metric = d.metric AND r.bucket = d.bucket
+      LEFT JOIN srcc c ON c.source = s.source AND c.metric = d.metric
+                      AND c.bucket = d.bucket
+    ),
+    terms AS (
+      SELECT source, metric, ns,
+             CAST(round(((cr + 1.0) / (nr + b) - (cs + 1.0) / (ns + b))
+                        * ln(((cr + 1.0) * (ns + b))
+                             / ((cs + 1.0) * (nr + b))), 6)
+                  AS DECIMAL(18,6)) AS term
+      FROM grid
+    )
+    SELECT source, metric,
+           CAST(CAST(SUM(term) AS DECIMAL(18,6)) AS DOUBLE) AS psi,
+           CAST(MAX(ns) AS BIGINT) AS n_docs
+    FROM terms GROUP BY 1, 2
+    """,
+    tags=("text", "M5", "curation", "monitoring"),
+    doc=f"Ingest drift monitoring via the Population Stability Index "
+    f"(the standard model-monitoring drift statistic): every non-"
+    f"reference source's length distribution ({PSI_LEN_BAND}-char "
+    f"bands, top band pooled) and language distribution are compared "
+    f"against the curated reference slice (source in "
+    f"{PPL_REF_SOURCES}), PSI = sum((p-q)*ln(p/q)) with add-one "
+    "smoothing over the observed bucket domain. The rule-of-thumb "
+    "gates (<0.1 stable, 0.1-0.25 drifting, >0.25 shifted) tell an "
+    "ingest pipeline a crawl snapshot changed under it BEFORE the "
+    "corpus is spent on training. Each per-bucket term is rounded to "
+    "DECIMAL(18,6) BEFORE the sum, so the final PSI is an exact "
+    "decimal addition — order-independent, hence bit-identical under "
+    "any shuffle/partitioning and hash-checkable cross-engine (the "
+    "same trick as txt_unigram_logprob). Plan: one scan melted to "
+    "(source, metric, bucket) partial-agg counts; everything after "
+    "is metadata-sized (sources x buckets rows) at any corpus scale.",
+)
+def txt_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    len_b = F.least(
+        F.floor(F.col("n_chars") / PSI_LEN_BAND), F.lit(PSI_LEN_MAX_B)
+    ).cast("string")
+    feat = (
+        docs.select("source", F.lit("length").alias("metric"), len_b.alias("bucket"))
+        .unionByName(
+            docs.select(
+                "source", F.lit("lang").alias("metric"), F.col("lang").alias("bucket")
+            )
+        )
+    )
+    is_ref = F.col("source").isin(*PPL_REF_SOURCES)
+    domain = feat.select("metric", "bucket").distinct()
+    bsz = domain.groupBy("metric").agg(F.count(F.lit(1)).alias("b"))
+    refc = (
+        feat.filter(is_ref).groupBy("metric", "bucket").agg(F.count(F.lit(1)).alias("cr"))
+    )
+    refn = refc.groupBy("metric").agg(F.sum("cr").cast("long").alias("nr"))
+    srcc = (
+        feat.filter(~is_ref)
+        .groupBy("source", "metric", "bucket")
+        .agg(F.count(F.lit(1)).alias("cs"))
+    )
+    srcn = srcc.groupBy("source", "metric").agg(F.sum("cs").cast("long").alias("ns"))
+    # every side of this join tree is a partial-agg output of at most
+    # sources x buckets rows — broadcast joins end to end
+    grid = (
+        srcn.join(F.broadcast(domain), "metric")
+        .join(F.broadcast(bsz), "metric")
+        .join(F.broadcast(refn), "metric")
+        .join(F.broadcast(refc), ["metric", "bucket"], "left")
+        .join(F.broadcast(srcc), ["source", "metric", "bucket"], "left")
+        .select(
+            "source",
+            "metric",
+            "ns",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("cs", F.lit(0)).alias("cs"),
+            "nr",
+            "b",
+        )
+    )
+    p = (F.col("cr") + 1.0) / (F.col("nr") + F.col("b"))
+    q = (F.col("cs") + 1.0) / (F.col("ns") + F.col("b"))
+    ratio = ((F.col("cr") + 1.0) * (F.col("ns") + F.col("b"))) / (
+        (F.col("cs") + 1.0) * (F.col("nr") + F.col("b"))
+    )
+    term = F.round((p - q) * F.log(ratio), 6).cast("decimal(18,6)")
+    return (
+        grid.select("source", "metric", "ns", term.alias("term"))
+        .groupBy("source", "metric")
+        .agg(
+            F.sum("term").cast("decimal(18,6)").cast("double").alias("psi"),
+            F.max("ns").cast("long").alias("n_docs"),
+        )
+    )

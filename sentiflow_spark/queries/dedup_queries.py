@@ -340,6 +340,76 @@ def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt_grouped_split",
+    oracle=f"""
+    WITH RECURSIVE {_duck_sigs_cte()}{_duck_bands_cte()},
+    near_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      {_DUCK_BAND_PAIRS}
+      WHERE {_duck_match_frac()} >= 0.9
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM near_pairs
+      UNION
+      SELECT doc_b, doc_a FROM near_pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+    ),
+    comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    clustered AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN CAST(('0x' || substr(md5('gsplit42:' ||
+                     CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+                THEN 'train' ELSE 'val' END AS split
+    FROM clustered
+    """,
+    tags=("text", "dedup", "M5", "sampling", "e2e"),
+    doc="LEAKAGE-SAFE train/val split: the split key is the near-"
+    "duplicate CLUSTER id (connected components over the MinHash-LSH "
+    "pair graph, min reachable doc id), not the document id — every "
+    "member of a duplicate cluster lands on the same side of the "
+    "boundary by construction, so validation never scores near-copies "
+    "of training documents. A doc-level hash-mod split "
+    "(txt_train_val_split) leaks every duplicate cluster it straddles "
+    "— the standard contamination path a grouped split closes (cf. "
+    "the leakage analyses in Lee et al. ACL 2022). Same deterministic "
+    "salted-hash-mod convention, applied to cluster_id; singletons "
+    "(cluster = own doc_id) degrade to exactly the doc-level split.",
+)
+def txt_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.functions.hashing import md5_i32
+    from sentiflow_spark.operators.dedup import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs)).filter(
+        F.col("est_jaccard") >= 0.9
+    )
+    cc = connected_components(pairs)
+    clustered = (
+        docs.select("doc_id")
+        .join(cc, docs.doc_id == cc.node, "left")
+        .select("doc_id", F.coalesce("lbl", "doc_id").alias("cluster_id"))
+    )
+    bucket = (
+        md5_i32(F.concat(F.lit("gsplit42:"), F.col("cluster_id").cast("string")))
+        % 100
+    )
+    return clustered.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 90, "train").otherwise("val").alias("split"),
+    )
+
+
+@register(
     "dd_multi_signal_pairs",
     oracle=f"""
     WITH {_duck_sigs_cte()}{_duck_bands_cte()},
