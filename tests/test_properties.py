@@ -949,3 +949,80 @@ def test_stateless_minhash_matches_batch_signatures(spark, sf_dir):
         .collect()
     }
     assert stateless == batch
+
+
+def test_grouped_split_never_separates_near_duplicates(spark, sf_dir):
+    """txt_grouped_split's contract: every MinHash-LSH near-duplicate
+    pair (est_jaccard >= 0.9 — the same graph the split is keyed on)
+    lands on the SAME side of the train/val boundary, the leakage the
+    doc-level hash-mod split cannot rule out. Also checks both splits
+    are non-trivially populated and every doc is assigned exactly
+    once."""
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from sentiflow_spark.queries.dedup_queries import txt_grouped_split
+    from sentiflow_spark.tables import load
+
+    split = txt_grouped_split(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    assert split.count() == docs.count()
+    sides = {r["split"] for r in split.select("split").distinct().collect()}
+    assert sides == {"train", "val"}
+
+    pairs = lsh_candidate_pairs(minhash_signatures(docs)).filter(
+        F.col("est_jaccard") >= 0.9
+    )
+    a = split.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    b = split.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    straddlers = (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert straddlers == 0
+
+
+def test_drift_psi_zero_for_identical_distribution(spark):
+    """PSI must be ~0 (exactly 0 under the term rounding) when a
+    source's distribution equals the reference's, and grow when a
+    planted shift is introduced — checked on a handmade corpus where
+    'same' duplicates the reference histogram and 'shifted' moves all
+    mass to one bucket."""
+    import sentiflow_spark.queries.curation_queries as cq
+
+    ref_rows = []
+    # reference slice: 4 sources x a fixed histogram over lengths/langs
+    for s in cq.PPL_REF_SOURCES:
+        for i in range(40):
+            ref_rows.append((s, 50 + (i % 10) * 100, ["en", "de", "es", "fr", "zh"][i % 5]))
+    same = [("srcX", 50 + (i % 10) * 100, ["en", "de", "es", "fr", "zh"][i % 5]) for i in range(160)]
+    shifted = [("srcY", 950, "zh") for _ in range(160)]
+    df = spark.createDataFrame(
+        [(i, s, n, l) for i, (s, n, l) in enumerate(ref_rows + same + shifted)],
+        ["doc_id", "source", "n_chars", "lang"],
+    )
+
+    import sentiflow_spark.tables as tables
+
+    orig = tables.load
+    try:
+        tables.load = lambda sp, d, t: df  # the query loads documents only
+        cq.load = tables.load
+        out = {(r["source"], r["metric"]): r["psi"] for r in cq.txt_drift_psi(spark, "ignored").collect()}
+    finally:
+        tables.load = orig
+        cq.load = orig
+    # identical histogram -> every per-bucket term rounds to 0
+    assert out[("srcX", "length")] == 0.0
+    assert out[("srcX", "lang")] == 0.0
+    # planted shift -> PSI far beyond the 0.25 'shifted' rule of thumb
+    assert out[("srcY", "length")] > 0.25
+    assert out[("srcY", "lang")] > 0.25
