@@ -97,6 +97,22 @@ def python_eval_count(df: DataFrame) -> int:
     spark.sql.execution.pythonUDF.arrow.enabled a banned @udf plans as
     ArrowEvalPython, which is still a per-row Python loop; the
     sanctioned Arrow-batch path (mapInPandas) plans as MapInPandas and
-    is not matched."""
+    is not matched. Queries with a deliberate vectorized @pandas_udf
+    stage (also an ArrowEvalPython node) carry the 'arrow-udf' tag and
+    are exempted from the zero check — use pickled_eval_count /
+    arrow_eval_count for the split."""
     plan = simple_plan(df)
     return plan.count("BatchEvalPython") + plan.count("ArrowEvalPython")
+
+
+def pickled_eval_count(df: DataFrame) -> int:
+    """BatchEvalPython nodes only — pickled row-at-a-time evaluation,
+    banned without exception."""
+    return simple_plan(df).count("BatchEvalPython")
+
+
+def arrow_eval_count(df: DataFrame) -> int:
+    """ArrowEvalPython nodes — the vectorized @pandas_udf surface.
+    Legitimate exactly where a query declares the 'arrow-udf' tag
+    (Spark genuinely can't express the stage); 0 everywhere else."""
+    return simple_plan(df).count("ArrowEvalPython")
