@@ -168,6 +168,60 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_star_edges(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = NUM_PERM,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Sparsified LSH candidate edges: per (band_idx, band_key) bucket
+    emit only (bucket_min_id, member) — occ-1 STAR edges instead of
+    C(occ, 2) pairs. Within one bucket a star has exactly the same
+    connectivity as the clique, so connected components over these
+    edges equal components over all candidate pairs, while the edge
+    count is linear in bucket occupancy instead of quadratic. This is
+    the corpus-scale clustering shape (what makes unverified-candidate
+    dedup tractable when duplicate groups run to hundreds of copies);
+    the trade is that no per-pair similarity can be attached — use
+    lsh_candidate_pairs when pairs must be verified before clustering.
+
+    Plan: one groupBy per bucket for the hub + one equi-join back —
+    both partial-agg/AQE-friendly, no self-join of the band table.
+    """
+    n_bands = num_perm // band_size
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"sig_{b * band_size + r}")
+                                    for r in range(band_size)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.*")
+    hubs = bands.groupBy("band_idx", "band_key").agg(
+        F.min(id_col).alias("hub"), F.count(F.lit(1)).alias("occ")
+    )
+    return (
+        bands.join(hubs.filter(F.col("occ") >= 2), ["band_idx", "band_key"])
+        .filter(F.col(id_col) != F.col("hub"))
+        .select(F.col("hub").alias("doc_a"), F.col(id_col).alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

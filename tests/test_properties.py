@@ -1026,3 +1026,37 @@ def test_drift_psi_zero_for_identical_distribution(spark):
     # planted shift -> PSI far beyond the 0.25 'shifted' rule of thumb
     assert out[("srcY", "length")] > 0.25
     assert out[("srcY", "lang")] > 0.25
+
+
+def test_star_edges_preserve_candidate_components(spark, sf_dir):
+    """lsh_star_edges' contract: connected components over the star
+    edges equal components over the FULL unverified candidate-pair
+    graph — the within-bucket star has the same connectivity as the
+    within-bucket clique, so sparsification (occ-1 edges vs C(occ,2))
+    changes nothing about cluster assignment."""
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        lsh_star_edges,
+        minhash_signatures,
+    )
+    from sentiflow_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    via_star = {
+        r["node"]: r["lbl"]
+        for r in connected_components(lsh_star_edges(sigs)).collect()
+    }
+    # all candidate pairs, NO est_jaccard gate — the same edge
+    # semantics the sparse form clusters
+    via_pairs = {
+        r["node"]: r["lbl"]
+        for r in connected_components(
+            lsh_candidate_pairs(sigs).select("doc_a", "doc_b")
+        ).collect()
+    }
+    assert via_star == via_pairs
+    assert len(via_star) > 0
