@@ -1248,28 +1248,45 @@ def txt_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sentiflow_spark.tables import load
 
     docs = load(spark, sf_dir, "documents")
+    counts = (
+        _psi_feat(docs)
+        .groupBy("source", "metric", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return _psi_from_counts(counts)
+
+
+def _psi_feat(docs: DataFrame) -> DataFrame:
+    """Melt documents to the monitored (source, metric, bucket) long
+    form — works identically on a batch frame and a streaming frame."""
     len_b = F.least(
         F.floor(F.col("n_chars") / PSI_LEN_BAND), F.lit(PSI_LEN_MAX_B)
     ).cast("string")
-    feat = (
-        docs.select("source", F.lit("length").alias("metric"), len_b.alias("bucket"))
-        .unionByName(
-            docs.select(
-                "source", F.lit("lang").alias("metric"), F.col("lang").alias("bucket")
-            )
+    return docs.select(
+        "source", F.lit("length").alias("metric"), len_b.alias("bucket")
+    ).unionByName(
+        docs.select(
+            "source", F.lit("lang").alias("metric"), F.col("lang").alias("bucket")
         )
     )
+
+
+def _psi_from_counts(counts: DataFrame) -> DataFrame:
+    """PSI over a (source, metric, bucket, c) count table — the tiny
+    metadata-sized tail shared by the batch and streaming forms."""
     is_ref = F.col("source").isin(*PPL_REF_SOURCES)
-    domain = feat.select("metric", "bucket").distinct()
+    domain = counts.select("metric", "bucket").distinct()
     bsz = domain.groupBy("metric").agg(F.count(F.lit(1)).alias("b"))
     refc = (
-        feat.filter(is_ref).groupBy("metric", "bucket").agg(F.count(F.lit(1)).alias("cr"))
+        counts.filter(is_ref)
+        .groupBy("metric", "bucket")
+        .agg(F.sum("c").cast("long").alias("cr"))
     )
     refn = refc.groupBy("metric").agg(F.sum("cr").cast("long").alias("nr"))
     srcc = (
-        feat.filter(~is_ref)
+        counts.filter(~is_ref)
         .groupBy("source", "metric", "bucket")
-        .agg(F.count(F.lit(1)).alias("cs"))
+        .agg(F.sum("c").cast("long").alias("cs"))
     )
     srcn = srcc.groupBy("source", "metric").agg(F.sum("cs").cast("long").alias("ns"))
     # every side of this join tree is a partial-agg output of at most

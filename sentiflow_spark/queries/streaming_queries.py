@@ -625,3 +625,40 @@ def st_neardup_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_table(alerts)
+
+
+# ---------------------------------------- streaming drift monitoring
+
+from sentiflow_spark.queries import curation_queries as _cur  # noqa: E402
+from sentiflow_spark.queries.registry import REGISTRY as _REG  # noqa: E402
+
+
+@register(
+    "st_drift_psi",
+    oracle=_REG["txt_drift_psi"].oracle,
+    tags=("streaming", "stateful", "monitoring", "M3"),
+    doc="STREAMING ingest drift monitoring — the production form of "
+    "txt_drift_psi: the document stream is melted to (source, metric, "
+    "bucket) and counted under a streaming aggregation whose state is "
+    "bounded at sources × buckets rows however long the stream runs "
+    "(no watermark needed — the group domain itself is the bound); "
+    "the PSI math then runs over that materialized count table per "
+    "trigger, which is exactly how a monitoring dashboard consumes "
+    "it. Shares _psi_feat/_psi_from_counts with the batch form, so "
+    "the two cannot drift; the oracle IS the batch oracle, proving "
+    "the streaming execution bit-identical to batch SQL.",
+)
+def st_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_stream(spark, sf_dir, "documents")
+    counts = (
+        _cur._psi_feat(docs)
+        .groupBy("source", "metric", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # cut the memory-sink View lineage: _psi_from_counts derives five
+    # branches from this one frame and joins them, which trips the
+    # resolver's conflicting-reference check on a shared View root;
+    # the count table is bounded at sources × buckets rows, so a
+    # localCheckpoint is metadata-cheap
+    mat = run_to_table(counts, output_mode="complete").localCheckpoint()
+    return _cur._psi_from_counts(mat)
