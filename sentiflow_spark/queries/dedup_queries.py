@@ -469,6 +469,106 @@ def dd_clusters_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_sparse_cluster_gate",
+    oracle=f"""
+    WITH RECURSIVE {_duck_sigs_cte()}{_duck_bands_cte()},
+    near_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      {_DUCK_BAND_PAIRS}
+      WHERE {_duck_match_frac()} >= 0.9
+    ),
+    eedges AS (
+      SELECT doc_a AS u, doc_b AS v FROM near_pairs
+      UNION SELECT doc_b, doc_a FROM near_pairs
+    ),
+    ereach(node, lbl) AS (
+      SELECT u, u FROM eedges
+      UNION SELECT e.u, r.lbl FROM eedges e JOIN ereach r ON r.node = e.v
+    ),
+    ecomp AS (SELECT node, MIN(lbl) AS lbl FROM ereach GROUP BY node),
+    hubs AS (
+      SELECT band_idx, band_key, MIN(doc_id) AS hub, COUNT(*) AS occ
+      FROM bands GROUP BY 1, 2
+    ),
+    star AS (
+      SELECT DISTINCT h.hub AS doc_a, b.doc_id AS doc_b
+      FROM bands b JOIN hubs h USING (band_idx, band_key)
+      WHERE h.occ >= 2 AND b.doc_id <> h.hub
+    ),
+    sedges AS (
+      SELECT doc_a AS u, doc_b AS v FROM star
+      UNION SELECT doc_b, doc_a FROM star
+    ),
+    sreach(node, lbl) AS (
+      SELECT u, u FROM sedges
+      UNION SELECT e.u, r.lbl FROM sedges e JOIN sreach r ON r.node = e.v
+    ),
+    scomp AS (SELECT node, MIN(lbl) AS lbl FROM sreach GROUP BY node),
+    joined AS (
+      SELECT d.doc_id,
+             COALESCE(e.lbl, d.doc_id) AS exact_c,
+             COALESCE(s.lbl, d.doc_id) AS sparse_c
+      FROM documents d
+      LEFT JOIN ecomp e ON e.node = d.doc_id
+      LEFT JOIN scomp s ON s.node = d.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN exact_c = sparse_c THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_agree,
+           CAST(SUM(CASE WHEN exact_c <> sparse_c THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_over_grouped,
+           CAST(COUNT(DISTINCT exact_c) AS BIGINT) AS n_clusters_exact,
+           CAST(COUNT(DISTINCT sparse_c) AS BIGINT) AS n_clusters_sparse
+    FROM joined
+    """,
+    tags=("dedup", "M5", "lsh", "iterative", "eval"),
+    doc="The adoption gate for dd_clusters_sparse (same convention as "
+    "sim_ivf_recall / dd_lsh_recall / sim_pq_recall — no approximation "
+    "ships without its measured trade): per-doc agreement between the "
+    "verified-pair clustering (dd_duplicate_clusters) and the "
+    "sparsified unverified-candidate clustering. Every verified edge "
+    "is also an LSH candidate, so the exact partition REFINES the "
+    "sparse one — disagreement counts docs the unverified posture "
+    "over-groups (merges beyond the est_jaccard >= 0.9 evidence), "
+    "never splits. All-integer single-row report, hash-exact.",
+)
+def dd_sparse_cluster_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.operators.dedup import (
+        connected_components,
+        lsh_star_edges,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    exact_cc = connected_components(
+        lsh_candidate_pairs(sigs).filter(F.col("est_jaccard") >= 0.9)
+    ).select(F.col("node").alias("doc_id"), F.col("lbl").alias("exact_c"))
+    sparse_cc = connected_components(lsh_star_edges(sigs)).select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("sparse_c")
+    )
+    joined = (
+        docs.select("doc_id")
+        .join(exact_cc, "doc_id", "left")
+        .join(sparse_cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_c", F.col("doc_id")).alias("exact_c"),
+            F.coalesce("sparse_c", F.col("doc_id")).alias("sparse_c"),
+        )
+    )
+    agree = (F.col("exact_c") == F.col("sparse_c")).cast("int")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(agree).cast("long").alias("n_agree"),
+        F.sum(1 - agree).cast("long").alias("n_over_grouped"),
+        F.count_distinct("exact_c").cast("long").alias("n_clusters_exact"),
+        F.count_distinct("sparse_c").cast("long").alias("n_clusters_sparse"),
+    )
+
+
+@register(
     "dd_multi_signal_pairs",
     oracle=f"""
     WITH {_duck_sigs_cte()}{_duck_bands_cte()},
