@@ -726,3 +726,80 @@ def test_streaming_crash_resume_exactly_once_vs_batch(spark, sf_dir):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stateful_crash_resume_windowed_counts(spark, sf_dir):
+    """Chaos-shaped STATEFUL recovery — the companion to the stateless
+    pipeline test above: a watermarked tumbling-window aggregation
+    (state store carrying open windows across micro-batches) is killed
+    mid-stream and resumed from the same checkpoint; the final append-
+    mode output must be row-for-row identical to an uninterrupted run
+    over the same 10-file source. This is the state-store half of the
+    reference's durability story: open-window state survives the crash
+    via the checkpoint, not via replaying already-committed batches."""
+    import time
+
+    from sentiflow_spark.streaming.dag import windowed_counts
+    from sentiflow_spark.tables import load
+
+    src = tempfile.mkdtemp(prefix="sf_state_src_")
+    out_a = tempfile.mkdtemp(prefix="sf_state_outa_")
+    out_b = tempfile.mkdtemp(prefix="sf_state_outb_")
+    ckpt_a = tempfile.mkdtemp(prefix="sf_state_ckpta_")
+    ckpt_b = tempfile.mkdtemp(prefix="sf_state_ckptb_")
+    try:
+        ev = load(spark, sf_dir, "events").orderBy("event_id")
+        rows = ev.withColumn(
+            "_part", (F.col("event_id") % 10).cast("int")
+        )
+        schema = ev.schema
+        for p in range(10):
+            rows.filter(F.col("_part") == p).drop("_part").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+
+        def start(out, ckpt, available_now):
+            reader = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            w = (
+                windowed_counts(reader)
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+            )
+            if available_now:
+                w = w.trigger(availableNow=True)
+            return w.start()
+
+        # control: uninterrupted drain
+        qa = start(out_a, ckpt_a, available_now=True)
+        qa.awaitTermination()
+
+        # chaos run: kill after >= 2 committed batches, then resume
+        qb = start(out_b, ckpt_b, available_now=False)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            p = qb.lastProgress
+            if p and p["batchId"] >= 2:
+                break
+            time.sleep(0.05)
+        qb.stop()
+        qb.awaitTermination()
+        qb2 = start(out_b, ckpt_b, available_now=True)
+        qb2.awaitTermination()
+
+        got_a = spark.read.parquet(out_a)
+        got_b = spark.read.parquet(out_b)
+        assert got_a.count() > 0
+        assert got_b.count() == got_a.count()
+        assert (
+            got_b.unionByName(got_a).distinct().count()
+            == got_a.distinct().count()
+        ), "crash-resumed stateful output differs from the uninterrupted run"
+    finally:
+        for d in (src, out_a, out_b, ckpt_a, ckpt_b):
+            shutil.rmtree(d, ignore_errors=True)
