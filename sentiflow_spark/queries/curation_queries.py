@@ -1321,3 +1321,61 @@ def _psi_from_counts(counts: DataFrame) -> DataFrame:
             F.max("ns").cast("long").alias("n_docs"),
         )
     )
+
+
+# --------------------------------------- per-domain document cap
+
+DOMAIN_CAP = 10  # max documents admitted per registered domain
+
+
+@register(
+    "txt_domain_cap",
+    oracle=f"""
+    WITH raw AS ({_DUCK_RAW_URLS}),
+    canon AS (
+      SELECT r.doc_id, d.n_chars, {duck_canonical_url("r.url")} AS canon
+      FROM raw r JOIN documents d ON d.doc_id = r.doc_id
+    ),
+    dom AS (
+      SELECT doc_id, n_chars,
+             regexp_extract(canon, 'https?://([^/:]+)', 1) AS domain
+      FROM canon
+    )
+    SELECT doc_id, domain, CAST(rnk AS BIGINT) AS domain_rank FROM (
+      SELECT doc_id, domain,
+             ROW_NUMBER() OVER (PARTITION BY domain
+                                ORDER BY n_chars DESC, doc_id) AS rnk
+      FROM dom
+    ) WHERE rnk <= {DOMAIN_CAP}
+    """,
+    tags=("text", "M5", "curation", "url", "sampling"),
+    doc=f"Per-domain document cap (the anti-spam / anti-SEO-farm "
+    f"curation gate the C4/Gopher lineage applies so no single host "
+    f"dominates the corpus): admit at most {DOMAIN_CAP} documents per "
+    "registered domain, priority = longest document first (the cheap "
+    "quality proxy), ties to the smallest doc_id. The rank <= N "
+    "filter compiles to WindowGroupLimit (Spark 3.5+), which takes "
+    "per-partition partial top-N BEFORE the shuffle — so a hot domain "
+    "with 10M pages ships only N rows per input partition, not 10M, "
+    "and the per-domain window never materializes the whole domain.",
+)
+def txt_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    canon = _spark_raw_urls(docs).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    ).select(
+        "doc_id",
+        "n_chars",
+        canonical_url(F.col("url")).alias("canon"),
+    )
+    dom = canon.select(
+        "doc_id",
+        "n_chars",
+        F.regexp_extract(F.col("canon"), r"https?://([^/:]+)", 1).alias("domain"),
+    )
+    w = Window.partitionBy("domain").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        dom.withColumn("domain_rank", F.row_number().over(w))
+        .filter(F.col("domain_rank") <= DOMAIN_CAP)
+        .select("doc_id", "domain", F.col("domain_rank").cast("long").alias("domain_rank"))
+    )
