@@ -1002,6 +1002,48 @@ def winnow_selfrepeat_spans(
     )
     return _position_islands(flagged, id_col, k, merge_gap, min_fps)
 
+def winnow_contaminated_spans(
+    df: DataFrame,
+    is_bench,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    merge_gap: int = SPAN_MERGE_GAP,
+    min_fps: int = SPAN_MIN_FPS,
+) -> DataFrame:
+    """(id, span_start, span_end, n_shared) over NON-benchmark docs —
+    maximal character ranges whose content also appears in a held-out
+    benchmark document: span-LEVEL decontamination, the surgical
+    alternative to dropping whole documents (dd_decontaminate's
+    doc-level policy discards an entire page because it quotes one
+    benchmark question; this cuts just the quote, Lee et al. ACL 2022
+    style, salvaging the rest of the page for training).
+
+    ``is_bench`` is a boolean Column over ``df`` marking the held-out
+    slice. Benchmark winnowed-hash set → semi-join flags training-doc
+    positions → per-doc islands; the winnowing guarantee carries over:
+    any train↔bench shared run >= w + k - 1 chars selects the same
+    fingerprint in both, so no quotation longer than the guarantee is
+    missed. Hash collisions only OVER-flag (cut slightly more text) —
+    the safe direction for decontamination, the same posture as
+    dd_decontaminate's 60-bit doc gate. No benchmark-to-train doc
+    join: the benchmark hash set is a distinct partial-agg (tiny —
+    benchmarks are thousands of docs, not billions) semi-joined onto
+    the training position stream."""
+    pos = _unpacked_positions(df, text_col, id_col, k, w)
+    flags = df.select(id_col, is_bench.alias("_is_bench"))
+    pos = pos.join(flags, id_col)
+    bench_h = pos.filter(F.col("_is_bench")).select("h").distinct()
+    flagged = (
+        pos.filter(~F.col("_is_bench"))
+        .join(bench_h, "h", "left_semi")
+        .select(id_col, "pos")
+        .distinct()
+    )
+    return _position_islands(flagged, id_col, k, merge_gap, min_fps)
+
+
 def cut_spans(
     docs: DataFrame,
     spans: DataFrame,

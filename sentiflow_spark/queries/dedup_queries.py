@@ -1330,3 +1330,81 @@ def dd_substring_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("hit_grams", F.lit(0).cast("long")).alias("hit_grams"),
         )
     )
+
+
+# ------------------------------- span-level benchmark decontamination
+
+DECON_SPAN_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark set
+
+
+def _duck_decon_span_oracle() -> str:
+    from sentiflow_spark.operators.dedup import (
+        SPAN_MERGE_GAP,
+        SPAN_MIN_FPS,
+        WINNOW_K,
+        WINNOW_POS_BASE,
+    )
+
+    b, k = WINNOW_POS_BASE, WINNOW_K
+    return f"""
+    WITH {_duck_winnow_sels_cte()},
+    fpe AS (SELECT doc_id, unnest(fps) AS key FROM sels),
+    pos AS (
+      SELECT DISTINCT doc_id,
+             (key + {b - 1}) // {b} AS h,
+             ((key + {b - 1}) // {b}) * {b} - key AS pos
+      FROM fpe
+    ),
+    bh AS (
+      SELECT DISTINCT h FROM pos WHERE doc_id % {DECON_SPAN_MOD} = 0
+    ),
+    flagged AS (
+      SELECT DISTINCT doc_id, pos FROM pos
+      WHERE doc_id % {DECON_SPAN_MOD} <> 0 AND h IN (SELECT h FROM bh)
+    ),
+    lagged AS (
+      SELECT doc_id, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM flagged
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos - prev > {SPAN_MERGE_GAP}
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM lagged
+    )
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {k - 1} AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM isl GROUP BY doc_id, island HAVING COUNT(*) >= {SPAN_MIN_FPS}
+    """
+
+
+@register(
+    "dd_decontaminate_spans",
+    oracle=_duck_decon_span_oracle(),
+    tags=("dedup", "M5", "winnowing", "spans", "curation"),
+    doc=f"Span-LEVEL benchmark decontamination: character ranges of "
+    f"training documents (doc_id % {DECON_SPAN_MOD} != 0) whose "
+    f"content also appears in the held-out benchmark slice (doc_id % "
+    f"{DECON_SPAN_MOD} == 0) — the surgical alternative to "
+    "dd_decontaminate's drop-the-whole-doc policy: a page that quotes "
+    "one benchmark question loses the quote (composable with "
+    "cut_spans, as dd_substring_dedup_apply does), not its entire "
+    "content. Built on the winnowing core: the benchmark's winnowed-"
+    "hash set is a tiny distinct partial-agg semi-joined onto the "
+    "training position stream — NO benchmark-to-train doc join — then "
+    "per-doc gaps-and-islands merge. Detection guarantee: any quoted "
+    "run >= w+k-1 = 15 chars selects a shared fingerprint in both "
+    "docs; hash collisions only over-cut, the safe direction. "
+    "operators/dedup.py::winnow_contaminated_spans.",
+)
+def dd_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.operators.dedup import winnow_contaminated_spans
+
+    docs = load(spark, sf_dir, "documents")
+    return winnow_contaminated_spans(
+        docs, is_bench=F.col("doc_id") % DECON_SPAN_MOD == 0
+    )

@@ -1060,3 +1060,40 @@ def test_star_edges_preserve_candidate_components(spark, sf_dir):
     }
     assert via_star == via_pairs
     assert len(via_star) > 0
+
+
+def test_contaminated_spans_cover_planted_benchmark_quote(spark):
+    """winnow_contaminated_spans must flag a benchmark sentence quoted
+    verbatim inside a training doc (span covers the quote), must NOT
+    flag a clean training doc, and must never emit spans for the
+    benchmark docs themselves."""
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.operators.dedup import winnow_contaminated_spans
+
+    quote = "the quick brown fox jumps over the lazy benchmark dog"
+    bench = (0, "BENCH: " + quote + " END")
+    clean = (1, "an entirely unrelated training document about turnips " * 3)
+    dirty_prefix = "training prose before the quotation zzz "
+    dirty = (2, dirty_prefix + quote + " and prose after it")
+    df = spark.createDataFrame([bench, clean, dirty], ["doc_id", "text"])
+
+    spans = winnow_contaminated_spans(
+        df, is_bench=F.col("doc_id") == 0
+    ).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    assert 0 not in by_doc, "benchmark docs must not self-flag"
+    assert 1 not in by_doc, "clean doc wrongly flagged"
+    assert 2 in by_doc, "planted quotation missed"
+    # the quote occupies [len(prefix)+1, len(prefix)+len(quote)] in
+    # 1-based chars; the detected span must overlap most of it
+    q_start = len(dirty_prefix) + 1
+    q_end = len(dirty_prefix) + len(quote)
+    covered = 0
+    for s, e in by_doc[2]:
+        covered += max(0, min(e, q_end) - max(s, q_start) + 1)
+    assert covered >= (q_end - q_start + 1) * 0.7, (by_doc[2], q_start, q_end)
