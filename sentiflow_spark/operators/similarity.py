@@ -754,6 +754,93 @@ def pq_adc_topk(
     )
 
 
+def ivf_centroids(df: DataFrame) -> DataFrame:
+    """(label, cent) — element-wise FLOOR-mean of each coarse bucket's
+    quantized vectors, kept integer so residuals (and hence every PQ
+    distance downstream) stay exact integers in both engines. floor()
+    is used explicitly because DuckDB's // truncates toward zero while
+    Spark's floor()... floors — the one negative-value divergence that
+    would silently break cross-engine parity. The double division
+    inside is exact for these magnitudes (sums << 2^53, and a rational
+    p/q with q <= corpus size can't sit within half-an-ulp of a wrong
+    integer)."""
+    pos = df.select("label", F.posexplode(F.col("qvec")).alias("pos", "v"))
+    per = pos.groupBy("label", "pos").agg(
+        F.floor(F.sum("v") / F.count(F.lit(1))).cast("long").alias("c")
+    )
+    return per.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s.getField("c"),
+        ).alias("cent")
+    )
+
+
+def ivfpq_residuals(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, label, qvec=residual) — each vector minus its coarse-bucket
+    centroid: the IVFADC arrangement (Jégou et al., TPAMI 2011 §IV):
+    PQ codes the RESIDUAL, which has far less energy than the raw
+    vector, so the same code budget buys a finer quantization. The
+    centroid table is labels × D integers — broadcast."""
+    cents = ivf_centroids(df)
+    return df.join(F.broadcast(cents), "label").select(
+        id_col,
+        "label",
+        F.zip_with("qvec", "cent", lambda a, b: a - b).alias("qvec"),
+    )
+
+
+def ivfpq_adc_topk(
+    corpus: DataFrame,
+    n_probes: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ (IVFADC) search — the production ANN index arrangement
+    (what a FAISS ``IVFx,PQy`` index is): the coarse partition (label)
+    prunes the candidate set to the probe's own bucket (nprobe = 1),
+    and asymmetric PQ distance runs on RESIDUAL codes within it.
+    Composes the two index structures this module already carries:
+    sim_ivf_topk's bucket pruning and sim_pq_topk's broadcast-LUT ADC.
+
+    Scale shape: everything pq_adc_topk claims, PLUS the candidate
+    scan is 1/n_buckets of the corpus per probe — coarse pruning and
+    code compression multiply, which is why this is the shape billion-
+    vector deployments actually run."""
+    from sentiflow_spark.functions.vectors import l2_sq
+
+    resid = ivfpq_residuals(corpus, id_col)
+    cb = pq_codebook(resid, id_col)
+    codes = pq_encode(resid, id_col).join(
+        resid.select(id_col, "label"), id_col
+    )
+    probe_subs = pq_subvectors(
+        resid.filter(F.col(id_col) < n_probes), id_col
+    ).join(resid.select(id_col, "label"), id_col).select(
+        F.col(id_col).alias("probe_id"), "label", "sub_id", "subv"
+    )
+    lut = probe_subs.join(F.broadcast(cb), "sub_id").select(
+        "probe_id",
+        "label",
+        "sub_id",
+        "code_id",
+        l2_sq(F.col("subv"), F.col("cw")).alias("d2"),
+    )
+    adc = (
+        codes.select(F.col(id_col).alias("cand_id"), "label", "sub_id", "code_id")
+        .join(F.broadcast(lut), ["label", "sub_id", "code_id"])
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .groupBy("probe_id", "cand_id")
+        .agg(F.sum("d2").cast("long").alias("adc_d2"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.asc("adc_d2"), F.asc("cand_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "cand_id", "adc_d2", "rank")
+    )
+
+
 def brute_force_topk_l2(
     corpus: DataFrame,
     probes: DataFrame,

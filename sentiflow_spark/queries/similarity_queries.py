@@ -597,3 +597,92 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= HARD_NEG_K)
         .select("probe_id", "neg_id", "neg_label", "cosine", "rank")
     )
+
+
+# ----------------------------------------------- IVF-PQ (IVFADC)
+
+_D = PQ_M * PQ_SUB  # 64 dims
+
+_DUCK_IVFPQ_CTES = f"""
+cpos AS (
+  SELECT label, g.i AS pos,
+         CAST(floor(CAST(SUM(qvec[g.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM q, (SELECT unnest(range(1, {_D + 1})) AS i) g
+  GROUP BY 1, 2
+),
+cents AS (SELECT label, list(c ORDER BY pos) AS cent FROM cpos GROUP BY label),
+resid AS (
+  SELECT q.vec_id, q.label,
+         list_transform(range(1, {_D + 1}), i -> qvec[i] - cent[i]) AS rvec
+  FROM q JOIN cents USING (label)
+),
+rsubs AS (
+  SELECT vec_id, label, m.sub_id,
+         list_slice(rvec, m.sub_id * {PQ_SUB} + 1,
+                    m.sub_id * {PQ_SUB} + {PQ_SUB}) AS subv
+  FROM resid CROSS JOIN (SELECT unnest(range({PQ_M})) AS sub_id) m
+),
+rcb AS (
+  SELECT CAST(vec_id AS INT) AS code_id, sub_id, subv AS cw
+  FROM rsubs WHERE vec_id < {PQ_K}
+),
+rcodes AS (
+  SELECT vec_id, label, sub_id, code_id FROM (
+    SELECT s.vec_id, s.label, s.sub_id, c.code_id,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.sub_id
+             ORDER BY {duck_l2_sq('s.subv', 'c.cw')}, c.code_id) AS rk
+    FROM rsubs s JOIN rcb c USING (sub_id)
+  ) WHERE rk = 1
+),
+rlut AS (
+  SELECT s.vec_id AS probe_id, s.label, s.sub_id, c.code_id,
+         {duck_l2_sq('s.subv', 'c.cw')} AS d2
+  FROM rsubs s JOIN rcb c USING (sub_id)
+  WHERE s.vec_id < {N_PROBES}
+),
+radc AS (
+  SELECT l.probe_id, k.vec_id AS cand_id, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+  FROM rcodes k
+  JOIN rlut l ON l.sub_id = k.sub_id AND l.code_id = k.code_id
+            AND l.label = k.label
+  WHERE k.vec_id <> l.probe_id
+  GROUP BY 1, 2
+),
+ivfpq_topk AS (
+  SELECT probe_id, cand_id, adc_d2, rank FROM (
+    SELECT probe_id, cand_id, adc_d2,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY adc_d2, cand_id) AS rank
+    FROM radc
+  ) WHERE rank <= {TOP_K}
+)"""
+
+
+@register(
+    "sim_ivfpq_topk",
+    oracle=f"""
+    WITH {_DUCK_Q_CTE},
+    {_DUCK_IVFPQ_CTES}
+    SELECT probe_id, cand_id, adc_d2, rank FROM ivfpq_topk
+    """,
+    tags=("similarity", "M5", "ann"),
+    doc=f"IVF-PQ / IVFADC search (Jégou, Douze & Schmid, TPAMI 2011 "
+    f"§IV — the arrangement a FAISS IVFx,PQ{PQ_M} index runs and the "
+    "shape billion-vector deployments actually deploy): the coarse "
+    "partition (label) prunes candidates to the probe's own bucket "
+    "(nprobe=1), and asymmetric PQ distance runs on RESIDUAL codes "
+    "(vector minus its bucket's integer floor-mean centroid) — the "
+    "residual has far less energy than the raw vector, so the same "
+    f"{PQ_M}x4-bit code budget buys a finer quantization. Composes "
+    "the repo's two existing index structures (sim_ivf_topk pruning "
+    "x sim_pq_topk broadcast-LUT ADC); coarse pruning and 32x code "
+    "compression MULTIPLY, and every distance stays an exact integer "
+    "so codes, LUT, and ranking are bit-identical cross-engine. "
+    "operators/similarity.py::ivfpq_adc_topk.",
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.operators.similarity import ivfpq_adc_topk
+
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    return ivfpq_adc_topk(emb, n_probes=N_PROBES, k=TOP_K)
