@@ -686,3 +686,64 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = with_quantized(load(spark, sf_dir, "embeddings"))
     return ivfpq_adc_topk(emb, n_probes=N_PROBES, k=TOP_K)
+
+
+@register(
+    "sim_ivfpq_recall",
+    oracle=f"""
+    WITH {_DUCK_Q_CTE},
+    {_DUCK_IVFPQ_CTES},
+    bf AS (
+      SELECT probe_id, cand_id FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY p.qnorm - 2 * {duck_dot('p.qvec', 'c.qvec')}
+                          + c.qnorm, c.vec_id) AS rank
+        FROM qn p JOIN qn c ON c.vec_id <> p.vec_id
+        WHERE p.vec_id < {N_PROBES}
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT bf.probe_id,
+           CAST(SUM(CASE WHEN s.cand_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_hits,
+           round(SUM(CASE WHEN s.cand_id IS NULL THEN 0.0 ELSE 1.0 END)
+                 / {TOP_K}, 4) AS recall_at_k
+    FROM bf LEFT JOIN ivfpq_topk s
+      ON s.probe_id = bf.probe_id AND s.cand_id = bf.cand_id
+    GROUP BY bf.probe_id
+    """,
+    tags=("similarity", "M5", "ann", "eval"),
+    doc=f"IVF-PQ recall gate: recall@{TOP_K} of the composed index "
+    "(coarse nprobe=1 pruning x residual-PQ ADC) against the exact "
+    "squared-Euclidean brute force. sim_ivf_recall prices the pruning "
+    "loss alone and sim_pq_recall the coding loss alone; their "
+    "COMPOSITION is what a deployment actually runs and losses do "
+    "not simply add (a neighbor outside the probe's bucket is lost "
+    "regardless of code quality) — this is the accept/reject number "
+    "for the production arrangement, completing the gate convention "
+    "for every approximate index in the repo.",
+)
+def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.operators.similarity import ivfpq_adc_topk
+
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    bf = brute_force_topk_l2(emb, probes, k=TOP_K).select("probe_id", "cand_id")
+    ap = (
+        ivfpq_adc_topk(emb, n_probes=N_PROBES, k=TOP_K)
+        .select("probe_id", "cand_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bf.join(ap, ["probe_id", "cand_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)).cast("double"))
+                / F.lit(TOP_K),
+                4,
+            ).alias("recall_at_k"),
+        )
+    )
