@@ -7,8 +7,17 @@ whose cost curves bend quadratic (pair generation, windows over hot
 keys) show it between 1× and 20× long before a cluster would. Results
 are recorded in BASELINE.md's scale-headroom sections.
 
-Run: python tools/scale_probe.py [N] [--overlap] [query ...]
+Run: python tools/scale_probe.py [N] [--overlap] [--tpch] [query ...]
 Defaults: N=20, the corpus-family headline queries.
+
+--tpch additionally replicates the star-schema fact tables with
+COHERENT keys (customer/orders/lineitem get disjoint per-replica key
+ranges, and every foreign key is remapped with the same stride as its
+parent, so joins stay referentially intact at N x volume) and copies
+the small dimensions (region/nation/supplier/part) through unchanged
+— dimensional reuse across replicas is the realistic growth model.
+This lets the relational/TPC-H headline queries be probed at
+12M+-row lineitem scale, not just the corpus family.
 
 Replication remaps ids (id + rep * 10_000_000) so keys stay unique;
 text/embedding payloads repeat, which deliberately creates 20-way
@@ -125,11 +134,47 @@ def build(spark, n: int, out_dir: str, overlap: bool = False) -> None:
         )
 
 
+O_STRIDE = 10_000_000   # orderkey stride per replica
+C_STRIDE = 1_000_000    # custkey stride per replica
+_TPCH_DIMS = ("region", "nation", "supplier", "part")
+
+
+def build_tpch(spark, n: int, out_dir: str) -> None:
+    """Replicate customer/orders/lineitem N x with coherent keys;
+    copy the dimension tables through unchanged."""
+    reps = spark.range(n).select(F.col("id").alias("_rep"))
+    plans = {
+        "customer": {"c_custkey": C_STRIDE},
+        "orders": {"o_orderkey": O_STRIDE, "o_custkey": C_STRIDE},
+        "lineitem": {"l_orderkey": O_STRIDE},
+    }
+    for table, remap in plans.items():
+        dst = f"{out_dir}/{table}.parquet"
+        if os.path.exists(dst):
+            continue
+        df = spark.read.parquet(f"{BASE_SF}/{table}.parquet").crossJoin(reps)
+        for col, stride in remap.items():
+            df = df.withColumn(col, F.col(col) + F.col("_rep") * stride)
+        df.drop("_rep").repartition(32).write.mode("overwrite").parquet(dst)
+    for table in _TPCH_DIMS:
+        dst = f"{out_dir}/{table}.parquet"
+        if os.path.exists(dst):
+            continue
+        (
+            spark.read.parquet(f"{BASE_SF}/{table}.parquet")
+            .write.mode("overwrite")
+            .parquet(dst)
+        )
+
+
 def main() -> None:
     args = sys.argv[1:]
     overlap = "--overlap" in args
     if overlap:
         args.remove("--overlap")
+    tpch = "--tpch" in args
+    if tpch:
+        args.remove("--tpch")
     n = int(args[0]) if args else 20
     names = args[1:] or list(DEFAULT_QUERIES)
     suffix = f"scale{n}ov" if overlap else f"scale{n}"
@@ -139,6 +184,8 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("scale-probe")
     build(spark, n, out_dir, overlap=overlap)
+    if tpch:
+        build_tpch(spark, n, out_dir)
     registry = load_all()
     for name in names:
         t0 = time.perf_counter()
