@@ -1097,3 +1097,44 @@ def test_contaminated_spans_cover_planted_benchmark_quote(spark):
     for s, e in by_doc[2]:
         covered += max(0, min(e, q_end) - max(s, q_start) + 1)
     assert covered >= (q_end - q_start + 1) * 0.7, (by_doc[2], q_start, q_end)
+
+
+def test_ivf_centroid_floor_matches_duckdb_on_negatives(spark):
+    """ivf_centroids uses floor(sum/count); DuckDB's // truncates
+    toward zero, so the oracle spells floor() explicitly. Pin the
+    agreement on a fixture whose bucket means are NEGATIVE non-integers
+    — the exact case where floor and truncate diverge (-7/2: floor -4,
+    truncate -3)."""
+    import duckdb
+
+    from sentiflow_spark.operators.similarity import ivf_centroids
+
+    rows = [
+        (0, 0, [-7, 5, -1]),
+        (1, 0, [0, 2, -2]),   # bucket 0 sums: (-7, 7, -3) over 2 -> floor(-3.5)=-4, 3, floor(-1.5)=-2
+        (2, 1, [-9, -9, 9]),  # bucket 1 over 3 -> floor(-19/3)=-7, ...
+        (3, 1, [-5, 4, 1]),
+        (4, 1, [-5, 0, 0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "qvec"])
+    got = {r["label"]: list(r["cent"]) for r in ivf_centroids(df).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE q AS SELECT * FROM (VALUES "
+                + ", ".join(f"({v}, {l}, {q})" for v, l, q in rows)
+                + ") t(vec_id, label, qvec)")
+    want = {
+        l: c
+        for l, c in con.execute(
+            """
+            SELECT label, list(c ORDER BY pos) FROM (
+              SELECT label, g.i AS pos,
+                     CAST(floor(CAST(SUM(qvec[g.i]) AS DOUBLE) / COUNT(*))
+                          AS BIGINT) AS c
+              FROM q, (SELECT unnest(range(1, 4)) AS i) g GROUP BY 1, 2
+            ) GROUP BY label
+            """
+        ).fetchall()
+    }
+    assert got == want
+    assert got[0] == [-4, 3, -2]  # floor, not truncate (-3, 3, -1)
