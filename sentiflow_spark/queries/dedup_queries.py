@@ -1304,7 +1304,7 @@ def dd_substring_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g")
     )
     truth = occ.join(dup, "g", "left_semi").select("doc_id", "pos")
-    spans = winnow_duplicate_spans(docs).select(
+    spans = winnow_duplicate_spans(docs, df_cap=cap).select(
         F.col("doc_id").alias("s_doc"), "span_start", "span_end"
     )
     hits = truth.join(

@@ -1309,11 +1309,20 @@ def _smb_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         ),
     }
     for tbl, (df, key) in specs.items():
+        path = os.path.join(base, tbl)
+        # The metastore entry can outlive the data (temp dirs purged,
+        # sf_dir regenerated): trust tableExists only if the parquet
+        # files are still on disk; otherwise drop and rebuild.
+        have_data = os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        )
+        if spark.catalog.tableExists(tbl) and not have_data:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         if not spark.catalog.tableExists(tbl):
             (
                 df.write.format("parquet")
                 .mode("overwrite")
-                .option("path", os.path.join(base, tbl))
+                .option("path", path)
                 .bucketBy(SMB_BUCKETS, key)
                 .sortBy(key)
                 .saveAsTable(tbl)
@@ -1386,10 +1395,21 @@ def rel_smb_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engaged only for this relation (conf scoped to the read and "
     "restored), so every other query keeps its planned V1 shape; "
     "footer min/max equal true min/max because parquet writes exact "
-    "column statistics per row group.",
+    "column statistics per row group. The aggregatePushdown conf is "
+    "left enabled session-wide by necessity (it is read at plan time, "
+    "after this function returns) but is inert elsewhere: every other "
+    "query reads via the restored V1 source, where it does not apply.",
 )
 def rel_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.sources.useV1SourceList")
+    # aggregatePushdown is consulted at PLAN time (V2ScanRelationPushDown
+    # runs when the returned DataFrame is executed), so it cannot be
+    # restored here without silently disabling the pushdown — verified:
+    # restoring it (or passing it as a per-read option) leaves
+    # PushedAggregation empty. It stays set session-wide, which is inert
+    # for every other query: useV1SourceList is restored below, so all
+    # other parquet reads go through the V1 source where this V2-only
+    # conf does not apply.
     spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     spark.conf.set("spark.sql.sources.useV1SourceList", "")
     try:
