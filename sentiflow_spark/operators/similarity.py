@@ -200,29 +200,37 @@ def kmeans_lite(
     (registered without an oracle; invariants are unit-tested instead).
 
     Shape per iteration (classic Spark k-means, driver-coordinated):
-    - centroids live on the DRIVER (k × dim doubles — tiny) and enter
+    - centroids live on the DRIVER (k × dim integers — tiny) and enter
       the plan as a broadcast k-row DataFrame,
     - assignment = crossJoin(broadcast(centroids)) + per-point argmin
       via a min_by aggregate — a map-side-only pass over the corpus,
-    - update = groupBy(cluster).avg — one small shuffle of k partials
-      per partition (partial aggregation makes it k rows per task).
+    - update = groupBy(cluster).floor-mean — one small shuffle of k
+      partials per partition (partial aggregation makes it k rows per
+      task).
 
-    Init is the k lowest-id vectors (deterministic, no RNG); distance
-    is squared euclidean on the quantized ints, exact in double for
-    this dimensionality."""
+    Init is the k lowest-id vectors (deterministic, no RNG). Centroids
+    are kept INTEGER via the ivf_centroids element-wise FLOOR-mean
+    trick, so every distance is an exact int64 in BOTH engines and the
+    whole 3-iteration trajectory is mirrorable as unrolled SQL CTEs —
+    this is what lets sim_kmeans_assign carry a hash-checked DuckDB
+    oracle despite being iterative. The floor costs < 1 per coordinate
+    vs the true mean, so per update step inertia can exceed the true-
+    mean update by at most n_points × dim (Σ‖x−c‖² = Σ‖x−μ‖² +
+    n‖μ−c‖², each coord of μ−c in [0,1)) — negligible against
+    quantized-unit² distances and bounded in the monotonicity test."""
     dim_df = corpus.select(F.col(id_col).alias("vid"), F.col("qvec"))
     spark = corpus.sparkSession
 
-    def assign(centroids_rows: list[tuple[int, list[float]]]) -> DataFrame:
+    def assign(centroids_rows: list[tuple[int, list[int]]]) -> DataFrame:
         cent = spark.createDataFrame(
-            [(c, [float(x) for x in vec]) for c, vec in centroids_rows],
-            "cluster INT, cvec ARRAY<DOUBLE>",
+            [(c, [int(x) for x in vec]) for c, vec in centroids_rows],
+            "cluster INT, cvec ARRAY<BIGINT>",
         )
         dist = F.aggregate(
             F.zip_with(
                 F.col("qvec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)
             ),
-            F.lit(0.0),
+            F.lit(0).cast("long"),
             lambda acc, d: acc + d,
         )
         scored = dim_df.crossJoin(F.broadcast(cent)).select(
@@ -237,7 +245,7 @@ def kmeans_lite(
                  F.col("best.dist").alias("dist"))
 
     init = [
-        (i, [float(x) for x in row["qvec"]])
+        (i, [int(x) for x in row["qvec"]])
         for i, row in enumerate(
             dim_df.orderBy("vid").limit(k).collect()
         )
@@ -245,17 +253,22 @@ def kmeans_lite(
     centroids = init
     assigned = assign(centroids)
     for _ in range(iters):
-        # per-dimension mean with map-side partial aggregation: the
-        # shuffle carries k × dim partial rows per task, independent of
-        # corpus size — the 100 TB-safe centroid update
+        # per-dimension FLOOR-mean with map-side partial aggregation:
+        # the shuffle carries k × dim partial rows per task, independent
+        # of corpus size — the 100 TB-safe centroid update. floor keeps
+        # centroids integer (see ivf_centroids for the exactness and
+        # floor-vs-truncate rationale), which keeps every downstream
+        # distance exact cross-engine.
         update = (
             assigned.join(dim_df, "vid")
             .select(
                 "cluster",
-                F.posexplode(F.col("qvec").cast("array<double>")).alias("pos", "x"),
+                F.posexplode(F.col("qvec")).alias("pos", "x"),
             )
             .groupBy("cluster", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                F.floor(F.sum("x") / F.count(F.lit(1))).cast("long").alias("m")
+            )
             .groupBy("cluster")
             .agg(
                 F.transform(

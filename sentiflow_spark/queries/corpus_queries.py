@@ -3287,10 +3287,19 @@ DTW_BAND = 3
 
 @register(
     "sim_dtw_topk",
-    oracle=None,  # dynamic-programming distance: not single-SQL-expressible
-    # (same justification as sim_kmeans_assign); the exact DP is
-    # verified against an independent pure-Python implementation in
-    # tests/test_kmeans.py::test_dtw_matches_reference_dp
+    oracle=None,  # FORMAL no-oracle decision (round 6): banded DTW is a
+    # per-pair dynamic program whose cell (i,j) depends on cells
+    # (i-1,j), (i,j-1), (i-1,j-1) — a 2-D recurrence over ~len² cells
+    # per pair. Unlike Lloyd iterations (sim_kmeans_assign, now
+    # oracled via 3 unrolled CTEs) or PageRank (dd_pagerank_dupgraph,
+    # ~10 unrolled CTEs), unrolling here would need one CTE per DP
+    # ANTI-DIAGONAL — hundreds per pair for these series lengths, and
+    # a recursive CTE cannot carry the per-(pair, diagonal) frontier
+    # without materializing the full O(len²) cell table per pair.
+    # The registry keeps this rows-only BY DESIGN; the gate is
+    # tests/test_kmeans.py::test_dtw_matches_reference_dp, which
+    # verifies the exact distances against an independent pure-Python
+    # DP over independently-rebuilt series.
     tags=("similarity", "M5", "timeseries", "topk", "arrow"),
     doc=f"Banded-DTW time-series similarity (the EDBT'19 theme, "
     "warping-aware where sim_series_topk is lockstep-Euclidean): each "

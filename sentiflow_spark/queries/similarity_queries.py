@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from sentiflow_spark.functions.vectors import (
     duck_cosine,
     duck_dot,
+    duck_l2_sq,
     duck_plane_count,
     duck_quantize,
     duck_rp_bucket_dyn,
@@ -179,15 +180,75 @@ def sim_rph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_kmeans_ctes(k: int, iters: int, d: int) -> str:
+    """Unrolled-Lloyd CTE chain mirroring kmeans_lite exactly: c0 =
+    the k lowest-vec_id qvecs, then per iteration an argmin assignment
+    (ties to the lowest cluster id, matching min_by(struct(dist,
+    cluster))) and an element-wise integer FLOOR-mean update (the
+    ivf_centroids exactness argument: sums << 2^53, floor not
+    truncate). Emits c0, a0, cp1/c1, a1, ... up to c{iters}; the
+    caller does the final assignment against c{iters}."""
+
+    def argmin(cents: str, name: str) -> str:
+        dist = duck_l2_sq("q.qvec", "c.cvec")
+        return (
+            f"{name} AS (SELECT vec_id, cluster FROM ("
+            f"SELECT q.vec_id, c.cluster, row_number() OVER ("
+            f"PARTITION BY q.vec_id ORDER BY {dist}, c.cluster) AS rk "
+            f"FROM q CROSS JOIN {cents} c) WHERE rk = 1)"
+        )
+
+    parts = [
+        f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 "
+        f"AS INT) AS cluster, qvec AS cvec FROM "
+        f"(SELECT vec_id, qvec FROM q ORDER BY vec_id LIMIT {k}))",
+        argmin("c0", "a0"),
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f"cp{it} AS (SELECT a.cluster, g.i AS pos, "
+            f"CAST(floor(CAST(SUM(q.qvec[g.i]) AS DOUBLE) / COUNT(*)) "
+            f"AS BIGINT) AS m "
+            f"FROM a{it - 1} a JOIN q USING (vec_id), "
+            f"(SELECT unnest(range(1, {d + 1})) AS i) g GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"c{it} AS (SELECT cluster, list(m ORDER BY pos) AS cvec "
+            f"FROM cp{it} GROUP BY cluster)"
+        )
+        if it < iters:
+            parts.append(argmin(f"c{it}", f"a{it}"))
+    return ",\n    ".join(parts)
+
+
 @register(
     "sim_kmeans_assign",
-    oracle=None,  # iterative — genuinely not single-SQL-expressible;
-    # invariants are pinned in tests/test_kmeans.py instead
+    # Iterative, but the trajectory is finite and deterministic
+    # (integer floor-mean centroids keep every distance an exact int64
+    # in both engines), so the 3 Lloyd iterations UNROLL into chained
+    # CTEs — the dd_pagerank_dupgraph pattern applied to k-means.
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {duck_quantize('embedding')} AS qvec FROM embeddings
+    ),
+    {_duck_kmeans_ctes(k=8, iters=3, d=64)}
+    SELECT vec_id, cluster, sq_dist FROM (
+      SELECT q.vec_id, c.cluster,
+             {duck_l2_sq('q.qvec', 'c.cvec')} AS sq_dist,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {duck_l2_sq('q.qvec', 'c.cvec')}, c.cluster
+             ) AS rk
+      FROM q CROSS JOIN c3 c
+    ) WHERE rk = 1
+    """,
     tags=("similarity", "M5", "iterative"),
     doc="Deterministic distributed k-means (k=8, 3 iterations) over "
     "quantized embeddings — the trainer behind real IVF bucketing. "
     "Driver holds only the k centroids; assignment is a broadcast "
-    "argmin map, update a partial-aggregated per-dimension mean.",
+    "argmin map, update a partial-aggregated per-dimension FLOOR-mean "
+    "(integer centroids: exact int64 distances cross-engine, which is "
+    "what makes the unrolled-Lloyd SQL oracle hash-match).",
 )
 def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sentiflow_spark.operators.similarity import kmeans_lite

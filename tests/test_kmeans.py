@@ -31,14 +31,20 @@ def test_kmeans_deterministic(spark, sf_dir):
 
 def test_kmeans_inertia_improves(spark, sf_dir):
     """More iterations can only shrink (or hold) total squared
-    distance — the Lloyd's-algorithm monotonicity invariant."""
+    distance — Lloyd's monotonicity, relaxed by the FLOOR-mean bound:
+    each update step's centroid differs from the true mean by < 1 per
+    coordinate, so Σ‖x−c‖² ≤ Σ‖x−μ‖² + n·D per step (n·D ≪ the
+    quantized-unit² inertia magnitudes)."""
     emb = _emb(spark, sf_dir)
+    n = emb.count()
+    dim = len(emb.select("qvec").first()["qvec"])
+    slack = n * dim
     inertia = []
     for iters in (0, 1, 3):
         out = kmeans_lite(emb, k=8, iters=iters)
         inertia.append(out.agg(F.sum("sq_dist")).collect()[0][0])
-    assert inertia[1] <= inertia[0] + 1e-6
-    assert inertia[2] <= inertia[1] + 1e-6
+    assert inertia[1] <= inertia[0] + slack
+    assert inertia[2] <= inertia[1] + 2 * slack
 
 
 def test_dtw_matches_reference_dp(spark, sf_dir):
