@@ -111,6 +111,35 @@ def pickled_eval_count(df: DataFrame) -> int:
     return simple_plan(df).count("BatchEvalPython")
 
 
+def unpartitioned_window_specs(df: DataFrame) -> list[str]:
+    """Window-family physical nodes (WindowExec, WindowInPandasExec,
+    WindowGroupLimitExec) whose partitionSpec is EMPTY — each one is a
+    single-task global sort at scale, the plan shape that silently
+    stops scaling past one executor. Returns one node description per
+    offender; [] is the healthy answer. Walks the JVM plan tree (the
+    windowspecdefinition string is too comma-laden to parse) and
+    descends into AQE wrappers via their initial plan."""
+    out: list[str] = []
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.initialPlan())
+            return
+        if cls in (
+            "WindowExec",
+            "WindowInPandasExec",
+            "WindowGroupLimitExec",
+        ) and node.partitionSpec().isEmpty():
+            out.append(node.simpleString(80))
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
 def arrow_eval_count(df: DataFrame) -> int:
     """ArrowEvalPython nodes — the vectorized @pandas_udf surface.
     Legitimate exactly where a query declares the 'arrow-udf' tag

@@ -173,16 +173,60 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     """,
     tags=("window",),
-    doc="percent_rank / cume_dist (exact rational doubles).",
+    doc="percent_rank / cume_dist (exact rational doubles) via the "
+    "TWO-PASS distributed ranking — NOT percent_rank() over an "
+    "unpartitioned window, which moves every row through ONE task. "
+    "Pass 1 range-buckets rows on the order key (uniform-width value "
+    "buckets: order-consistent because bucket(x) is monotone in "
+    "c_acctbal and ties share a bucket) and takes per-bucket counts; "
+    "a cumulative sum over the <=64 bucket rows yields each bucket's "
+    "global offset. Pass 2 ranks WITHIN each bucket (partitioned "
+    "window) and adds the offset: global rank with the sort sharded "
+    "across buckets. The ordering key (c_acctbal, c_custkey) is "
+    "unique, so rank == row_number, percent_rank = (rank-1)/(n-1) and "
+    "cume_dist = rank/n exactly — integer/int division, bitwise "
+    "identical cross-engine; the oracle states the plain built-in "
+    "window. At 100 TB the same shape holds with sampled range "
+    "boundaries (repartitionByRange-style) instead of min/max-uniform.",
 )
 def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load(spark, sf_dir, "customer")
-    w = W.orderBy("c_acctbal", "c_custkey")
-    return cust.select(
-        "c_custkey",
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
+    nb = 64
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    stats = cust.agg(
+        F.min("c_acctbal").alias("_lo"),
+        F.max("c_acctbal").alias("_hi"),
+        F.count(F.lit(1)).alias("_n"),
     )
+    b = cust.crossJoin(F.broadcast(stats)).withColumn(
+        "_b",
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(nb - 1),
+                F.floor(
+                    (F.col("c_acctbal") - F.col("_lo"))
+                    / ((F.col("_hi") - F.col("_lo")) / nb)
+                ).cast("int"),
+            )
+        ),
+    )
+    counts = b.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+    # cumulative bucket offsets: unpartitioned window over <= nb rows
+    # BY CONSTRUCTION (groupBy on the nb-valued bucket id) — carried in
+    # the unpartitioned-WindowExec allow-list in tests/test_plans.py
+    w_off = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = W.partitionBy("_b").orderBy("c_acctbal", "c_custkey")
+    ranked = b.join(F.broadcast(offsets), "_b").withColumn(
+        "_r", F.col("_off") + F.row_number().over(w_in)
+    )
+    pr = F.when(
+        F.col("_n") > 1,
+        (F.col("_r") - 1).cast("double") / (F.col("_n") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    cd = F.col("_r").cast("double") / F.col("_n").cast("double")
+    return ranked.select("c_custkey", pr.alias("pr"), cd.alias("cd"))
 
 
 @register(

@@ -399,3 +399,43 @@ def test_agg_pushdown_reads_no_table_columns(spark, sf_dir):
     plan = I.formatted_plan(df)
     assert "PushedAggregation: [COUNT(*)" in plan, plan
     assert "BatchScan" in plan, plan
+
+
+# Unpartitioned Window nodes move EVERY row through one task — the plan
+# shape that silently stops scaling. Every allowed instance must have a
+# bounded-input justification; anything new fails the lint below.
+UNPARTITIONED_WINDOW_ALLOWLIST = {
+    "rel_kmv_set_ops": "merged KMV sketch is <= 2k rows (k=128) by construction",
+    "ret_hybrid_rrf": "ranks only the fused union of two top-k candidate lists",
+    "ret_prf_expansion": "ranks only the expanded-query top-k candidate set",
+    "ret_rerank_stub": "ranks only the k BM25 candidates fed to the reranker",
+    "txt_vocab_build": "rank over the min-count-filtered vocabulary, "
+    "Zipf-bounded (<< corpus size; df >= min_count terms only)",
+    "win_percent_rank": "cumulative offsets over <= 64 bucket-count rows "
+    "(the two-pass ranking's tiny pass-1 side; the row-scale sort is "
+    "partitioned by bucket)",
+}
+
+
+def test_no_unpartitioned_windows_outside_allowlist(spark, sf_dir):
+    """Registry-wide lint: an unpartitioned WindowExec over a non-allow-
+    listed input cannot land silently (the round-5 verdict's ask). Also
+    fails when an allow-list entry goes stale (query no longer plans an
+    unpartitioned window) so the list can't rot."""
+    offenders = {}
+    for name, entry in REGISTRY.items():
+        if "streaming" in entry.tags or "iterative" in entry.tags:
+            continue  # same execution-model exclusions as the UDF lint
+        specs = I.unpartitioned_window_specs(entry.fn(spark, sf_dir))
+        if specs:
+            offenders[name] = specs
+    unexplained = {
+        n: s for n, s in offenders.items()
+        if n not in UNPARTITIONED_WINDOW_ALLOWLIST
+    }
+    assert not unexplained, (
+        "unpartitioned Window over non-allow-listed input: "
+        f"{ {n: s[0][:120] for n, s in unexplained.items()} }"
+    )
+    stale = set(UNPARTITIONED_WINDOW_ALLOWLIST) - set(offenders)
+    assert not stale, f"allow-list entries no longer needed: {stale}"
