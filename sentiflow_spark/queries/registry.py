@@ -169,10 +169,30 @@ def register(
     return deco
 
 
+def _reverify_front() -> dict[str, int]:
+    """name -> rank from ROTATION_PLAN.json (tools/rotation_plan.py):
+    already-verified queries whose transitive implementing sources
+    changed since their last driver row, most-recently-touched first.
+    With the registry fully driver-verified (round 5), these fill the
+    otherwise-idle CORRECTNESS window as a regression rotation."""
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    try:
+        with open(os.path.join(root, "ROTATION_PLAN.json")) as fh:
+            plan = json.load(fh)
+        return {name: i for i, name in enumerate(plan.get("front", []))}
+    except (OSError, ValueError):
+        return {}
+
+
 def load_all() -> dict[str, Query]:
     """Import every query module and return the full registry, ordered
-    driver-unverified-first (see _ROTATION) so the driver's ~50-entry
-    CORRECTNESS window lands on fresh queries each round."""
+    for the driver's ~50-entry CORRECTNESS window: never-checked first
+    (see _ROTATION), then rows-only (weak check, re-exercised every
+    round), then the ROTATION_PLAN.json regression-rotation picks
+    (verified queries whose sources changed since their driver row),
+    then the remaining verified set."""
     for mod in _QUERY_MODULES:
         try:
             importlib.import_module(mod)
@@ -181,17 +201,25 @@ def load_all() -> dict[str, Query]:
             if exc.name != mod:
                 raise
     verified, rows_only = _driver_verified()
+    refront = _reverify_front()
     insertion = {name: i for i, name in enumerate(REGISTRY)}
 
-    def key(name: str) -> tuple[int, int, int]:
+    def key(name: str) -> tuple[int, int, int, int]:
         q = REGISTRY[name]
         family = q.fn.__module__.rsplit(".", 1)[-1]
         fam_rank = (
             _ROTATION.index(family) if family in _ROTATION else len(_ROTATION)
         )
         # 0 = never driver-checked, 1 = rows-only (weak check: keep in
-        # the window every round), 2 = hash-verified (rotate out)
-        state = 2 if name in verified else (1 if name in rows_only else 0)
-        return (state, fam_rank, insertion[name])
+        # the window every round), 2 = verified but fronted for
+        # re-verification by the committed rotation plan, 3 = verified
+        if name not in verified:
+            state = 1 if name in rows_only else 0
+        elif name in refront:
+            state = 2
+            return (state, refront[name], 0, insertion[name])
+        else:
+            state = 3
+        return (state, fam_rank, 0, insertion[name])
 
     return {name: REGISTRY[name] for name in sorted(REGISTRY, key=key)}

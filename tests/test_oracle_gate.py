@@ -148,3 +148,39 @@ def test_gate_catches_negative_zero(spark, sf_dir):
     )
     fixed_oracle = oracle.replace(", 3) AS z", ", 3) + 0.0 AS z")
     assert compare("ctl", fixed_df, fixed_oracle, sf_dir).ok
+
+
+def test_registry_window_ordering():
+    """The driver window composition contract: never-checked queries
+    first, then rows-only (re-exercised every round), then the
+    ROTATION_PLAN.json regression-rotation picks in plan order, then
+    the long-verified rest."""
+    import json
+    import os
+
+    from sentiflow_spark.queries.registry import (
+        _driver_verified,
+        load_all,
+    )
+
+    names = list(load_all())
+    verified, rows_only = _driver_verified()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    plan_path = os.path.join(root, "ROTATION_PLAN.json")
+    front = (
+        json.load(open(plan_path)).get("front", [])
+        if os.path.exists(plan_path)
+        else []
+    )
+
+    def state(n):
+        if n not in verified:
+            return 1 if n in rows_only else 0
+        return 2 if n in front else 3
+
+    states = [state(n) for n in names]
+    assert states == sorted(states), "window states out of order"
+    # rotation picks keep the plan's own order (most-recently-touched
+    # sources first)
+    picked = [n for n in names if state(n) == 2]
+    assert picked == [n for n in front if n in set(picked)]
