@@ -217,23 +217,40 @@ def job_dedup(args: argparse.Namespace) -> dict:
 
 
 def job_curate(args: argparse.Namespace) -> dict:
-    """Corpus curation as a runnable job (SURVEY §7.2 M5): the
-    end-to-end curation plan — exact-dedup survivors → quality gate →
-    stratified language rebalance → token-budget sequence packing
-    (queries/text_queries.py::txt_curation_e2e, oracle-checked) —
-    written out partitioned by language for trainer consumption.
-    Two shuffles end-to-end; the write adds none (partitionBy is a
-    per-task fan-out to directories, not a repartition)."""
-    from sentiflow_spark.queries.registry import load_all
+    """Full production curation DAG as a runnable job (SURVEY §7.2 M5,
+    round-6 composition): NFC normalize → bench holdout → Gopher gates
+    → exact dedup → MinHash near dedup → span decontamination → domain
+    cap → grouped split → sequence packing
+    (queries/curation_dag.py::txt_curation_dag, oracle-checked e2e).
+    Writes TWO artifacts under --out: corpus/ (kept docs' clean text +
+    shard assignment, partitioned by split) and disposition/ (one
+    audit row per input doc), and returns the funnel counts."""
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.queries.curation_dag import (
+        curation_stages,
+        txt_curation_dag,
+    )
     from sentiflow_spark.tables import load
 
     spark = _spark("sentiflow-curate")
     n_in = load(spark, args.sf_dir, "documents").count()
-    curated = load_all()["txt_curation_e2e"].fn(spark, args.sf_dir)
-    curated.write.mode("overwrite").partitionBy("lang").parquet(args.out)
-    n_out = spark.read.parquet(args.out).count()
-    return {"job": "curate", "rows_in": n_in, "rows_out": n_out,
-            "removed": n_in - n_out, "sink": args.out}
+    disp = txt_curation_dag(spark, args.sf_dir).localCheckpoint()
+    st = curation_stages(spark, args.sf_dir)
+    corpus = st["packed"].join(
+        st["capped"].select("doc_id", "clean_text"), "doc_id"
+    )
+    corpus.write.mode("overwrite").partitionBy("split").parquet(
+        f"{args.out}/corpus"
+    )
+    disp.write.mode("overwrite").parquet(f"{args.out}/disposition")
+    funnel = {
+        r["stage"]: r["n"]
+        for r in disp.groupBy("stage").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return {"job": "curate", "rows_in": n_in,
+            "rows_out": funnel.get("kept", 0), "funnel": funnel,
+            "sink": args.out}
 
 
 def job_compact(args: argparse.Namespace) -> dict:

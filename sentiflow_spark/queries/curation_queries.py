@@ -559,20 +559,36 @@ def txt_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
 
+# One source of truth for the five Gopher rules (exact integer
+# arithmetic, cross-multiplied ratios) — consumed by txt_gopher_rules'
+# oracle AND the composed txt_curation_dag oracle.
+GOPHER_RULES_SQL = {
+    "ok_word_count": f"n_words >= {GOPHER_MIN_WORDS} AND "
+    f"n_words <= {GOPHER_MAX_WORDS}",
+    "ok_mean_word_len": "3 * n_words <= sum_len AND sum_len <= 10 * n_words",
+    "ok_symbol_ratio": "10 * n_symbols < n_words",
+    "ok_alpha_frac": "5 * n_alpha >= 4 * n_words",
+    "ok_stopwords": "n_stop >= 2",
+}
+GOPHER_PASS_SQL = " AND ".join(f"({e})" for e in GOPHER_RULES_SQL.values())
 
-@register(
-    "txt_gopher_rules",
-    oracle=f"""
-    WITH base AS (
+
+def duck_gopher_m_cte(source: str = "documents", prefix: str = "") -> str:
+    """{p}gbase → {p}gm CTE chain computing the Gopher rule metrics
+    (n_words, sum_len, n_symbols, n_alpha, n_stop) per doc of
+    ``source``. The rule predicates themselves are GOPHER_RULES_SQL /
+    GOPHER_PASS_SQL over {p}gm."""
+    p = prefix
+    return f"""{p}gbase AS (
       SELECT doc_id,
              regexp_extract_all(text, '\\S+') AS toks,
              regexp_extract_all(lower(text), '{WORD_RE}') AS words,
              CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
                + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
                AS n_symbols
-      FROM documents
+      FROM {source}
     ),
-    m AS (
+    {p}gm AS (
       SELECT doc_id, n_symbols,
              CAST(len(toks) AS BIGINT) AS n_words,
              CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
@@ -583,42 +599,14 @@ GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
              CAST(len(list_intersect(list_distinct(words),
                     [{", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)}])) AS BIGINT)
                AS n_stop
-      FROM base
-    )
-    SELECT doc_id, n_words,
-           n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
-             AS ok_word_count,
-           3 * n_words <= sum_len AND sum_len <= 10 * n_words
-             AS ok_mean_word_len,
-           10 * n_symbols < n_words AS ok_symbol_ratio,
-           5 * n_alpha >= 4 * n_words AS ok_alpha_frac,
-           n_stop >= 2 AS ok_stopwords,
-           (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
-             AND (3 * n_words <= sum_len AND sum_len <= 10 * n_words)
-             AND 10 * n_symbols < n_words
-             AND 5 * n_alpha >= 4 * n_words
-             AND n_stop >= 2 AS passes_all
-    FROM m
-    """,
-    tags=("text", "M5", "curation", "quality", "gopher"),
-    doc="The Gopher quality rule set (Rae et al. 2021, arXiv:2112.11446 "
-    "§A1.1) as ONE map-side plan — the reference heuristic suite most "
-    "pretraining curation stacks start from: word-count bounds "
-    f"[{GOPHER_MIN_WORDS}, {GOPHER_MAX_WORDS}], mean word length in "
-    "[3, 10], symbol-to-word ratio (#/ellipsis) < 0.1, >= 80% of "
-    "tokens containing an alphabetic character, and >= 2 distinct "
-    "required stop words. Every rule is evaluated in EXACT integer "
-    "arithmetic (ratio thresholds cross-multiplied: 10*symbols < "
-    "words, 5*alpha >= 4*words, 3n <= sum_len <= 10n) so both engines "
-    "agree bitwise with no float boundaries at all. All counts come "
-    "from higher-order array expressions over each row — zero "
-    "shuffles, zero explodes; at 100 TB this is a pure scan-side "
-    "gate that composes with any downstream pass (the per-rule "
-    "booleans, not just the verdict, are emitted because curation "
-    "tuning needs the breakdown).",
-)
-def txt_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+      FROM {p}gbase
+    )"""
+
+
+def gopher_flags(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, ok_*..., passes_all) — the Gopher rule set as
+    one map-side plan over any (doc_id, text) DataFrame. Shared by
+    txt_gopher_rules and txt_curation_dag."""
     base = docs.select(
         "doc_id",
         F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0)).alias(
@@ -681,6 +669,40 @@ def txt_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("passes_all"),
     )
+
+
+@register(
+    "txt_gopher_rules",
+    oracle=f"""
+    WITH {duck_gopher_m_cte()}
+    SELECT doc_id, n_words,
+           {GOPHER_RULES_SQL["ok_word_count"]} AS ok_word_count,
+           {GOPHER_RULES_SQL["ok_mean_word_len"]} AS ok_mean_word_len,
+           {GOPHER_RULES_SQL["ok_symbol_ratio"]} AS ok_symbol_ratio,
+           {GOPHER_RULES_SQL["ok_alpha_frac"]} AS ok_alpha_frac,
+           {GOPHER_RULES_SQL["ok_stopwords"]} AS ok_stopwords,
+           {GOPHER_PASS_SQL} AS passes_all
+    FROM gm
+    """,
+    tags=("text", "M5", "curation", "quality", "gopher"),
+    doc="The Gopher quality rule set (Rae et al. 2021, arXiv:2112.11446 "
+    "§A1.1) as ONE map-side plan — the reference heuristic suite most "
+    "pretraining curation stacks start from: word-count bounds "
+    f"[{GOPHER_MIN_WORDS}, {GOPHER_MAX_WORDS}], mean word length in "
+    "[3, 10], symbol-to-word ratio (#/ellipsis) < 0.1, >= 80% of "
+    "tokens containing an alphabetic character, and >= 2 distinct "
+    "required stop words. Every rule is evaluated in EXACT integer "
+    "arithmetic (ratio thresholds cross-multiplied: 10*symbols < "
+    "words, 5*alpha >= 4*words, 3n <= sum_len <= 10n) so both engines "
+    "agree bitwise with no float boundaries at all. All counts come "
+    "from higher-order array expressions over each row — zero "
+    "shuffles, zero explodes; at 100 TB this is a pure scan-side "
+    "gate that composes with any downstream pass (the per-rule "
+    "booleans, not just the verdict, are emitted because curation "
+    "tuning needs the breakdown).",
+)
+def txt_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_flags(load(spark, sf_dir, "documents"))
 
 
 # ------------------------------------------ Tokenizer training (BPE)
@@ -829,18 +851,53 @@ _ZW_RE = "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]"      # zero-width + BOM
 _CTRL_RE = "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]"  # C0 minus \t \n \r
 
 
+def nfc_norm_expr(col: F.Column) -> F.Column:
+    """The corpus normalization chain as a reusable Column: NFC
+    composition (Arrow-batched pandas UDF over unicodedata — Spark has
+    no builtin normalizer), zero-width/BOM strip, C0 control strip
+    (tab/newline kept), whitespace-run collapse, trim. Shared by
+    txt_nfc_normalize and the composed txt_curation_dag so the two
+    can't drift."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_batch(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: None if t is None else unicodedata.normalize("NFC", t)
+        )
+
+    _nfc = pandas_udf(_nfc_batch, "string")
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(_nfc(col), _ZW_RE, ""),
+                _CTRL_RE,
+                "",
+            ),
+            "[ \\t]+",
+            " ",
+        )
+    )
+
+
+def duck_norm_sql(col: str) -> str:
+    """DuckDB mirror of nfc_norm_expr (nfc_normalize implements the
+    same Unicode algorithm — verified bit-identical cross-engine)."""
+    return (
+        "trim(regexp_replace(regexp_replace(regexp_replace("
+        f"nfc_normalize({col}), '{_ZW_RE}', '', 'g'), "
+        f"'{_CTRL_RE}', '', 'g'), '[ \\t]+', ' ', 'g'))"
+    )
+
+
 @register(
     "txt_nfc_normalize",
     oracle=f"""
     SELECT doc_id, norm_text,
            CAST(norm_text <> text AS BOOLEAN) AS changed
     FROM (
-      SELECT doc_id, text,
-             trim(regexp_replace(regexp_replace(regexp_replace(
-               nfc_normalize(text),
-               '{_ZW_RE}', '', 'g'),
-               '{_CTRL_RE}', '', 'g'),
-               '[ \\t]+', ' ', 'g')) AS norm_text
+      SELECT doc_id, text, {duck_norm_sql('text')} AS norm_text
       FROM documents
     )
     """,
@@ -858,29 +915,8 @@ _CTRL_RE = "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]"  # C0 minus \
     "Map-side only: zero shuffles at any corpus size.",
 )
 def txt_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import pandas_udf
-
-    def _nfc_batch(s):
-        import unicodedata
-
-        return s.map(
-            lambda t: None if t is None else unicodedata.normalize("NFC", t)
-        )
-
-    _nfc = pandas_udf(_nfc_batch, "string")
-
     docs = load(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(_nfc(F.col("text")), _ZW_RE, ""),
-                _CTRL_RE,
-                "",
-            ),
-            "[ \\t]+",
-            " ",
-        )
-    )
+    norm = nfc_norm_expr(F.col("text"))
     return docs.select(
         "doc_id",
         norm.alias("norm_text"),

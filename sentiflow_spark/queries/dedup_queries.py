@@ -685,10 +685,12 @@ def dd_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------------- Winnowing
 
-def _duck_winnow_sels_cte() -> str:
+def _duck_winnow_sels_cte(source: str = "documents") -> str:
     """base → keys → sels CTE chain mirroring winnow_fingerprints:
     robust winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003) over
-    packed (hash, position) keys, bit-identical to the Spark side."""
+    packed (hash, position) keys, bit-identical to the Spark side.
+    ``source`` lets a composed oracle (txt_curation_dag) winnow a
+    pre-normalized / pre-filtered CTE instead of documents."""
     from sentiflow_spark.functions.hashing import duck_md5_i32
     from sentiflow_spark.operators.dedup import (
         WINNOW_K,
@@ -699,7 +701,7 @@ def _duck_winnow_sels_cte() -> str:
     k, w, b = WINNOW_K, WINNOW_W, WINNOW_POS_BASE
     gram = duck_md5_i32(f"substring(t, CAST(i AS INT), {k})")
     return f"""base AS (
-      SELECT doc_id, lower(text) AS t FROM documents
+      SELECT doc_id, lower(text) AS t FROM {source}
       WHERE length(lower(text)) >= {k + w - 1}
     ),
     keys AS (

@@ -245,20 +245,34 @@ def test_kafka_contract_options_and_payload(spark):
 
 
 def test_curate_job_writes_partitioned_corpus(spark, sf_dir):
-    """curate job: e2e curation plan lands partitioned by lang, rows
-    match the oracle-checked declared query, something was removed."""
+    """curate job: the full curation DAG lands a split-partitioned
+    corpus plus a per-doc disposition table; funnel counts match the
+    oracle-checked declared query."""
     import glob
+
+    from pyspark.sql import functions as F
 
     from sentiflow_spark.queries.registry import load_all
 
     d = tempfile.mkdtemp(prefix="sf_jobs_")
     try:
-        r = _run(["curate", "--sf-dir", sf_dir, "--out", f"{d}/corpus"])
-        assert r["rows_in"] == 500 and r["removed"] > 0
-        expected = load_all()["txt_curation_e2e"].fn(spark, sf_dir).count()
-        assert r["rows_out"] == expected
-        langs = glob.glob(f"{d}/corpus/lang=*")
-        assert len(langs) >= 2  # partitioned layout for trainer readers
+        r = _run(["curate", "--sf-dir", sf_dir, "--out", f"{d}/cur"])
+        assert r["rows_in"] == 500
+        disp = load_all()["txt_curation_dag"].fn(spark, sf_dir)
+        expected = {
+            row["stage"]: row["n"]
+            for row in disp.groupBy("stage")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert r["funnel"] == expected
+        assert r["rows_out"] == expected.get("kept", 0) > 0
+        assert sum(expected.values()) == 500  # every input doc disposed
+        splits = glob.glob(f"{d}/cur/corpus/split=*")
+        assert len(splits) >= 1  # split-partitioned layout for trainers
+        corpus = spark.read.parquet(f"{d}/cur/corpus")
+        assert corpus.count() == r["rows_out"]
+        assert "clean_text" in corpus.columns
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

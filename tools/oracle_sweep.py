@@ -6,7 +6,15 @@ the same way the external driver does — through PANDAS
 the driver's canon), cells formatted dtype-sensitively so int64 0 vs
 float64 0.0 FAILS (the round-3 HUGEINT class).
 
-Run: python tools/oracle_sweep.py [sf_dir]   (default /root/testdata/sf0.01)
+Run: python tools/oracle_sweep.py [sf_dir] [--timings OUT.json]
+(default sf_dir /root/testdata/sf0.01)
+
+--timings writes {"queries": {name: seconds}, "sf": ..., "total": ...}
+per query (Spark execution + oracle + driver-identical compare, one
+fresh pass) — the same shape bench.py emits, so tools/regress.py diffs
+two sweep-timing files directly. Committed per round as
+SWEEP_TIMINGS_r{N}.json, this catches plan regressions in the ~190
+queries the headline bench never times.
 
 This is deliberately NOT built on sentiflow_spark.oracle — that module
 is code under test; the comparison lives in tools/pandas_canon.py so a
@@ -33,7 +41,13 @@ def main() -> int:
 
     import __spark_entry__ as entry
 
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = list(sys.argv[1:])
+    timings_out = None
+    if "--timings" in args:
+        i = args.index("--timings")
+        timings_out = args[i + 1]
+        del args[i : i + 2]
+    sf = args[0] if args else "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[32]")
         # the 1g pyspark default driver heap dies late in a 200-query
@@ -59,18 +73,38 @@ def main() -> int:
         )
     t0 = time.perf_counter()
     npass, fails = 0, []
+    per_query: dict[str, float] = {}
     for name, fn in qs.items():
+        tq = time.perf_counter()
         try:
             ok, detail = check_one(name, fn, osql.get(name), spark, con, sf)
         except Exception as exc:  # noqa: BLE001 - report, don't crash the sweep
             ok, detail = False, f"query exec: {str(exc)[:150]}"
+        per_query[name] = round(time.perf_counter() - tq, 3)
         if ok:
             npass += 1
         else:
             fails.append((name, detail))
-    print(f"{npass}/{len(qs)} pass at {sf} in {time.perf_counter() - t0:.0f} s")
+    total = time.perf_counter() - t0
+    print(f"{npass}/{len(qs)} pass at {sf} in {total:.0f} s")
     for f in fails:
         print("FAIL:", f)
+    if timings_out:
+        import json
+
+        with open(timings_out, "w") as fh:
+            json.dump(
+                {
+                    "sf": sf,
+                    "total": round(total, 1),
+                    "n_pass": npass,
+                    "n_queries": len(qs),
+                    "queries": per_query,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"timings -> {timings_out}")
     return 1 if fails else 0
 
 
