@@ -1138,3 +1138,93 @@ def test_ivf_centroid_floor_matches_duckdb_on_negatives(spark):
     }
     assert got == want
     assert got[0] == [-4, 3, -2]  # floor, not truncate (-3, 3, -1)
+
+
+def test_curation_dag_composition_invariants(spark, sf_dir):
+    """txt_curation_dag's composition contract, re-derived from the
+    standalone operators rather than the DAG's own internals:
+
+    1. totality — every input doc gets exactly one disposition row;
+       kept rows carry (split, seq_id, n_tokens), dropped rows don't;
+    2. stage agreement — kept docs pass the DAG's quality gate computed
+       independently and are disjoint from the near-dup loser set;
+    3. LEAK-SAFETY — among kept docs, no MinHash band bucket straddles
+       train/val: the grouped split keys on star-edge components over
+       band collisions, so any two kept docs the LSH considers
+       near-material land on the same side.
+    """
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.operators.dedup import (
+        BAND_SIZE,
+        NUM_PERM,
+        minhash_signatures,
+    )
+    from sentiflow_spark.queries.curation_dag import (
+        DAG_GOPHER_RULES,
+        curation_stages,
+        txt_curation_dag,
+    )
+    from sentiflow_spark.queries.curation_queries import gopher_flags
+    from sentiflow_spark.tables import load
+
+    disp = txt_curation_dag(spark, sf_dir).localCheckpoint()
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+
+    # 1. totality
+    assert disp.count() == n
+    assert disp.select("doc_id").distinct().count() == n
+    kept = disp.filter(F.col("stage") == "kept")
+    assert kept.count() > 0
+    assert kept.filter(
+        F.col("split").isNull()
+        | F.col("seq_id").isNull()
+        | F.col("n_tokens").isNull()
+    ).count() == 0
+    assert disp.filter(
+        (F.col("stage") != "kept") & F.col("seq_id").isNotNull()
+    ).count() == 0
+
+    # 2. stage agreement with independently-computed operators
+    st = curation_stages(spark, sf_dir)
+    flags = gopher_flags(st["docs_n"])
+    passes = None
+    for r in DAG_GOPHER_RULES:
+        passes = F.col(r) if passes is None else (passes & F.col(r))
+    good = flags.filter(passes).select("doc_id")
+    assert kept.join(good, "doc_id", "left_anti").count() == 0
+    assert kept.join(st["near_losers"], "doc_id", "left_semi").count() == 0
+
+    # 3. leak-safety: every band bucket among kept docs is split-pure
+    sigs = minhash_signatures(st["s5"]).join(kept.select("doc_id"), "doc_id")
+    n_bands = NUM_PERM // BAND_SIZE
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"sig_{b * BAND_SIZE + r}")
+                                    for r in range(BAND_SIZE)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.*")
+    impure = (
+        bands.join(kept.select("doc_id", "split"), "doc_id")
+        .groupBy("band_idx", "band_key")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+    )
+    assert impure.count() == 0, "a near-material band bucket straddles train/val"

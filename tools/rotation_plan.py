@@ -97,10 +97,20 @@ def _module_file(mod: str) -> str | None:
     return None
 
 
+# Universal plumbing every query imports: a commit here (e.g. adding a
+# module to _QUERY_MODULES) would mark ALL 240+ queries stale with the
+# SAME timestamp, collapsing the most-recently-touched ordering into a
+# tie. Registry-wide changes are instead guarded by the 50-query window
+# itself re-verifying every round.
+_INFRA = {"sentiflow_spark.queries.registry"}
+
+
 def transitive_sources(mod: str, memo: dict[str, set[str]]) -> set[str]:
     if mod in memo:
         return memo[mod]
     memo[mod] = set()  # cycle guard
+    if mod in _INFRA:
+        return memo[mod]
     f = _module_file(mod)
     if f is None:
         return memo[mod]
