@@ -229,14 +229,14 @@ def job_curate(args: argparse.Namespace) -> dict:
 
     from sentiflow_spark.queries.curation_dag import (
         curation_stages,
-        txt_curation_dag,
+        disposition,
     )
     from sentiflow_spark.tables import load
 
     spark = _spark("sentiflow-curate")
     n_in = load(spark, args.sf_dir, "documents").count()
-    disp = txt_curation_dag(spark, args.sf_dir).localCheckpoint()
-    st = curation_stages(spark, args.sf_dir)
+    st = curation_stages(spark, args.sf_dir)  # ONE pipeline pass
+    disp = disposition(st).localCheckpoint()
     corpus = st["packed"].join(
         st["capped"].select("doc_id", "clean_text"), "doc_id"
     )

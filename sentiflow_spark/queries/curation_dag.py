@@ -426,7 +426,13 @@ def _duck_dag_oracle() -> str:
     "pl_e2e_results proves the sentiment dataflow.",
 )
 def txt_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    st = curation_stages(spark, sf_dir)
+    return disposition(curation_stages(spark, sf_dir))
+
+
+def disposition(st: dict[str, DataFrame]) -> DataFrame:
+    """Per-doc disposition from an already-built stage dict — split out
+    so jobs.py curate can write the corpus AND the audit table from ONE
+    curation_stages pass instead of running the pipeline twice."""
     docs, gq = st["docs"], st["gq"]
     exact_keep = st["exact_ranked"].select("doc_id").withColumn(
         "_ex", F.lit(True)
