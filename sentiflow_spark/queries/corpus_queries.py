@@ -3285,21 +3285,104 @@ DTW_K = 3
 DTW_BAND = 3
 
 
+def _duck_dtw_oracle() -> str:
+    """Recursive-CTE mirror of the banded-DTW dynamic program — the
+    construction round 6 initially declared impossible, then found:
+    the recursion iterates over DP ROWS (one working-table row per
+    (pair, i)) carrying the full (m+1)-cell previous row as a LIST
+    column, and the within-row left-to-right dependency (cur[j-1])
+    is resolved by a reduce() fold over the band positions whose
+    accumulator IS the row being built (DuckDB 1.0's 2-arg reduce has
+    no initial-value form, so the fold runs over a list-of-lists whose
+    first element is the init accumulator — the lo out-of-band INF
+    cells). Out-of-band cells are INF = 2^62, matching the Spark DP's
+    sentinel (operators/similarity.py::dtw_distances); all arithmetic
+    is int64 and every reachable value << 2^62, so both engines agree
+    bit-for-bit. Assumes equal series lengths — true by construction
+    here (every user's series spans the same global [d0, d1] window),
+    which also makes the band half-width exactly DTW_BAND on both
+    sides (the Spark DP widens to |n-m| only for unequal lengths).
+    Work: pairs x L recursion rows x band-width folds — tiny next to
+    the corpus (0.3 s at sf0.01)."""
+    INF = 2**62
+    R, K, P = DTW_BAND, DTW_K, DTW_PROBES
+    return f"""
+    WITH RECURSIVE
+    daily AS MATERIALIZED (
+      SELECT user_id, CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+    spine AS (
+      SELECT u.user_id, b.d0 + unnest(range(b.d1 - b.d0 + 1)) AS day
+      FROM (SELECT DISTINCT user_id FROM daily) u, b
+    ),
+    densed AS (
+      SELECT s.user_id, s.day, COALESCE(d.n, 0) AS n
+      FROM spine s LEFT JOIN daily d USING (user_id, day)
+    ),
+    series AS MATERIALIZED (
+      SELECT user_id, list(n ORDER BY day) AS s FROM densed GROUP BY user_id
+    ),
+    pairs AS MATERIALIZED (
+      SELECT p.user_id AS probe_id, c.user_id AS cand_id, p.s AS sa, c.s AS sb
+      FROM series p JOIN series c ON c.user_id <> p.user_id
+      WHERE p.user_id < {P}
+    ),
+    dp(probe_id, cand_id, i, prev) AS (
+      SELECT probe_id, cand_id, 0,
+             [CAST(0 AS BIGINT)] ||
+               list_transform(range(1, len(sa) + 1), x -> CAST({INF} AS BIGINT))
+      FROM pairs
+      UNION ALL
+      SELECT d.probe_id, d.cand_id, d.i + 1,
+             reduce(
+               [list_transform(range(greatest(1, d.i + 1 - {R})),
+                               x -> CAST({INF} AS BIGINT))]
+               || list_transform(
+                    range(greatest(1, d.i + 1 - {R}),
+                          least(len(p.sb), d.i + 1 + {R}) + 1),
+                    j -> [j]),
+               (acc, x) -> list_append(acc,
+                 abs(p.sa[CAST(d.i + 1 AS INT)] - p.sb[CAST(x[1] AS INT)])
+                 + least(d.prev[CAST(x[1] + 1 AS INT)],
+                         d.prev[CAST(x[1] AS INT)],
+                         acc[len(acc)]))
+             )
+             || list_transform(
+                  range(least(len(p.sb), d.i + 1 + {R}) + 1, len(p.sb) + 1),
+                  x -> CAST({INF} AS BIGINT))
+      FROM dp d JOIN pairs p
+        ON p.probe_id = d.probe_id AND p.cand_id = d.cand_id
+      WHERE d.i < len(p.sa)
+    ),
+    dist AS (
+      SELECT d.probe_id, d.cand_id, d.prev[len(d.prev)] AS dtw
+      FROM dp d JOIN pairs p
+        ON p.probe_id = d.probe_id AND p.cand_id = d.cand_id
+      WHERE d.i = len(p.sa)
+    )
+    SELECT probe_id, cand_id, dtw, rank FROM (
+      SELECT probe_id, cand_id, CAST(dtw AS BIGINT) AS dtw,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY dtw, cand_id) AS rank
+      FROM dist
+    ) WHERE rank <= {K}
+    """
+
+
 @register(
     "sim_dtw_topk",
-    oracle=None,  # FORMAL no-oracle decision (round 6): banded DTW is a
-    # per-pair dynamic program whose cell (i,j) depends on cells
-    # (i-1,j), (i,j-1), (i-1,j-1) — a 2-D recurrence over ~len² cells
-    # per pair. Unlike Lloyd iterations (sim_kmeans_assign, now
-    # oracled via 3 unrolled CTEs) or PageRank (dd_pagerank_dupgraph,
-    # ~10 unrolled CTEs), unrolling here would need one CTE per DP
-    # ANTI-DIAGONAL — hundreds per pair for these series lengths, and
-    # a recursive CTE cannot carry the per-(pair, diagonal) frontier
-    # without materializing the full O(len²) cell table per pair.
-    # The registry keeps this rows-only BY DESIGN; the gate is
-    # tests/test_kmeans.py::test_dtw_matches_reference_dp, which
-    # verifies the exact distances against an independent pure-Python
-    # DP over independently-rebuilt series.
+    # Round 6 closed the last no-oracle gap: the per-pair DP is now
+    # hash-checked via a recursive row-frontier CTE (see
+    # _duck_dtw_oracle). The LB_Keogh cascade on the Spark side is
+    # provably identical to brute force (excluded => dtw >= lb > kth),
+    # so the oracle states plain brute-force banded DTW over all
+    # pairs. The independent pure-Python DP check
+    # (tests/test_kmeans.py::test_dtw_matches_reference_dp) stays as
+    # the third, engine-free reference.
+    oracle=_duck_dtw_oracle(),
     tags=("similarity", "M5", "timeseries", "topk", "arrow"),
     doc=f"Banded-DTW time-series similarity (the EDBT'19 theme, "
     "warping-aware where sim_series_topk is lockstep-Euclidean): each "

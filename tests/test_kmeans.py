@@ -1,5 +1,9 @@
-"""Invariants for the iterative k-means operator (registered without a
-SQL oracle — these tests are its correctness surface)."""
+"""Invariants for the iterative k-means and DTW operators. Both got
+SQL oracles in round 6 (unrolled-Lloyd CTEs / recursive row-frontier
+CTE), so these tests are no longer the only correctness surface —
+they remain the ENGINE-FREE third reference (pure-Python DP, Lloyd
+monotonicity) that would catch a bug shared by both engines'
+implementations of the same algorithm."""
 
 from __future__ import annotations
 
