@@ -1058,6 +1058,180 @@ def txt_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------- WordPiece-style greedy longest-match tokenizer
+
+WP_MAX_PIECE = 4   # max piece length admitted to the vocabulary
+WP_MIN_COUNT = 5   # weighted corpus occurrences to admit a piece
+
+
+def _duck_wordpiece_oracle() -> str:
+    l, mc = WP_MAX_PIECE, WP_MIN_COUNT
+    return f"""
+    WITH RECURSIVE words0 AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    ),
+    wf AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM words0 GROUP BY w
+    ),
+    posw AS (
+      SELECT w, f, CAST(unnest(range(1, length(w) + 1)) AS INT) AS p
+      FROM wf
+    ),
+    posl AS MATERIALIZED (
+      SELECT w, f, p,
+             CAST(unnest(range(1, least({l}, length(w) - p + 1) + 1)) AS INT)
+               AS pl
+      FROM posw
+    ),
+    cand AS MATERIALIZED (
+      SELECT w, f, p, pl, substr(w, p, pl) AS piece FROM posl
+    ),
+    pieces AS MATERIALIZED (
+      SELECT piece FROM (
+        SELECT piece, SUM(f) AS pf FROM cand GROUP BY piece
+      ) WHERE pf >= {mc} OR length(piece) = 1
+    ),
+    ml AS MATERIALIZED (
+      SELECT c.w, c.p, MAX(c.pl) AS ml
+      FROM cand c JOIN pieces USING (piece) GROUP BY 1, 2
+    ),
+    -- The greedy walk is a RECURSIVE CTE over the (w, p) -> ml TABLE:
+    -- one chain per word, each step jumps pos by the longest match at
+    -- pos (the join fails once pos > len(w), ending the chain). No
+    -- lambdas anywhere: DuckDB 1.0's reduce() with list-typed
+    -- accumulators / outer-column capture is NONDETERMINISTIC on
+    -- multi-row RAGGED inputs — measured: repeated runs returned
+    -- different token counts for a changing subset of words, even at
+    -- threads=1. Single chars are always admitted, so every step
+    -- advances >= 1 and the walk terminates in len(w) steps.
+    walk(w, pos, cnt) AS (
+      SELECT w, 1, 0 FROM wf
+      UNION ALL
+      SELECT k.w, k.pos + m.ml, k.cnt + 1
+      FROM walk k JOIN ml m ON m.w = k.w AND m.p = k.pos
+    ),
+    wtok AS (
+      SELECT w, CAST(MAX(cnt) AS BIGINT) AS nt FROM walk GROUP BY w
+    ),
+    dw AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    ),
+    agg AS (
+      SELECT doc_id, CAST(SUM(nt) AS BIGINT) AS n
+      FROM dw JOIN wtok USING (w) GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(agg.n, 0) AS n_wp_tokens
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """
+
+
+@register(
+    "txt_wordpiece_encode",
+    oracle=_duck_wordpiece_oracle(),
+    tags=("curation", "M5", "tokenizer", "aggregate", "join"),
+    doc=f"The OTHER major subword-tokenizer family, completing the pair "
+    "with txt_bpe_encode: WordPiece-style greedy longest-match-first "
+    "encoding (the BERT lineage — Wu et al. 2016 §4.1's inference "
+    "rule; BPE applies learned merges, WordPiece greedily takes the "
+    f"longest vocabulary piece at each position). Vocabulary = every "
+    f"word substring of length <= {WP_MAX_PIECE} with >= {WP_MIN_COUNT} "
+    "frequency-weighted corpus occurrences, plus all single chars "
+    "(the fallback that guarantees every word tokenizes). Scale "
+    "shape, same contract as the BPE loop: all tokenizer work runs on "
+    "the Zipf-bounded DISTINCT-WORD table, never the corpus — "
+    "candidate pieces are one explode over word x position x length, "
+    "admission one partial agg, the per-position longest match one "
+    "vocab semi-join + max, and the greedy walk a higher-order "
+    "aggregate fold over each word's match-length array (advance >= 1 "
+    "per step, so len(w) steps always suffice). The corpus is touched "
+    "once: word stream -> broadcast join against the word->count map "
+    "-> per-doc sum. Integer arithmetic end to end — no log-prob "
+    "floats anywhere, so both engines agree bitwise.",
+)
+def txt_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("w")
+    )
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    pos_l = (
+        wf.select(
+            "w",
+            "f",
+            F.explode(F.sequence(F.lit(1), F.length("w"))).alias("p"),
+        )
+        .select(
+            "w",
+            "f",
+            "p",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.lit(WP_MAX_PIECE), F.length("w") - F.col("p") + 1
+                    ),
+                )
+            ).alias("pl"),
+        )
+        .withColumn("piece", F.col("w").substr(F.col("p"), F.col("pl")))
+    )
+    pieces = (
+        pos_l.groupBy("piece")
+        .agg(F.sum("f").alias("pf"))
+        .filter((F.col("pf") >= WP_MIN_COUNT) | (F.length("piece") == 1))
+        .select("piece")
+    )
+    ml = (
+        pos_l.join(F.broadcast(pieces), "piece", "left_semi")
+        .groupBy("w", "p")
+        .agg(F.max("pl").alias("ml"))
+    )
+    mla = ml.groupBy("w").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "ml"))),
+            lambda s: s["ml"],
+        ).alias("mla")
+    )
+    # greedy longest-match walk: fold len(w) steps carrying (pos, cnt);
+    # single chars are always admitted so every step advances >= 1
+    zero = F.struct(
+        F.lit(1).cast("int").alias("pos"), F.lit(0).cast("long").alias("cnt")
+    )
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.size(F.col("mla"))),
+        zero,
+        lambda acc, _: F.when(
+            acc["pos"] <= F.size(F.col("mla")),
+            F.struct(
+                (acc["pos"] + F.element_at(F.col("mla"), acc["pos"]))
+                .cast("int")
+                .alias("pos"),
+                (acc["cnt"] + 1).alias("cnt"),
+            ),
+        ).otherwise(acc),
+    )
+    wtok = mla.select("w", walk.getField("cnt").alias("nt"))
+    dw = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    )
+    agg = (
+        dw.join(F.broadcast(wtok), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("nt").cast("long").alias("n"))
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_wp_tokens"),
+    )
+
+
 # --------------------------------- CCNet-style perplexity bucketing
 
 PPL_REF_SOURCES = ("src0", "src1", "src2", "src3")

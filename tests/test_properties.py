@@ -1228,3 +1228,72 @@ def test_curation_dag_composition_invariants(spark, sf_dir):
         .filter(F.col("ns") > 1)
     )
     assert impure.count() == 0, "a near-material band bucket straddles train/val"
+
+
+def test_duckdb_recursive_oracles_are_deterministic(sf_dir):
+    """Determinism canary for the two recursive-CTE DP oracles: DuckDB
+    1.0's reduce() with list accumulators / outer-column capture is
+    nondeterministic on RAGGED multi-row inputs (caught live while
+    building txt_wordpiece_encode — repeated runs returned different
+    values, even at threads=1; its walk is now a lambda-free recursive
+    join). sim_dtw_topk's fold survives because every list in a batch
+    has the SAME length (series share the global day span; prev rows
+    are all n+1 cells) — this test re-runs both oracles back-to-back
+    and fails if either ever goes unstable, e.g. after a duckdb
+    upgrade or a series-construction change."""
+    import duckdb
+
+    from sentiflow_spark.queries.corpus_queries import _duck_dtw_oracle
+    from sentiflow_spark.queries.curation_queries import (
+        _duck_wordpiece_oracle,
+    )
+
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    for sql in (_duck_dtw_oracle(), _duck_wordpiece_oracle()):
+        runs = [sorted(map(tuple, con.execute(sql).fetchall()))
+                for _ in range(3)]
+        assert runs[0] == runs[1] == runs[2]
+
+
+def test_wordpiece_greedy_matches_reference():
+    """txt_wordpiece_encode's greedy longest-match walk against a
+    hand-checked example, via the same operator expressions on a tiny
+    in-memory corpus: vocab admits frequent substrings up to length 4
+    plus single chars; 'abcd' repeated makes 'abcd' a piece, so
+    'abcdx' tokenizes as [abcd, x] = 2 and a rare word falls back to
+    its single chars."""
+    from sentiflow_spark.queries.curation_queries import (
+        WP_MIN_COUNT,
+    )
+
+    corpus = ["abcd"] * WP_MIN_COUNT + ["abcdx", "zq"]
+    # pure-python reference of the declared algorithm
+    from collections import Counter
+
+    wf = Counter(corpus)
+    pieces = Counter()
+    for w, f in wf.items():
+        for p in range(len(w)):
+            for L in range(1, min(4, len(w) - p) + 1):
+                pieces[w[p:p + L]] += f
+    vocab = {pc for pc, n in pieces.items() if n >= WP_MIN_COUNT or len(pc) == 1}
+    assert "abcd" in vocab and "z" in vocab and "zq" not in vocab
+
+    def greedy(w):
+        pos, cnt = 0, 0
+        while pos < len(w):
+            for L in range(min(4, len(w) - pos), 0, -1):
+                if w[pos:pos + L] in vocab:
+                    pos += L
+                    break
+            cnt += 1
+        return cnt
+
+    assert greedy("abcd") == 1
+    assert greedy("abcdx") == 2
+    assert greedy("zq") == 2  # falls back to single chars
