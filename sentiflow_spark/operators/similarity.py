@@ -854,6 +854,93 @@ def ivfpq_adc_topk(
     )
 
 
+def ivfpq_multiprobe_topk(
+    corpus: DataFrame,
+    n_probes: int,
+    nprobe: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ search with MULTI-PROBE — the recall knob every IVF
+    deployment tunes (FAISS's ``nprobe``): each query searches its own
+    coarse bucket PLUS the nprobe-1 nearest other coarse centroids
+    (exact integer L2 to the broadcast centroid table, ties to the
+    lowest label; the assigned bucket is always probed first, so the
+    nprobe=1 candidate set is a strict subset). Within each probed
+    bucket the asymmetric-distance LUT is built against THAT bucket's
+    centroid residual — the residual the bucket's codes were trained
+    on (Jégou et al., TPAMI 2011 §IV; probing a bucket with the wrong
+    residual frame would make distances incomparable).
+
+    Scale shape: the index side is byte-identical to ivfpq_adc_topk
+    (nothing is re-encoded); the probe side grows by a factor of
+    nprobe in LUT rows (probes x nprobe x M x K tiny ints, broadcast)
+    and candidate scan (nprobe/n_buckets of the corpus per probe) —
+    recall is bought with a LINEAR, bounded candidate-set increase,
+    never a rerank of the full corpus."""
+    from sentiflow_spark.functions.vectors import l2_sq
+
+    resid = ivfpq_residuals(corpus, id_col)
+    cb = pq_codebook(resid, id_col)
+    codes = pq_encode(resid, id_col).join(
+        resid.select(id_col, "label"), id_col
+    )
+    cents = ivf_centroids(corpus)
+    probes = corpus.filter(F.col(id_col) < n_probes).select(
+        F.col(id_col).alias("probe_id"),
+        F.col("label").alias("p_label"),
+        F.col("qvec").alias("p_qvec"),
+    )
+    w_probe = W.partitionBy("probe_id").orderBy(
+        (F.col("label") != F.col("p_label")).cast("int"),
+        F.asc("c_d2"),
+        F.asc("label"),
+    )
+    probed = (
+        probes.crossJoin(F.broadcast(cents))
+        .withColumn("c_d2", l2_sq(F.col("p_qvec"), F.col("cent")))
+        .withColumn("prk", F.row_number().over(w_probe))
+        .filter(F.col("prk") <= nprobe)
+        .select("probe_id", "label", "p_qvec", "cent")
+    )
+    # per (probe, probed bucket): residual vs THAT bucket's centroid,
+    # split into PQ subvectors (same Generate+slice shape as
+    # pq_subvectors, with the label threaded through)
+    rv = F.zip_with("p_qvec", "cent", lambda a, b: a - b)
+    prv = probed.select(
+        "probe_id",
+        "label",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.slice(rv, m * PQ_SUB + 1, PQ_SUB),
+            )
+        ).alias("sub_id", "subv"),
+    )
+    lut = prv.join(F.broadcast(cb), "sub_id").select(
+        "probe_id",
+        "label",
+        "sub_id",
+        "code_id",
+        l2_sq(F.col("subv"), F.col("cw")).alias("d2"),
+    )
+    adc = (
+        codes.select(
+            F.col(id_col).alias("cand_id"), "label", "sub_id", "code_id"
+        )
+        .join(F.broadcast(lut), ["label", "sub_id", "code_id"])
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .groupBy("probe_id", "cand_id")
+        .agg(F.sum("d2").cast("long").alias("adc_d2"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.asc("adc_d2"), F.asc("cand_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "cand_id", "adc_d2", "rank")
+    )
+
+
 def brute_force_topk_l2(
     corpus: DataFrame,
     probes: DataFrame,

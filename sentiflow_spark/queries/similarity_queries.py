@@ -808,3 +808,149 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+# ------------------------------------- IVF-PQ multi-probe (the nprobe knob)
+
+MP_NPROBE = 3  # probe the assigned bucket + 2 nearest other centroids
+
+_DUCK_MP_CTES = f"""
+pprobe AS (
+  SELECT probe_id, label, cent FROM (
+    SELECT p.vec_id AS probe_id, c.label, c.cent,
+           row_number() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY CASE WHEN c.label = p.label THEN 0 ELSE 1 END,
+                      {duck_l2_sq('p.qvec', 'c.cent')}, c.label) AS prk
+    FROM q p CROSS JOIN cents c
+    WHERE p.vec_id < {N_PROBES}
+  ) WHERE prk <= {MP_NPROBE}
+),
+mpsub AS (
+  SELECT pp.probe_id, pp.label, m.sub_id,
+         list_slice(
+           list_transform(range(1, {PQ_M * PQ_SUB + 1}),
+                          i -> q.qvec[i] - pp.cent[i]),
+           m.sub_id * {PQ_SUB} + 1, m.sub_id * {PQ_SUB} + {PQ_SUB}) AS subv
+  FROM pprobe pp
+  JOIN q ON q.vec_id = pp.probe_id
+  CROSS JOIN (SELECT unnest(range({PQ_M})) AS sub_id) m
+),
+mplut AS (
+  SELECT s.probe_id, s.label, s.sub_id, c.code_id,
+         {duck_l2_sq('s.subv', 'c.cw')} AS d2
+  FROM mpsub s JOIN rcb c USING (sub_id)
+),
+mpadc AS (
+  SELECT l.probe_id, k.vec_id AS cand_id, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+  FROM rcodes k
+  JOIN mplut l ON l.sub_id = k.sub_id AND l.code_id = k.code_id
+             AND l.label = k.label
+  WHERE k.vec_id <> l.probe_id
+  GROUP BY 1, 2
+),
+mp_topk AS (
+  SELECT probe_id, cand_id, adc_d2, rank FROM (
+    SELECT probe_id, cand_id, adc_d2,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY adc_d2, cand_id) AS rank
+    FROM mpadc
+  ) WHERE rank <= {TOP_K}
+)"""
+
+
+@register(
+    "sim_ivfpq_multiprobe",
+    oracle=f"""
+    WITH {_DUCK_Q_CTE},
+    {_DUCK_IVFPQ_CTES},
+    {_DUCK_MP_CTES}
+    SELECT probe_id, cand_id, adc_d2, rank FROM mp_topk
+    """,
+    tags=("similarity", "M5", "ann", "topk"),
+    doc=f"IVF-PQ with MULTI-PROBE (nprobe={MP_NPROBE} of 10 coarse "
+    "buckets) — the recall knob every IVF deployment tunes: each query "
+    f"searches its assigned bucket plus the {MP_NPROBE - 1} nearest "
+    "other coarse centroids (exact integer L2 to the broadcast "
+    "centroid table, assigned bucket always probed first so the "
+    "nprobe=1 candidate set is a strict subset), with the ADC lookup "
+    "table rebuilt per probed bucket against THAT bucket's centroid "
+    "residual — the frame its codes were quantized in (Jégou TPAMI "
+    "2011 §IV). Index side is byte-identical to sim_ivfpq_topk; the "
+    "probe side pays nprobe x in broadcast LUT rows and candidate "
+    "scan — recall bought with a linear, bounded cost increase, never "
+    "a full-corpus rerank. operators/similarity.py::"
+    "ivfpq_multiprobe_topk.",
+)
+def sim_ivfpq_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.operators.similarity import ivfpq_multiprobe_topk
+
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    return ivfpq_multiprobe_topk(
+        emb, n_probes=N_PROBES, nprobe=MP_NPROBE, k=TOP_K
+    )
+
+
+@register(
+    "sim_ivfpq_mp_recall",
+    oracle=f"""
+    WITH {_DUCK_Q_CTE},
+    {_DUCK_IVFPQ_CTES},
+    {_DUCK_MP_CTES},
+    bf AS (
+      SELECT probe_id, cand_id FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY p.qnorm - 2 * {duck_dot('p.qvec', 'c.qvec')}
+                          + c.qnorm, c.vec_id) AS rank
+        FROM qn p JOIN qn c ON c.vec_id <> p.vec_id
+        WHERE p.vec_id < {N_PROBES}
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT bf.probe_id,
+           CAST(SUM(CASE WHEN s.cand_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_hits,
+           round(SUM(CASE WHEN s.cand_id IS NULL THEN 0.0 ELSE 1.0 END)
+                 / {TOP_K}, 4) AS recall_at_k
+    FROM bf LEFT JOIN mp_topk s
+      ON s.probe_id = bf.probe_id AND s.cand_id = bf.cand_id
+    GROUP BY bf.probe_id
+    """,
+    tags=("similarity", "M5", "ann", "eval"),
+    doc=f"Multi-probe recall gate: recall@{TOP_K} of the nprobe="
+    f"{MP_NPROBE} arrangement against the exact squared-Euclidean "
+    "brute force — read alongside sim_ivfpq_recall (nprobe=1) to see "
+    "what the extra probes BUY: the coarse-pruning loss shrinks as "
+    "nprobe grows while the coding loss stays fixed, which is exactly "
+    "the trade a deployment tunes nprobe against. Same gate shape as "
+    "every approximate index in the repo.",
+)
+def sim_ivfpq_mp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.operators.similarity import (
+        brute_force_topk_l2,
+        ivfpq_multiprobe_topk,
+    )
+
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    bf = brute_force_topk_l2(emb, probes, k=TOP_K).select(
+        "probe_id", "cand_id"
+    )
+    ap = (
+        ivfpq_multiprobe_topk(emb, n_probes=N_PROBES, nprobe=MP_NPROBE, k=TOP_K)
+        .select("probe_id", "cand_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bf.join(ap, ["probe_id", "cand_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)).cast("double"))
+                / F.lit(TOP_K),
+                4,
+            ).alias("recall_at_k"),
+        )
+    )
