@@ -662,3 +662,72 @@ def st_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint is metadata-cheap
     mat = run_to_table(counts, output_mode="complete").localCheckpoint()
     return _cur._psi_from_counts(mat)
+
+
+# ---------------------------------------- streaming ingest curation gate
+
+
+@register(
+    "st_curation_gate",
+    oracle=None,  # set below from shared generators, after the function
+    tags=("streaming", "curation", "M3", "arrow-udf"),
+    doc="The ingest-time curation gate under REAL Structured Streaming "
+    "— what a crawler pipeline runs on documents as they arrive: NFC "
+    "normalization (the Arrow-batched pandas UDF executing INSIDE a "
+    "streaming micro-batch — the one execution path the st_* family "
+    "had not yet proven) followed by txt_curation_dag's four-rule "
+    "Gopher gate, emitting per-doc admittance. Entirely STATELESS — "
+    "zero streaming state, no watermark, a pure map over source "
+    "partitions at any rate; the checkpoint tracks offsets only. "
+    "Shares nfc_norm_expr / gopher_flags / DAG_GOPHER_RULES with the "
+    "batch DAG so the streaming and batch gates cannot drift; the "
+    "oracle is the same batch SQL the DAG's quality stage states.",
+)
+def st_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.queries.curation_dag import DAG_GOPHER_RULES
+    from sentiflow_spark.queries.curation_queries import (
+        gopher_flags,
+        nfc_norm_expr,
+    )
+
+    docs = load_stream(spark, sf_dir, "documents")
+    docs_n = docs.select(
+        "doc_id", nfc_norm_expr(F.col("text")).alias("text")
+    )
+    flags = gopher_flags(docs_n)
+    admitted = None
+    for r in DAG_GOPHER_RULES:
+        admitted = F.col(r) if admitted is None else (admitted & F.col(r))
+    return run_to_table(
+        flags.select("doc_id", "n_words", admitted.alias("admitted"))
+    )
+
+
+def _st_gate_oracle() -> str:
+    from sentiflow_spark.queries.curation_dag import DAG_GOPHER_RULES
+    from sentiflow_spark.queries.curation_queries import (
+        GOPHER_RULES_SQL,
+        duck_gopher_m_cte,
+        duck_norm_sql,
+    )
+
+    pass_sql = " AND ".join(
+        f"({GOPHER_RULES_SQL[r]})" for r in DAG_GOPHER_RULES
+    )
+    return f"""
+    WITH docs_n AS (
+      SELECT doc_id, {duck_norm_sql('text')} AS text FROM documents
+    ),
+    {duck_gopher_m_cte(source="docs_n")}
+    SELECT doc_id, n_words, {pass_sql} AS admitted FROM gm
+    """
+
+
+# late-bind the oracle: the generators live in curation modules that
+# import this module's registry siblings; binding after definition
+# avoids a circular import at module-load time
+import dataclasses as _dc  # noqa: E402
+
+_REG["st_curation_gate"] = _dc.replace(
+    _REG["st_curation_gate"], oracle=_st_gate_oracle()
+)
