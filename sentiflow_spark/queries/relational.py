@@ -1392,8 +1392,9 @@ def rel_smb_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "100 TB this is the difference between a subsecond catalog lookup "
     "and a full-corpus scan for every row-count/freshness check a "
     "pipeline runs before processing. The V2 parquet source is "
-    "engaged only for this relation (conf scoped to the read and "
-    "restored), so every other query keeps its planned V1 shape; "
+    "engaged only for this relation (useV1SourceList scoped to the "
+    "read and restored), so every other query keeps its planned V1 "
+    "shape; "
     "footer min/max equal true min/max because parquet writes exact "
     "column statistics per row group. The aggregatePushdown conf is "
     "left enabled session-wide by necessity (it is read at plan time, "
