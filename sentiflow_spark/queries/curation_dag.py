@@ -44,7 +44,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sentiflow_spark.functions.hashing import md5_i32
-from sentiflow_spark.functions.text import BPE_RE, token_count
+from sentiflow_spark.functions.text import BPE_RE, duck_fingerprint, token_count
 from sentiflow_spark.operators.dedup import (
     SPAN_MERGE_GAP,
     SPAN_MIN_FPS,
@@ -118,8 +118,10 @@ def curation_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         gq.filter(F.col("passes_all")).select("doc_id"), "doc_id"
     )
 
-    # exact dedup: first-wins per canonical fingerprint (rank kept so
-    # the disposition can tell survivor from duplicate)
+    # exact dedup: first-wins per canonical fingerprint. dedup_exact
+    # keeps only rn==1 survivors; the disposition infers exact_dup by
+    # ABSENCE from this survivor set (quality minus s4), not from a
+    # threaded rank column.
     exact_ranked = dedup_exact(quality).select("doc_id", "text", "lang")
 
     # near dedup among exact survivors: verified pairs, lowest-id wins
@@ -247,7 +249,7 @@ def _duck_dag_oracle() -> str:
     ),
     exr AS MATERIALIZED (
       SELECT doc_id, row_number() OVER (
-        PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        PARTITION BY {duck_fingerprint('text')}
         ORDER BY doc_id) AS rn
       FROM quality
     ),

@@ -1402,7 +1402,15 @@ def rel_smb_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "query reads via the restored V1 source, where it does not apply.",
 )
 def rel_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prev = spark.conf.get("spark.sql.sources.useV1SourceList")
+    key = "spark.sql.sources.useV1SourceList"
+    prev = spark.conf.get(key)
+    # conf.get returns the DEFAULT for a never-set conf, so a blind
+    # conf.set(key, prev) would convert "unset" into "explicitly set
+    # to the default" — a session-conf diff the registry-wide leak
+    # lint (tests/test_plans.py) rightly flags. Detect explicitness
+    # via SET output (which lists only explicitly-set confs) and
+    # restore faithfully: re-set or unset.
+    was_explicit = any(r["key"] == key for r in spark.sql("SET").collect())
     # aggregatePushdown is consulted at PLAN time (V2ScanRelationPushDown
     # runs when the returned DataFrame is executed), so it cannot be
     # restored here without silently disabling the pushdown — verified:
@@ -1410,13 +1418,16 @@ def rel_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PushedAggregation empty. It stays set session-wide, which is inert
     # for every other query: useV1SourceList is restored below, so all
     # other parquet reads go through the V1 source where this V2-only
-    # conf does not apply.
+    # conf does not apply (enforced by the stray-V2-scan lint).
     spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set(key, "")
     try:
         o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     finally:
-        spark.conf.set("spark.sql.sources.useV1SourceList", prev)
+        if was_explicit:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
     return o.agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.min("o_totalprice").cast("double").alias("min_total"),

@@ -439,3 +439,71 @@ def test_no_unpartitioned_windows_outside_allowlist(spark, sf_dir):
     )
     stale = set(UNPARTITIONED_WINDOW_ALLOWLIST) - set(offenders)
     assert not stale, f"allow-list entries no longer needed: {stale}"
+
+
+# Session confs a query may legitimately change, and keep changed, for
+# the rest of the session. Anything else leaking out of a registry
+# entry's build fails the lint below (the round-6 verdict's ask #4:
+# rel_agg_pushdown's leak was adjudicated safe, but only a lint makes
+# the next one impossible to land silently).
+CONF_LEAK_ALLOWLIST = {
+    # consulted at PLAN time (V2ScanRelationPushDown), cannot be
+    # restored around a lazy read without killing the pushdown; inert
+    # elsewhere because useV1SourceList is restored (and the stray-V2
+    # lint below proves no other query plans a BatchScan)
+    "rel_agg_pushdown": {"spark.sql.parquet.aggregatePushdown"},
+}
+# session-lifetime confs set once by shared infrastructure, not leaks:
+# tables.load flips nanosAsLong on the first events.parquet read
+CONF_GLOBAL_OK = {"spark.sql.legacy.parquet.nanosAsLong"}
+
+
+def _sql_confs(spark) -> dict:
+    return {r["key"]: r["value"] for r in spark.sql("SET").collect()}
+
+
+def test_no_session_conf_leaks_and_no_stray_v2_scans(spark, sf_dir):
+    """Registry-wide double lint. (1) Building any registry entry must
+    leave the session SQL-conf surface unchanged, except the allow-
+    listed documented cases — this is what keeps rel_agg_pushdown's
+    session-wide aggregatePushdown=true INERT: it only matters to V2
+    scans, so (2) no other entry may plan a V2 BatchScan (everything
+    else reads via the restored V1 source list). A future query that
+    clears useV1SourceList without restoring it trips lint 1; one that
+    restores it but plans through V2 anyway trips lint 2."""
+    # warm the known session-lifetime conf so it never shows as a diff
+    from sentiflow_spark.tables import load
+
+    load(spark, sf_dir, "events")
+    leaks, stray_v2 = {}, {}
+    for name, entry in REGISTRY.items():
+        lazy = "streaming" not in entry.tags and "iterative" not in entry.tags
+        before = _sql_confs(spark)
+        df = entry.fn(spark, sf_dir)
+        after = _sql_confs(spark)
+        changed = {
+            k
+            for k in set(before) | set(after)
+            if before.get(k) != after.get(k) and k not in CONF_GLOBAL_OK
+        }
+        extra = changed - CONF_LEAK_ALLOWLIST.get(name, set())
+        if extra:
+            leaks[name] = sorted(extra)
+        if lazy and name != "rel_agg_pushdown":
+            plan = I.formatted_plan(df)
+            # custom Python DataSources (pl_datasource_*) are DSv2 by
+            # construction and not parquet — only a V2 PARQUET scan
+            # would inherit the parquet aggregatePushdown conf
+            if "BatchScan parquet" in plan:
+                stray_v2[name] = True
+    assert not leaks, f"session-conf leaks outside the allow-list: {leaks}"
+    assert not stray_v2, (
+        "queries planning V2 BatchScans (would inherit aggregatePushdown "
+        f"and change plan shape silently): {sorted(stray_v2)}"
+    )
+    # the allow-list can't rot: rel_agg_pushdown must actually still
+    # need its exception (it sets the conf only if unset/false, so a
+    # pre-set session shows no diff — assert the conf is engaged)
+    assert (
+        spark.conf.get("spark.sql.parquet.aggregatePushdown") == "true"
+    ), "allow-list entry rel_agg_pushdown no longer sets its conf"
