@@ -723,11 +723,89 @@ def _st_gate_oracle() -> str:
     """
 
 
-# late-bind the oracle: the generators live in curation modules that
+# ------------------------------------ streaming curation admission
+
+
+@register(
+    "st_curation_admit",
+    oracle=None,  # late-bound below, like st_curation_gate
+    tags=("streaming", "curation", "dedup", "M3", "A3", "J5", "arrow-udf"),
+    doc="Streaming exact-dedup ADMISSION on the curation path — the "
+    "reference's J5/A3 dedup-mark semantics (Valkey 24h set; "
+    "internal/clients/valkey_client) applied to ingest curation, the "
+    "round-6 verdict's ask #3: NFC normalize → Gopher gate (the same "
+    "nfc_norm_expr/gopher_flags/DAG_GOPHER_RULES cores as the batch "
+    "DAG, so the gates cannot drift) → first-arrival-wins exact dedup "
+    "via dropDuplicatesWithinWatermark keyed on the canonical content "
+    "fingerprint, 24 h ingest-time TTL. State is ONE RocksDB mark per "
+    "distinct surviving fingerprint, expired by the watermark — "
+    "bounded per-key exactly like the reference's dedup set, at any "
+    "stream length. Determinism trick: gopher_flags runs KEYED BY THE "
+    "FINGERPRINT (duplicate texts produce identical metrics), and the "
+    "emitted row (fp, n_words) is a pure function of the key, so "
+    "whichever physical row wins the within-batch race the output is "
+    "identical — streaming-vs-batch hash equality holds without "
+    "constraining arrival order (same device as st_dedup_watermark's "
+    "key-columns-only projection).",
+)
+def st_curation_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.functions.text import fingerprint
+    from sentiflow_spark.queries.curation_dag import DAG_GOPHER_RULES
+    from sentiflow_spark.queries.curation_queries import (
+        gopher_flags,
+        nfc_norm_expr,
+    )
+
+    docs = load_stream(spark, sf_dir, "documents")
+    norm = docs.select(nfc_norm_expr(F.col("text")).alias("text"))
+    keyed = norm.select(fingerprint(F.col("text")).alias("doc_id"), "text")
+    flags = gopher_flags(keyed)
+    admitted = None
+    for r in DAG_GOPHER_RULES:
+        admitted = F.col(r) if admitted is None else (admitted & F.col(r))
+    gate = flags.filter(admitted).select(
+        F.col("doc_id").alias("fp"), "n_words"
+    )
+    deduped = (
+        gate.withColumn("ingest_ts", F.current_timestamp())
+        .withWatermark("ingest_ts", "24 hours")
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+    return run_to_table(deduped.select("fp", "n_words"))
+
+
+def _st_admit_oracle() -> str:
+    from sentiflow_spark.functions.text import duck_fingerprint
+    from sentiflow_spark.queries.curation_dag import DAG_GOPHER_RULES
+    from sentiflow_spark.queries.curation_queries import (
+        GOPHER_RULES_SQL,
+        duck_gopher_m_cte,
+        duck_norm_sql,
+    )
+
+    pass_sql = " AND ".join(
+        f"({GOPHER_RULES_SQL[r]})" for r in DAG_GOPHER_RULES
+    )
+    return f"""
+    WITH norm AS (
+      SELECT {duck_norm_sql('text')} AS text FROM documents
+    ),
+    docs_n AS (
+      SELECT {duck_fingerprint('text')} AS doc_id, text FROM norm
+    ),
+    {duck_gopher_m_cte(source="docs_n")}
+    SELECT DISTINCT doc_id AS fp, n_words FROM gm WHERE {pass_sql}
+    """
+
+
+# late-bind the oracles: the generators live in curation modules that
 # import this module's registry siblings; binding after definition
 # avoids a circular import at module-load time
 import dataclasses as _dc  # noqa: E402
 
 _REG["st_curation_gate"] = _dc.replace(
     _REG["st_curation_gate"], oracle=_st_gate_oracle()
+)
+_REG["st_curation_admit"] = _dc.replace(
+    _REG["st_curation_admit"], oracle=_st_admit_oracle()
 )

@@ -277,6 +277,67 @@ def test_curate_job_writes_partitioned_corpus(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_curate_job_artifacts_equal_query(spark):
+    """Round-7 gate (r6 verdict ask #2): the curate job's WRITTEN
+    artifacts — not just its funnel counts — equal the oracle-checked
+    txt_curation_dag query at sf0.01. Three checks: the disposition
+    parquet is row-for-row identical to the declared query (same
+    canonicalized compare the driver uses), the corpus carries exactly
+    the kept dispositions' (doc_id, split, seq_id) with non-null clean
+    text, and the physical split=... partition layout matches the
+    query's per-split counts (the layout trainers shard on)."""
+    import glob
+    import sys
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), os.pardir, "tools")
+    )
+    from pandas_canon import canon_pdf
+
+    from sentiflow_spark.queries.registry import load_all
+
+    sf01 = "/root/testdata/sf0.01"
+    d = tempfile.mkdtemp(prefix="sf_jobs_art_")
+    try:
+        _run(["curate", "--sf-dir", sf01, "--out", f"{d}/cur"])
+
+        disp_q = load_all()["txt_curation_dag"].fn(spark, sf01)
+        disp_j = spark.read.parquet(f"{d}/cur/disposition")
+        qc, _, qrows = canon_pdf(disp_q.toPandas())
+        jc, _, jrows = canon_pdf(disp_j.toPandas())
+        assert jc == qc
+        assert jrows == qrows, "disposition artifact differs from query"
+
+        corpus = spark.read.parquet(f"{d}/cur/corpus")
+        kept = disp_q.filter(F.col("stage") == "kept")
+        _, _, crows = canon_pdf(
+            corpus.select("doc_id", "split", "seq_id").toPandas()
+        )
+        _, _, krows = canon_pdf(
+            kept.select("doc_id", "split", "seq_id").toPandas()
+        )
+        assert crows == krows, "corpus rows differ from kept dispositions"
+        assert corpus.filter(F.col("clean_text").isNull()).count() == 0
+
+        per_split = {
+            r["split"]: r["n"]
+            for r in kept.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        on_disk = {
+            os.path.basename(p).split("=", 1)[1]
+            for p in glob.glob(f"{d}/cur/corpus/split=*")
+        }
+        assert on_disk == set(per_split)
+        for s, n in per_split.items():
+            assert spark.read.parquet(f"{d}/cur/corpus/split={s}").count() == n
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_watermark_late_data_semantics(spark):
     """A3/W4 late-data contract, pinned by a two-run drip feed: a row
     later than its window's finalized watermark is DROPPED; a late row

