@@ -61,33 +61,83 @@ def test_simhash_pairs_no_cartesian(spark, sf_dir):
     assert not I.has_cartesian(df)
 
 
-def test_no_python_row_udfs_anywhere(spark, sf_dir):
+# ---------------------------------------------------------------------
+# ONE shared scan for every registry-wide lint. Building a query's fn
+# is not free (several queries localCheckpoint stages eagerly; the
+# streaming/iterative ones execute outright), so the five registry-wide
+# lints share a single build pass instead of five. The conf snapshot is
+# taken around each build here because it must wrap the ONLY build.
+# ---------------------------------------------------------------------
+
+# Session confs a query may legitimately change, and keep changed, for
+# the rest of the session. Anything else leaking out of a registry
+# entry's build fails the conf lint (the round-6 verdict's ask #4:
+# rel_agg_pushdown's leak was adjudicated safe, but only a lint makes
+# the next one impossible to land silently).
+CONF_LEAK_ALLOWLIST = {
+    # consulted at PLAN time (V2ScanRelationPushDown), cannot be
+    # restored around a lazy read without killing the pushdown; inert
+    # elsewhere because useV1SourceList is restored (and the stray-V2
+    # lint proves no other query plans a parquet BatchScan)
+    "rel_agg_pushdown": {"spark.sql.parquet.aggregatePushdown"},
+}
+# session-lifetime confs set once by shared infrastructure, not leaks:
+# tables.load flips nanosAsLong on the first events.parquet read
+CONF_GLOBAL_OK = {"spark.sql.legacy.parquet.nanosAsLong"}
+
+
+def _sql_confs(spark) -> dict:
+    return {r["key"]: r["value"] for r in spark.sql("SET").collect()}
+
+
+@pytest.fixture(scope="module")
+def plan_scan(spark, sf_dir):
+    """name -> (df, conf_keys_changed_by_the_build). Built once for the
+    whole module; every registry-wide lint below reads from it."""
+    from sentiflow_spark.tables import load
+
+    # warm the known session-lifetime conf so it never shows as a diff
+    load(spark, sf_dir, "events")
+    out = {}
+    for name, entry in REGISTRY.items():
+        before = _sql_confs(spark)
+        df = entry.fn(spark, sf_dir)
+        after = _sql_confs(spark)
+        changed = {
+            k
+            for k in set(before) | set(after)
+            if before.get(k) != after.get(k) and k not in CONF_GLOBAL_OK
+        }
+        out[name] = (df, changed)
+    return out
+
+
+def _lazy(entry) -> bool:
+    return "streaming" not in entry.tags and "iterative" not in entry.tags
+
+
+def test_no_python_row_udfs_anywhere(plan_scan):
     """Row-at-a-time Python UDFs are banned from every declared query;
     the only Python is Arrow-batched (mapInPandas, @pandas_udf, Arrow
     UDTF — the latter two carry the 'arrow-udf' tag and are checked
-    separately below)."""
+    separately below). Streaming/iterative entries execute eagerly, so
+    only the lazily-planned ones are inspectable."""
     for name, entry in REGISTRY.items():
-        if "streaming" in entry.tags:
-            continue  # streaming queries execute on collection, not lazily
-        if "iterative" in entry.tags:
-            continue  # driver-loop queries execute eagerly; only the
-            # final assignment plan would be inspected anyway
-        if "arrow-udf" in entry.tags:
-            continue  # sanctioned Arrow-vectorized Python surface
-        df = entry.fn(spark, sf_dir)
-        assert I.python_eval_count(df) == 0, name
+        if not _lazy(entry) or "arrow-udf" in entry.tags:
+            continue
+        assert I.python_eval_count(plan_scan[name][0]) == 0, name
 
 
-def test_arrow_udf_queries_stay_on_arrow_path(spark, sf_dir):
+def test_arrow_udf_queries_stay_on_arrow_path(plan_scan):
     """The declared Python-surface queries must plan as Arrow
     evaluation (ArrowEvalPython / ArrowEvalPythonUDTF / a Python UDAF
     inside a real two-stage aggregate) — never pickled-row
     BatchEvalPython."""
     checked = 0
     for name, entry in REGISTRY.items():
-        if "arrow-udf" not in entry.tags:
+        if "arrow-udf" not in entry.tags or not _lazy(entry):
             continue
-        plan = I.simple_plan(entry.fn(spark, sf_dir))
+        plan = I.simple_plan(plan_scan[name][0])
         assert "BatchEvalPython" not in plan, name
         checked += 1
     assert checked >= 3
@@ -132,17 +182,14 @@ def test_frame_sample_prunes_before_udf(spark, sf_dir):
 CARTESIAN_OK = {"rel_join_cross", "rel_scalar_subquery"}
 
 
-def test_no_unbounded_cartesian_anywhere(spark, sf_dir):
+def test_no_unbounded_cartesian_anywhere(plan_scan):
     """Registry-wide sweep: no query may plan a CartesianProduct unless
     whitelisted as an intentional bounded cross join — pair generation
     must always be an equi-join (LSH bands, chunks, buckets)."""
     for name, entry in REGISTRY.items():
-        if "streaming" in entry.tags or name in CARTESIAN_OK:
+        if not _lazy(entry) or name in CARTESIAN_OK:
             continue
-        if "iterative" in entry.tags:
-            continue  # executes eagerly (driver loop)
-        df = entry.fn(spark, sf_dir)
-        assert not I.has_cartesian(df), name
+        assert not I.has_cartesian(plan_scan[name][0]), name
 
 
 def test_q4_semi_join_with_residual(spark, sf_dir):
@@ -417,16 +464,16 @@ UNPARTITIONED_WINDOW_ALLOWLIST = {
 }
 
 
-def test_no_unpartitioned_windows_outside_allowlist(spark, sf_dir):
+def test_no_unpartitioned_windows_outside_allowlist(plan_scan):
     """Registry-wide lint: an unpartitioned WindowExec over a non-allow-
     listed input cannot land silently (the round-5 verdict's ask). Also
     fails when an allow-list entry goes stale (query no longer plans an
     unpartitioned window) so the list can't rot."""
     offenders = {}
     for name, entry in REGISTRY.items():
-        if "streaming" in entry.tags or "iterative" in entry.tags:
+        if not _lazy(entry):
             continue  # same execution-model exclusions as the UDF lint
-        specs = I.unpartitioned_window_specs(entry.fn(spark, sf_dir))
+        specs = I.unpartitioned_window_specs(plan_scan[name][0])
         if specs:
             offenders[name] = specs
     unexplained = {
@@ -441,55 +488,22 @@ def test_no_unpartitioned_windows_outside_allowlist(spark, sf_dir):
     assert not stale, f"allow-list entries no longer needed: {stale}"
 
 
-# Session confs a query may legitimately change, and keep changed, for
-# the rest of the session. Anything else leaking out of a registry
-# entry's build fails the lint below (the round-6 verdict's ask #4:
-# rel_agg_pushdown's leak was adjudicated safe, but only a lint makes
-# the next one impossible to land silently).
-CONF_LEAK_ALLOWLIST = {
-    # consulted at PLAN time (V2ScanRelationPushDown), cannot be
-    # restored around a lazy read without killing the pushdown; inert
-    # elsewhere because useV1SourceList is restored (and the stray-V2
-    # lint below proves no other query plans a BatchScan)
-    "rel_agg_pushdown": {"spark.sql.parquet.aggregatePushdown"},
-}
-# session-lifetime confs set once by shared infrastructure, not leaks:
-# tables.load flips nanosAsLong on the first events.parquet read
-CONF_GLOBAL_OK = {"spark.sql.legacy.parquet.nanosAsLong"}
-
-
-def _sql_confs(spark) -> dict:
-    return {r["key"]: r["value"] for r in spark.sql("SET").collect()}
-
-
-def test_no_session_conf_leaks_and_no_stray_v2_scans(spark, sf_dir):
+def test_no_session_conf_leaks_and_no_stray_v2_scans(spark, plan_scan):
     """Registry-wide double lint. (1) Building any registry entry must
     leave the session SQL-conf surface unchanged, except the allow-
     listed documented cases — this is what keeps rel_agg_pushdown's
     session-wide aggregatePushdown=true INERT: it only matters to V2
-    scans, so (2) no other entry may plan a V2 BatchScan (everything
-    else reads via the restored V1 source list). A future query that
-    clears useV1SourceList without restoring it trips lint 1; one that
-    restores it but plans through V2 anyway trips lint 2."""
-    # warm the known session-lifetime conf so it never shows as a diff
-    from sentiflow_spark.tables import load
-
-    load(spark, sf_dir, "events")
+    scans, so (2) no other entry may plan a V2 parquet BatchScan
+    (everything else reads via the restored V1 source list). A future
+    query that clears useV1SourceList without restoring it trips lint
+    1; one that restores it but plans through V2 anyway trips lint 2."""
     leaks, stray_v2 = {}, {}
     for name, entry in REGISTRY.items():
-        lazy = "streaming" not in entry.tags and "iterative" not in entry.tags
-        before = _sql_confs(spark)
-        df = entry.fn(spark, sf_dir)
-        after = _sql_confs(spark)
-        changed = {
-            k
-            for k in set(before) | set(after)
-            if before.get(k) != after.get(k) and k not in CONF_GLOBAL_OK
-        }
+        df, changed = plan_scan[name]
         extra = changed - CONF_LEAK_ALLOWLIST.get(name, set())
         if extra:
             leaks[name] = sorted(extra)
-        if lazy and name != "rel_agg_pushdown":
+        if _lazy(entry) and name != "rel_agg_pushdown":
             plan = I.formatted_plan(df)
             # custom Python DataSources (pl_datasource_*) are DSv2 by
             # construction and not parquet — only a V2 PARQUET scan
