@@ -140,11 +140,25 @@ def curation_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         s5.select("doc_id", "text")
     )
     spans = winnow_contaminated_spans(wsrc, is_bench=is_bench)
-    cut = cut_spans(s5.select("doc_id", "text"), spans).select(
-        "doc_id",
-        "clean_text",
-        token_count(F.col("clean_text")).cast("long").alias("n_tokens"),
-        (F.col("orig_len") - F.col("clean_len")).cast("long").alias("cut_chars"),
+    # Pinned like docs_n/s5: the decontaminated text is the third phase
+    # boundary a production pipeline persists. Without it the winnow
+    # hashing pass re-executes once inside connected_components' eager
+    # edge derivation and once per downstream branch (tok and packed
+    # reference cut through separate join arms of the one disposition
+    # action) — three computes of the most expensive stage instead of
+    # one (measured at sf0.1: whole-DAG cold 23.5 s → 18.0 s, warm
+    # ~9.8 s → ~9.1 s).
+    cut = (
+        cut_spans(s5.select("doc_id", "text"), spans)
+        .select(
+            "doc_id",
+            "clean_text",
+            token_count(F.col("clean_text")).cast("long").alias("n_tokens"),
+            (F.col("orig_len") - F.col("clean_len")).cast("long").alias(
+                "cut_chars"
+            ),
+        )
+        .localCheckpoint()
     )
 
     alive = cut.filter(F.col("n_tokens") > 0)
