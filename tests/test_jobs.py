@@ -698,3 +698,36 @@ def test_kafka_broker_e2e_keyed_roundtrip(spark):
         ("id-1", "id-1", "hello", 1),
         ("id-2", "id-2", "world", 2),
     ]
+
+
+def test_curate_job_cli_subprocess_stdout_contract(sf_dir):
+    """The job CLI as a user actually invokes it — a REAL subprocess
+    (`python -m sentiflow_spark.jobs curate ...`) with its own
+    SparkSession bring-up, not an in-process main() call like the
+    tests above: argument wiring, module entrypoint, and the stdout
+    contract (the result JSON is the last stdout line; Spark noise
+    stays on stderr) all verified end to end."""
+    import json
+    import subprocess
+    import sys
+
+    d = tempfile.mkdtemp(prefix="sf_cli_")
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "sentiflow_spark.jobs", "curate",
+             "--sf-dir", sf_dir, "--out", f"{d}/cur"],
+            capture_output=True, text=True, timeout=300,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+        assert lines, "no stdout from the job CLI"
+        result = json.loads(lines[-1])
+        assert result["job"] == "curate"
+        assert result["rows_in"] == 500
+        assert sum(result["funnel"].values()) == 500
+        assert result["rows_out"] == result["funnel"]["kept"] > 0
+        assert os.path.isdir(f"{d}/cur/corpus")
+        assert os.path.isdir(f"{d}/cur/disposition")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

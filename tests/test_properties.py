@@ -1236,11 +1236,12 @@ def test_duckdb_recursive_oracles_are_deterministic(sf_dir):
     nondeterministic on RAGGED multi-row inputs (caught live while
     building txt_wordpiece_encode — repeated runs returned different
     values, even at threads=1; its walk is now a lambda-free recursive
-    join). sim_dtw_topk's fold survives because every list in a batch
-    has the SAME length (series share the global day span; prev rows
-    are all n+1 cells) — this test re-runs both oracles back-to-back
-    and fails if either ever goes unstable, e.g. after a duckdb
-    upgrade or a series-construction change."""
+    join). Round 7 removed the LAST reduce() as well — sim_dtw_topk's
+    within-row fold is now 2R+1 unrolled chained lateral aliases, so
+    the registry's oracle SQL contains no stateful lambdas at all —
+    but the canary stays: it re-runs both oracles back-to-back and
+    fails if either ever goes unstable, e.g. after a duckdb upgrade
+    or a series-construction change."""
     import duckdb
 
     from sentiflow_spark.queries.corpus_queries import _duck_dtw_oracle
@@ -1297,3 +1298,77 @@ def test_wordpiece_greedy_matches_reference():
     assert greedy("abcd") == 1
     assert greedy("abcdx") == 2
     assert greedy("zq") == 2  # falls back to single chars
+
+
+def test_dtw_oracle_unrolled_band_matches_python_dp():
+    """Property check for the round-7 lambda-free DTW oracle rewrite:
+    the 2R+1 unrolled lateral-alias band cells must reproduce the
+    banded DP exactly on RANDOM series, not just the committed corpus
+    — band-edge cells (lo/hi clamping, the INF padding splice) are the
+    part a fixed dataset exercises thinly. Five seeded trials build a
+    synthetic events table whose per-user daily counts equal random
+    integer series, run the full oracle SQL, and compare the top-k
+    table against an independent pure-Python banded DP with the same
+    (dtw ASC, cand ASC) tie-break."""
+    import random
+
+    import duckdb
+
+    from sentiflow_spark.queries.corpus_queries import (
+        DTW_BAND,
+        DTW_K,
+        DTW_PROBES,
+        _duck_dtw_oracle,
+    )
+
+    def dtw(a, b, band=DTW_BAND):
+        n, m = len(a), len(b)
+        r = max(band, abs(n - m))
+        INF = float("inf")
+        prev = [0.0] + [INF] * m
+        for i in range(1, n + 1):
+            cur = [INF] * (m + 1)
+            for j in range(max(1, i - r), min(m, i + r) + 1):
+                cost = abs(a[i - 1] - b[j - 1])
+                cur[j] = cost + min(prev[j], cur[j - 1], prev[j - 1])
+            prev = cur
+        return prev[m]
+
+    rng = random.Random(7)
+    for trial in range(5):
+        n_users = rng.randint(4, 6)
+        length = rng.randint(2, 12)
+        series = {
+            u: [rng.randint(0, 5) for _ in range(length)]
+            for u in range(n_users)
+        }
+        # every user needs >=1 event on day 0 and the last day so the
+        # global span equals the intended length; bump zeros there
+        for s in series.values():
+            s[0] = max(s[0], 1)
+            s[-1] = max(s[-1], 1)
+        rows = []
+        for u, s in series.items():
+            for d, c in enumerate(s):
+                for k in range(c):
+                    rows.append((u, d * 86400 + k))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE events AS SELECT col0 AS user_id, "
+            "to_timestamp(col1) AS ts FROM (VALUES "
+            + ", ".join(f"({u}, {t})" for u, t in rows)
+            + ") v(col0, col1)"
+        )
+        got = sorted(map(tuple, con.execute(_duck_dtw_oracle()).fetchall()))
+        want = []
+        for p in range(min(DTW_PROBES, n_users)):
+            cands = sorted(
+                (int(dtw(series[p], series[c])), c)
+                for c in series
+                if c != p
+            )
+            want += [
+                (p, c, d, r + 1)
+                for r, (d, c) in enumerate(cands[:DTW_K])
+            ]
+        assert got == sorted(want), f"trial {trial}: {got} != {want}"

@@ -900,3 +900,108 @@ def test_curation_admit_state_bounded_per_fingerprint(spark, sf_dir):
         assert keys == {r["fp"] for r in got.select("fp").collect()}
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_curation_admit_state_survives_restart(spark, sf_dir):
+    """Exactly-once ADMISSION across restarts — the dedup-mark
+    durability the reference gets from Valkey persistence: run the
+    admission flow over half the corpus, stop, then feed the second
+    half SPIKED WITH COPIES of already-admitted content and resume
+    from the same checkpoint. The copies must NOT re-emit — their
+    fingerprints live in the carried state store, not in the new
+    micro-batch — and the union of both runs' output must equal the
+    batch DISTINCT over everything admitted, with zero duplicate
+    fingerprints."""
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.functions.text import fingerprint
+    from sentiflow_spark.queries.curation_dag import DAG_GOPHER_RULES
+    from sentiflow_spark.queries.curation_queries import (
+        gopher_flags,
+        nfc_norm_expr,
+    )
+    from sentiflow_spark.tables import load
+
+    src = tempfile.mkdtemp(prefix="sf_admit_src_")
+    out = tempfile.mkdtemp(prefix="sf_admit_out_")
+    ckpt = tempfile.mkdtemp(prefix="sf_admit_rck_")
+    try:
+        docs = load(spark, sf_dir, "documents")
+        schema = docs.schema
+        half_a = docs.filter(F.col("doc_id") < 250)
+        # half B: the rest, plus verbatim copies of 100 half-A docs
+        # under fresh ids — guaranteed cross-restart duplicates
+        copies = half_a.filter(F.col("doc_id") < 100).withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        )
+        half_b = docs.filter(F.col("doc_id") >= 250).unionByName(copies)
+
+        def admit_flow(df):
+            norm = df.select(nfc_norm_expr(F.col("text")).alias("text"))
+            keyed = norm.select(
+                fingerprint(F.col("text")).alias("doc_id"), "text"
+            )
+            flags = gopher_flags(keyed)
+            admitted = None
+            for r in DAG_GOPHER_RULES:
+                admitted = (
+                    F.col(r) if admitted is None else (admitted & F.col(r))
+                )
+            gate = flags.filter(admitted).select(
+                F.col("doc_id").alias("fp"), "n_words"
+            )
+            return (
+                gate.withColumn("ingest_ts", F.current_timestamp())
+                .withWatermark("ingest_ts", "24 hours")
+                .dropDuplicatesWithinWatermark(["fp"])
+                .select("fp", "n_words")
+            )
+
+        def run_once():
+            reader = spark.readStream.schema(schema).parquet(src)
+            q = (
+                admit_flow(reader)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        half_a.coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        n_run1 = spark.read.parquet(out).count()
+        half_b.coalesce(1).write.mode("append").parquet(src)
+        run_once()
+
+        got = spark.read.parquet(out)
+        # batch truth over everything that ever hit the stream
+        b_all = half_a.unionByName(half_b)
+        b_norm = b_all.select(nfc_norm_expr(F.col("text")).alias("text"))
+        b_keyed = b_norm.select(
+            fingerprint(F.col("text")).alias("doc_id"), "text"
+        )
+        b_admitted = None
+        for r in DAG_GOPHER_RULES:
+            b_admitted = (
+                F.col(r) if b_admitted is None else (b_admitted & F.col(r))
+            )
+        want = (
+            gopher_flags(b_keyed)
+            .filter(b_admitted)
+            .select(F.col("doc_id").alias("fp"), "n_words")
+            .distinct()
+        )
+        n_want = want.count()
+        assert n_run1 < n_want  # run 1 saw only half the content
+        assert got.count() == n_want  # resume admitted ONLY the new
+        # zero duplicate fingerprints across the restart boundary —
+        # the copies were suppressed by carried state, not luck
+        assert got.select("fp").distinct().count() == n_want
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
