@@ -1232,6 +1232,263 @@ def txt_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------- unigram-LM (Viterbi) subword tokenizer, Kudo 2018
+
+UG_MAX_PIECE = 4    # max piece length admitted to the vocabulary
+UG_MIN_COUNT = 5    # weighted corpus occurrences to admit a piece
+UG_NT_STRIDE = 1024  # combined = cost * stride + n_tokens (words <= 8 chars)
+UG_BIG = 2**61      # infeasible-transition sentinel (> any real path)
+
+
+def _duck_unigram_oracle() -> str:
+    l, mc = UG_MAX_PIECE, UG_MIN_COUNT
+    s, big = UG_NT_STRIDE, UG_BIG
+    # dp[k] = min over piece lengths j (1..L, vocab-matched, ending at
+    # k) of dp[k-j] + cost_j, with ties broken by FEWEST tokens —
+    # encoded lexicographically as combined = cost * stride + nt, so
+    # the transition is just parent + cost_j * stride + 1 and MIN is
+    # exact. The walk carries the last L dp values as a fixed-length
+    # list; each step is fully unrolled into scalar expressions
+    # (lambda-free, like the round-7 DTW oracle): prevs[L-j+1] = dp[k-j].
+    terms = ", ".join(
+        f"coalesce(k.prevs[{l} - {j} + 1] + e.c{j} * {s} + 1, CAST({big} AS BIGINT))"
+        for j in range(1, l + 1)
+    )
+    shift = ", ".join(f"k.prevs[{i}]" for i in range(2, l + 1))
+    ccols = ", ".join(
+        f"MAX(CASE WHEN pl = {j} THEN cost END) AS c{j}" for j in range(1, l + 1)
+    )
+    return f"""
+    WITH RECURSIVE words0 AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    ),
+    wf AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM words0 GROUP BY w
+    ),
+    posw AS (
+      SELECT w, f, CAST(unnest(range(1, length(w) + 1)) AS INT) AS p
+      FROM wf
+    ),
+    posl AS MATERIALIZED (
+      SELECT w, f, p,
+             CAST(unnest(range(1, least({l}, length(w) - p + 1) + 1)) AS INT)
+               AS pl
+      FROM posw
+    ),
+    cand AS MATERIALIZED (
+      SELECT w, f, p, pl, substr(w, p, pl) AS piece FROM posl
+    ),
+    piecef AS MATERIALIZED (
+      SELECT piece, length(piece) AS pl, SUM(f) AS pf FROM cand GROUP BY 1, 2
+    ),
+    vocab AS MATERIALIZED (
+      SELECT piece, pl, pf FROM piecef WHERE pf >= {mc} OR pl = 1
+    ),
+    tot AS (SELECT CAST(SUM(pf) AS DOUBLE) AS t FROM vocab),
+    vc AS MATERIALIZED (
+      SELECT piece, pl,
+             CAST(round(-1000000.0 * ln(CAST(pf AS DOUBLE) / tot.t), 0)
+                  AS BIGINT) AS cost
+      FROM vocab CROSS JOIN tot
+    ),
+    endw AS MATERIALIZED (
+      SELECT w, k, {ccols} FROM (
+        SELECT c.w AS w, c.p + c.pl - 1 AS k, c.pl AS pl, vc.cost AS cost
+        FROM cand c JOIN vc ON vc.piece = c.piece AND vc.pl = c.pl
+      )
+      GROUP BY 1, 2
+    ),
+    walk(w, k, prevs, dpk) AS (
+      SELECT w, 0,
+             list_transform(range({l - 1}), x -> CAST({big} AS BIGINT))
+               || [CAST(0 AS BIGINT)],
+             CAST(0 AS BIGINT)
+      FROM wf
+      UNION ALL
+      SELECT k.w, k.k + 1,
+             [{shift}, least({terms})],
+             least({terms})
+      FROM walk k JOIN endw e ON e.w = k.w AND e.k = k.k + 1
+    ),
+    wtok AS (
+      SELECT k.w, CAST(k.dpk // {s} AS BIGINT) AS wcost,
+             CAST(k.dpk % {s} AS BIGINT) AS wnt
+      FROM walk k JOIN wf ON wf.w = k.w
+      WHERE k.k = length(k.w)
+    ),
+    dw AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    ),
+    agg AS (
+      SELECT doc_id, CAST(SUM(wnt) AS BIGINT) AS n,
+             CAST(SUM(wcost) AS BIGINT) AS c
+      FROM dw JOIN wtok USING (w) GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(agg.n, 0) AS n_ug_tokens,
+           COALESCE(agg.c, 0) AS ug_cost
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """
+
+
+@register(
+    "txt_unigram_tokenize",
+    oracle=_duck_unigram_oracle(),
+    tags=("curation", "M5", "tokenizer", "aggregate", "join"),
+    doc=f"The THIRD major subword-tokenizer family, completing the "
+    "triangle with txt_bpe_encode (merge-order) and "
+    "txt_wordpiece_encode (greedy longest-match): unigram-LM "
+    "segmentation (Kudo, ACL 2018 — the SentencePiece default), where "
+    "each word takes its GLOBALLY OPTIMAL segmentation — minimum total "
+    "self-information under a piece unigram model, ties to fewest "
+    f"pieces. Vocabulary = word substrings of length <= {UG_MAX_PIECE} "
+    f"with >= {UG_MIN_COUNT} weighted occurrences plus all single "
+    "chars (feasibility fallback); piece costs are integer MICRO-NATS "
+    "(round(-1e6*ln(pf/total)) — the txt_unigram_logprob quantization "
+    "device, coarse enough that a 1-ulp ln() wobble cannot move the "
+    "rounded integer), and the Viterbi value is the lexicographic "
+    f"(cost, n_tokens) pair packed as cost*{UG_NT_STRIDE}+nt so the "
+    "whole DP is exact BIGINT MIN — both engines agree bitwise. Scale "
+    "shape, same sufficient-statistic contract as the other two "
+    "tokenizers: vocabulary, costs and the per-word DP all run on the "
+    "Zipf-bounded DISTINCT-WORD table (max word length 8 here, so "
+    "<= 8 DP steps of <= 4 unrolled transitions each); the corpus is "
+    "touched once — word stream -> broadcast word->(cost,nt) map -> "
+    "per-doc sum. Emits per-doc optimal token count AND total encoding "
+    "cost, the quantity a compression-quality curation gate thresholds "
+    "(high cost/token = far from the corpus piece distribution).",
+)
+def txt_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("w")
+    )
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    pos_l = (
+        wf.select(
+            "w",
+            "f",
+            F.explode(F.sequence(F.lit(1), F.length("w"))).alias("p"),
+        )
+        .select(
+            "w",
+            "f",
+            "p",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.lit(UG_MAX_PIECE), F.length("w") - F.col("p") + 1
+                    ),
+                )
+            ).alias("pl"),
+        )
+        .withColumn("piece", F.col("w").substr(F.col("p"), F.col("pl")))
+    )
+    piecef = pos_l.groupBy("piece", F.length("piece").alias("pl")).agg(
+        F.sum("f").alias("pf")
+    )
+    vocab = piecef.filter(
+        (F.col("pf") >= UG_MIN_COUNT) | (F.col("pl") == 1)
+    )
+    tot = vocab.agg(F.sum("pf").cast("double").alias("t"))
+    vc = vocab.join(F.broadcast(tot)).select(
+        "piece",
+        "pl",
+        F.round(
+            F.lit(-1000000.0) * F.log(F.col("pf").cast("double") / F.col("t")),
+            0,
+        )
+        .cast("long")
+        .alias("cost"),
+    )
+    # per (word, END position): cost of the vocab piece of each length
+    # ending there (NULL when absent) — the DP's transition table
+    endw = (
+        pos_l.join(F.broadcast(vc), ["piece", "pl"])
+        .groupBy("w", (F.col("p") + F.col("pl") - 1).alias("k"))
+        .agg(
+            *[
+                F.max(F.when(F.col("pl") == j, F.col("cost"))).alias(f"c{j}")
+                for j in range(1, UG_MAX_PIECE + 1)
+            ]
+        )
+    )
+    carr = endw.groupBy("w").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "k", *[f"c{j}" for j in range(1, UG_MAX_PIECE + 1)]
+                    )
+                )
+            ),
+            lambda st: F.struct(
+                *[st[f"c{j}"].alias(f"c{j}") for j in range(1, UG_MAX_PIECE + 1)]
+            ),
+        ).alias("ends")
+    )
+    BIG = F.lit(UG_BIG).cast("long")
+    S = F.lit(UG_NT_STRIDE).cast("long")
+
+    # Viterbi fold over END positions k = 1..len(w): the accumulator is
+    # the full dp list (dp[0..k-1], combined encoding); every transition
+    # is feasible only via a non-NULL c_j, and element_at(acc, k-j+1)
+    # is in range whenever c_j is non-NULL (a length-j piece ending at
+    # k starts at k-j+1 >= 1).
+    def step(acc, k):
+        e = F.element_at(F.col("ends"), k.cast("int"))
+        cands = [
+            F.coalesce(
+                # the index is clamped only so ANSI element_at never
+                # sees 0/negative when k < j — there c_j is NULL, the
+                # whole candidate is NULL, and coalesce yields BIG
+                F.element_at(
+                    acc, F.greatest(k - j + 1, F.lit(1)).cast("int")
+                )
+                + e[f"c{j}"] * S
+                + F.lit(1),
+                BIG,
+            )
+            for j in range(1, UG_MAX_PIECE + 1)
+        ]
+        return F.concat(acc, F.array(F.least(*cands)))
+
+    dp = F.aggregate(
+        F.sequence(F.lit(1), F.size(F.col("ends"))),
+        F.array(F.lit(0).cast("long")),
+        step,
+    )
+    combined = F.element_at(dp, F.size(F.col("ends")) + 1)
+    wtok = carr.select(
+        "w",
+        (combined / S).cast("long").alias("wcost"),
+        (combined % S).cast("long").alias("wnt"),
+    )
+    dw = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    )
+    agg = (
+        dw.join(F.broadcast(wtok), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("wnt").cast("long").alias("n"),
+            F.sum("wcost").cast("long").alias("c"),
+        )
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_ug_tokens"),
+        F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("ug_cost"),
+    )
+
+
 # --------------------------------- CCNet-style perplexity bucketing
 
 PPL_REF_SOURCES = ("src0", "src1", "src2", "src3")

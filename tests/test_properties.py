@@ -1372,3 +1372,96 @@ def test_dtw_oracle_unrolled_band_matches_python_dp():
                 for r, (d, c) in enumerate(cands[:DTW_K])
             ]
         assert got == sorted(want), f"trial {trial}: {got} != {want}"
+
+
+def test_unigram_tokenize_oracle_matches_python_viterbi():
+    """Independent semantic check for txt_unigram_tokenize (the
+    Spark↔oracle hash parity proves the two engines agree; this proves
+    they agree on THE RIGHT THING): a pure-Python replica of the whole
+    contract — vocabulary admission, micro-nat costs, lexicographic
+    (cost, n_tokens) Viterbi — run against the oracle SQL on random
+    synthetic corpora. Random short alphabets force dense piece
+    collisions, exercising tie-breaks and multi-length transitions."""
+    import math
+    import random
+
+    import duckdb
+
+    from sentiflow_spark.queries.curation_queries import (
+        UG_MAX_PIECE,
+        UG_MIN_COUNT,
+        _duck_unigram_oracle,
+    )
+
+    rng = random.Random(11)
+    for trial in range(4):
+        docs = [
+            " ".join(
+                "".join(
+                    rng.choice("abc") for _ in range(rng.randint(1, 8))
+                )
+                for _ in range(rng.randint(1, 12))
+            )
+            for _ in range(rng.randint(3, 10))
+        ]
+        # python replica of the declared contract
+        words: dict[str, int] = {}
+        per_doc_words = []
+        for t in docs:
+            ws = [w for w in t.lower().split() if w.isalpha()]
+            per_doc_words.append(ws)
+            for w in ws:
+                words[w] = words.get(w, 0) + 1
+        pf: dict[str, int] = {}
+        for w, f in words.items():
+            for p in range(len(w)):
+                for pl in range(1, min(UG_MAX_PIECE, len(w) - p) + 1):
+                    piece = w[p : p + pl]
+                    pf[piece] = pf.get(piece, 0) + f
+        vocab = {
+            p: c
+            for p, c in pf.items()
+            if c >= UG_MIN_COUNT or len(p) == 1
+        }
+        tot = float(sum(vocab.values()))
+        cost = {
+            p: int(round(-1000000.0 * math.log(c / tot)))
+            for p, c in vocab.items()
+        }
+
+        def viterbi(w: str) -> tuple[int, int]:
+            INF = (1 << 61, 1 << 61)
+            dp = [(0, 0)] + [INF] * len(w)
+            for k in range(1, len(w) + 1):
+                best = INF
+                for j in range(1, min(UG_MAX_PIECE, k) + 1):
+                    piece = w[k - j : k]
+                    if piece in vocab:
+                        c0, n0 = dp[k - j]
+                        cand = (c0 + cost[piece], n0 + 1)
+                        if cand < best:
+                            best = cand
+                dp[k] = best
+            return dp[len(w)]
+
+        want = {}
+        for i, ws in enumerate(per_doc_words):
+            n = c = 0
+            for w in ws:
+                wc, wn = viterbi(w)
+                c += wc
+                n += wn
+            want[i] = (n, c)
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT col0 AS doc_id, col1 AS text "
+            "FROM (VALUES "
+            + ", ".join(f"({i}, '{t}')" for i, t in enumerate(docs))
+            + ") v(col0, col1)"
+        )
+        got = {
+            r[0]: (r[1], r[2])
+            for r in con.execute(_duck_unigram_oracle()).fetchall()
+        }
+        assert got == want, f"trial {trial}: {got} != {want}"
