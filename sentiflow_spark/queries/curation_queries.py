@@ -1715,27 +1715,45 @@ def txt_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sentiflow_spark.tables import load
 
     docs = load(spark, sf_dir, "documents")
+    # persist() the bucket-count table (sources x buckets rows):
+    # _psi_from_counts references it through SIX join branches (domain,
+    # bucket sizes, ref/source counts and totals) whose projections and
+    # filters all DIFFER, so exchange reuse cannot collapse them and
+    # each re-expands to its own corpus scan — the plan read 12
+    # FileScans of documents for a metadata-sized aggregate (r7
+    # scan-fanout audit). The streaming twin already materializes this
+    # boundary (st_drift_psi's run_to_table + localCheckpoint).
     counts = (
         _psi_feat(docs)
         .groupBy("source", "metric", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     return _psi_from_counts(counts)
 
 
 def _psi_feat(docs: DataFrame) -> DataFrame:
     """Melt documents to the monitored (source, metric, bucket) long
-    form — works identically on a batch frame and a streaming frame."""
+    form — works identically on a batch frame and a streaming frame.
+    The melt is ONE pass: explode over an array of (metric, bucket)
+    structs, not a unionByName of per-metric selects (which plans a
+    separate corpus scan per metric arm — the same duplicate-lineage
+    shape fixed in dd_doc_sim_topk this round)."""
     len_b = F.least(
         F.floor(F.col("n_chars") / PSI_LEN_BAND), F.lit(PSI_LEN_MAX_B)
     ).cast("string")
-    return docs.select(
-        "source", F.lit("length").alias("metric"), len_b.alias("bucket")
-    ).unionByName(
-        docs.select(
-            "source", F.lit("lang").alias("metric"), F.col("lang").alias("bucket")
+    m = F.explode(
+        F.array(
+            F.struct(
+                F.lit("length").alias("metric"), len_b.alias("bucket")
+            ),
+            F.struct(
+                F.lit("lang").alias("metric"),
+                F.col("lang").cast("string").alias("bucket"),
+            ),
         )
-    )
+    ).alias("m")
+    return docs.select("source", m).select("source", "m.metric", "m.bucket")
 
 
 def _psi_from_counts(counts: DataFrame) -> DataFrame:
