@@ -168,16 +168,30 @@ def duck_shingles(t: str, n: int = 3) -> str:
     )
 
 
+def fingerprint_canon(text: Column) -> Column:
+    """The canonical string the document fingerprint hashes: lowercase,
+    collapse non-alnum runs to single spaces, trim. Exposed separately
+    from :func:`fingerprint` so callers that need a row to be a PURE
+    FUNCTION of the fingerprint (e.g. st_curation_admit's streaming
+    dedup, whose emitted metrics must be identical for every text that
+    collides on the fingerprint) can compute those metrics on exactly
+    the string that gets hashed."""
+    return F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+
+
 def fingerprint(text: Column) -> Column:
     """Canonical document fingerprint: lowercase, collapse non-alnum
     runs, md5. Equal fingerprints == near-identical documents modulo
     casing/punctuation/whitespace — the exact-dedup key."""
-    normalized = F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
-    return F.md5(normalized)
+    return F.md5(fingerprint_canon(text))
+
+
+def duck_fingerprint_canon(t: str) -> str:
+    return f"trim(regexp_replace(lower({t}), '[^a-z0-9]+', ' ', 'g'))"
 
 
 def duck_fingerprint(t: str) -> str:
-    return f"md5(trim(regexp_replace(lower({t}), '[^a-z0-9]+', ' ', 'g')))"
+    return f"md5({duck_fingerprint_canon(t)})"
 
 
 def bpe_learn(

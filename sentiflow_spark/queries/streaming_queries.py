@@ -726,56 +726,93 @@ def _st_gate_oracle() -> str:
 # ------------------------------------ streaming curation admission
 
 
-@register(
-    "st_curation_admit",
-    oracle=None,  # late-bound below, like st_curation_gate
-    tags=("streaming", "curation", "dedup", "M3", "A3", "J5", "arrow-udf"),
-    doc="Streaming exact-dedup ADMISSION on the curation path — the "
-    "reference's J5/A3 dedup-mark semantics (Valkey 24h set; "
-    "internal/clients/valkey_client) applied to ingest curation, the "
-    "round-6 verdict's ask #3: NFC normalize → Gopher gate (the same "
-    "nfc_norm_expr/gopher_flags/DAG_GOPHER_RULES cores as the batch "
-    "DAG, so the gates cannot drift) → first-arrival-wins exact dedup "
-    "via dropDuplicatesWithinWatermark keyed on the canonical content "
-    "fingerprint, 24 h ingest-time TTL. State is ONE RocksDB mark per "
-    "distinct surviving fingerprint, expired by the watermark — "
-    "bounded per-key exactly like the reference's dedup set, at any "
-    "stream length. Determinism trick: gopher_flags runs KEYED BY THE "
-    "FINGERPRINT (duplicate texts produce identical metrics), and the "
-    "emitted row (fp, n_words) is a pure function of the key, so "
-    "whichever physical row wins the within-batch race the output is "
-    "identical — streaming-vs-batch hash equality holds without "
-    "constraining arrival order (same device as st_dedup_watermark's "
-    "key-columns-only projection).",
-)
-def st_curation_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sentiflow_spark.functions.text import fingerprint
+def curation_admit_gate(docs: DataFrame) -> DataFrame:
+    """Stateless admission gate shared by st_curation_admit, the
+    manifest sink (st_curation_manifest), and their tests: NFC
+    normalize → reduce to the FINGERPRINT-CANONICAL string (lowercase,
+    non-alnum runs collapsed — functions.text.fingerprint_canon, the
+    exact string the dedup key hashes) → Gopher gate evaluated ON THAT
+    CANONICAL STRING → (fp, n_words) for passing rows.
+
+    Computing the metrics on the canonical string makes every emitted
+    column a pure function of fp: fingerprint-equal variants
+    ('foo-bar' vs 'Foo  bar.') produce IDENTICAL rows, so the
+    downstream first-arrival-wins dedup is arrival-order-independent
+    and the batch oracle's SELECT DISTINCT yields exactly one row per
+    fp (the round-7 ADVICE soundness fix — previously the metrics ran
+    on the NFC text, which the fingerprint canonicalizes further, so
+    fp-equal texts could race to emit different n_words). The honest
+    tradeoff: punctuation-sensitive rules (ok_symbol_ratio) degenerate
+    on the canonical form — a deployment wanting punctuation-aware
+    quality gates runs them per-document BEFORE dedup (st_curation_gate
+    is that operator); the ADMISSION decision here must be a function
+    of the dedup key, exactly like the reference's Valkey
+    mark-by-content-hash (internal/clients/valkey_client.go:126-159).
+    """
+    from sentiflow_spark.functions.text import fingerprint_canon
     from sentiflow_spark.queries.curation_dag import DAG_GOPHER_RULES
     from sentiflow_spark.queries.curation_queries import (
         gopher_flags,
         nfc_norm_expr,
     )
 
-    docs = load_stream(spark, sf_dir, "documents")
-    norm = docs.select(nfc_norm_expr(F.col("text")).alias("text"))
-    keyed = norm.select(fingerprint(F.col("text")).alias("doc_id"), "text")
+    canon = docs.select(
+        fingerprint_canon(nfc_norm_expr(F.col("text"))).alias("text")
+    )
+    keyed = canon.select(F.md5(F.col("text")).alias("doc_id"), "text")
     flags = gopher_flags(keyed)
     admitted = None
     for r in DAG_GOPHER_RULES:
         admitted = F.col(r) if admitted is None else (admitted & F.col(r))
-    gate = flags.filter(admitted).select(
+    return flags.filter(admitted).select(
         F.col("doc_id").alias("fp"), "n_words"
     )
-    deduped = (
+
+
+def curation_admit_flow(docs: DataFrame) -> DataFrame:
+    """curation_admit_gate + first-arrival-wins exact dedup on fp via
+    dropDuplicatesWithinWatermark, 24 h ingest-time TTL — the full
+    streaming admission operator. State is ONE RocksDB mark per
+    distinct surviving fingerprint, expired by the watermark."""
+    gate = curation_admit_gate(docs)
+    return (
         gate.withColumn("ingest_ts", F.current_timestamp())
         .withWatermark("ingest_ts", "24 hours")
         .dropDuplicatesWithinWatermark(["fp"])
+        .select("fp", "n_words")
     )
-    return run_to_table(deduped.select("fp", "n_words"))
+
+
+@register(
+    "st_curation_admit",
+    oracle=None,  # late-bound below, like st_curation_gate
+    tags=("streaming", "curation", "dedup", "M3", "A3", "J5", "arrow-udf"),
+    doc="Streaming exact-dedup ADMISSION on the curation path — the "
+    "reference's J5/A3 dedup-mark semantics (Valkey 24h set; "
+    "internal/clients/valkey_client) applied to ingest curation: NFC "
+    "normalize → fingerprint-canonical projection → Gopher gate on the "
+    "canonical string (the same gopher_flags/DAG_GOPHER_RULES cores as "
+    "the batch DAG) → first-arrival-wins exact dedup via "
+    "dropDuplicatesWithinWatermark keyed on the canonical content "
+    "fingerprint, 24 h ingest-time TTL. State is ONE RocksDB mark per "
+    "distinct surviving fingerprint, expired by the watermark — "
+    "bounded per-key exactly like the reference's dedup set, at any "
+    "stream length. Determinism: the gate metrics are computed on "
+    "EXACTLY the string the fingerprint hashes (curation_admit_gate), "
+    "so the emitted (fp, n_words) is a pure function of fp and "
+    "whichever physical row wins the within-batch race the output is "
+    "identical — streaming-vs-batch hash equality holds without "
+    "constraining arrival order, including on corpora with "
+    "punctuation-variant duplicates (the round-7 ADVICE fix; pinned by "
+    "tests/test_sinks.py::test_curation_admit_punctuation_variant_parity).",
+)
+def st_curation_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_stream(spark, sf_dir, "documents")
+    return run_to_table(curation_admit_flow(docs))
 
 
 def _st_admit_oracle() -> str:
-    from sentiflow_spark.functions.text import duck_fingerprint
+    from sentiflow_spark.functions.text import duck_fingerprint_canon
     from sentiflow_spark.queries.curation_dag import DAG_GOPHER_RULES
     from sentiflow_spark.queries.curation_queries import (
         GOPHER_RULES_SQL,
@@ -788,10 +825,13 @@ def _st_admit_oracle() -> str:
     )
     return f"""
     WITH norm AS (
-      SELECT {duck_norm_sql('text')} AS text FROM documents
+      SELECT {duck_norm_sql('text')} AS t0 FROM documents
+    ),
+    canon AS (
+      SELECT {duck_fingerprint_canon('t0')} AS text FROM norm
     ),
     docs_n AS (
-      SELECT {duck_fingerprint('text')} AS doc_id, text FROM norm
+      SELECT md5(text) AS doc_id, text FROM canon
     ),
     {duck_gopher_m_cte(source="docs_n")}
     SELECT DISTINCT doc_id AS fp, n_words FROM gm WHERE {pass_sql}

@@ -830,13 +830,9 @@ def test_curation_admit_state_bounded_per_fingerprint(spark, sf_dir):
     import tempfile
     import uuid
 
-    from pyspark.sql import functions as F
-
-    from sentiflow_spark.functions.text import fingerprint
-    from sentiflow_spark.queries.curation_dag import DAG_GOPHER_RULES
-    from sentiflow_spark.queries.curation_queries import (
-        gopher_flags,
-        nfc_norm_expr,
+    from sentiflow_spark.queries.streaming_queries import (
+        curation_admit_flow,
+        curation_admit_gate,
     )
     from sentiflow_spark.streaming.dag import load_stream, read_state_store
     from sentiflow_spark.tables import load
@@ -845,25 +841,7 @@ def test_curation_admit_state_bounded_per_fingerprint(spark, sf_dir):
     name = f"t_admit_{uuid.uuid4().hex[:8]}"
     try:
         docs = load_stream(spark, sf_dir, "documents")
-        norm = docs.select(nfc_norm_expr(F.col("text")).alias("text"))
-        keyed = norm.select(
-            fingerprint(F.col("text")).alias("doc_id"), "text"
-        )
-        flags = gopher_flags(keyed)
-        admitted = None
-        for r in DAG_GOPHER_RULES:
-            admitted = (
-                F.col(r) if admitted is None else (admitted & F.col(r))
-            )
-        gate = flags.filter(admitted).select(
-            F.col("doc_id").alias("fp"), "n_words"
-        )
-        deduped = (
-            gate.withColumn("ingest_ts", F.current_timestamp())
-            .withWatermark("ingest_ts", "24 hours")
-            .dropDuplicatesWithinWatermark(["fp"])
-            .select("fp", "n_words")
-        )
+        deduped = curation_admit_flow(docs)
         q = (
             deduped.writeStream.format("memory")
             .queryName(name)
@@ -874,22 +852,11 @@ def test_curation_admit_state_bounded_per_fingerprint(spark, sf_dir):
         )
         q.awaitTermination()
         got = spark.table(name)
-        # batch truth: distinct admitted fingerprints
-        b_norm = load(spark, sf_dir, "documents").select(
-            nfc_norm_expr(F.col("text")).alias("text")
-        )
-        b_keyed = b_norm.select(
-            fingerprint(F.col("text")).alias("doc_id"), "text"
-        )
-        b_admitted = None
-        for r in DAG_GOPHER_RULES:
-            b_admitted = (
-                F.col(r) if b_admitted is None else (b_admitted & F.col(r))
-            )
+        # batch truth: distinct admitted fingerprints (the gate is
+        # stateless, so it runs unchanged on the batch frame)
         n_distinct = (
-            gopher_flags(b_keyed)
-            .filter(b_admitted)
-            .select("doc_id")
+            curation_admit_gate(load(spark, sf_dir, "documents"))
+            .select("fp")
             .distinct()
             .count()
         )
@@ -914,11 +881,9 @@ def test_curation_admit_state_survives_restart(spark, sf_dir):
     fingerprints."""
     from pyspark.sql import functions as F
 
-    from sentiflow_spark.functions.text import fingerprint
-    from sentiflow_spark.queries.curation_dag import DAG_GOPHER_RULES
-    from sentiflow_spark.queries.curation_queries import (
-        gopher_flags,
-        nfc_norm_expr,
+    from sentiflow_spark.queries.streaming_queries import (
+        curation_admit_flow,
+        curation_admit_gate,
     )
     from sentiflow_spark.tables import load
 
@@ -936,31 +901,10 @@ def test_curation_admit_state_survives_restart(spark, sf_dir):
         )
         half_b = docs.filter(F.col("doc_id") >= 250).unionByName(copies)
 
-        def admit_flow(df):
-            norm = df.select(nfc_norm_expr(F.col("text")).alias("text"))
-            keyed = norm.select(
-                fingerprint(F.col("text")).alias("doc_id"), "text"
-            )
-            flags = gopher_flags(keyed)
-            admitted = None
-            for r in DAG_GOPHER_RULES:
-                admitted = (
-                    F.col(r) if admitted is None else (admitted & F.col(r))
-                )
-            gate = flags.filter(admitted).select(
-                F.col("doc_id").alias("fp"), "n_words"
-            )
-            return (
-                gate.withColumn("ingest_ts", F.current_timestamp())
-                .withWatermark("ingest_ts", "24 hours")
-                .dropDuplicatesWithinWatermark(["fp"])
-                .select("fp", "n_words")
-            )
-
         def run_once():
             reader = spark.readStream.schema(schema).parquet(src)
             q = (
-                admit_flow(reader)
+                curation_admit_flow(reader)
                 .writeStream.format("parquet")
                 .option("path", out)
                 .option("checkpointLocation", ckpt)
@@ -977,22 +921,7 @@ def test_curation_admit_state_survives_restart(spark, sf_dir):
 
         got = spark.read.parquet(out)
         # batch truth over everything that ever hit the stream
-        b_all = half_a.unionByName(half_b)
-        b_norm = b_all.select(nfc_norm_expr(F.col("text")).alias("text"))
-        b_keyed = b_norm.select(
-            fingerprint(F.col("text")).alias("doc_id"), "text"
-        )
-        b_admitted = None
-        for r in DAG_GOPHER_RULES:
-            b_admitted = (
-                F.col(r) if b_admitted is None else (b_admitted & F.col(r))
-            )
-        want = (
-            gopher_flags(b_keyed)
-            .filter(b_admitted)
-            .select(F.col("doc_id").alias("fp"), "n_words")
-            .distinct()
-        )
+        want = curation_admit_gate(half_a.unionByName(half_b)).distinct()
         n_want = want.count()
         assert n_run1 < n_want  # run 1 saw only half the content
         assert got.count() == n_want  # resume admitted ONLY the new
@@ -1005,3 +934,85 @@ def test_curation_admit_state_survives_restart(spark, sf_dir):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_curation_admit_punctuation_variant_parity(spark):
+    """The round-7 ADVICE soundness fix, pinned on its exact failure
+    corpus: fingerprint-equal texts whose SURFACE forms tokenize
+    differently ('foo-bar' vs 'foo bar' — here a 60-word document vs
+    the same document hyphenated into ONE \\S+ token). Before the fix
+    the gate metrics ran on the NFC text, so the hyphenated variant
+    carried n_words=1 (failing the gate) while the spaced variant
+    passed — making both the emitted row and the admission decision
+    arrival-order-dependent. Now the metrics are computed on the
+    fingerprint-canonical string, so BOTH variants produce the
+    identical row and the stream's output equals the batch DISTINCT
+    regardless of which variant arrives first (both arrival orders
+    exercised)."""
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.queries.streaming_queries import (
+        curation_admit_flow,
+        curation_admit_gate,
+    )
+
+    words = [
+        "the", "quick", "brown", "fox", "and",
+        "that", "have", "with", "to", "of",
+    ] * 6
+    spaced = " ".join(words)  # 60 \S+ tokens, passes every Gopher rule
+    hyphened = "-".join(w.upper() for w in words)  # ONE \S+ token
+    assert len(hyphened.split()) == 1
+
+    def run_order(first: str, second: str):
+        src = tempfile.mkdtemp(prefix="sf_admit_pv_src_")
+        ckpt = tempfile.mkdtemp(prefix="sf_admit_pv_ck_")
+        out = tempfile.mkdtemp(prefix="sf_admit_pv_out_")
+        try:
+            df1 = spark.createDataFrame([(0, first)], "doc_id long, text string")
+            df2 = spark.createDataFrame([(1, second)], "doc_id long, text string")
+            # two separate files fed through ONE availableNow run in
+            # maxFilesPerTrigger order — 'first' is in the earlier batch
+            df1.coalesce(1).write.mode("append").parquet(src)
+            df2.coalesce(1).write.mode("append").parquet(src)
+            reader = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            q = (
+                curation_admit_flow(reader)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return spark.read.parquet(out).collect()
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+            shutil.rmtree(out, ignore_errors=True)
+
+    got_ab = run_order(spaced, hyphened)
+    got_ba = run_order(hyphened, spaced)
+    # one admitted row per fingerprint, identical under both orders
+    assert len(got_ab) == len(got_ba) == 1
+    assert got_ab[0] == got_ba[0]
+    assert got_ab[0]["n_words"] == 60  # the canonical-string count
+    # and it equals the batch DISTINCT truth
+    both = spark.createDataFrame(
+        [(0, spaced), (1, hyphened)], "doc_id long, text string"
+    )
+    want = curation_admit_gate(both).distinct().collect()
+    assert len(want) == 1 and got_ab[0] == want[0]
+    # both variants hash to one fingerprint — the premise of the corpus
+    from sentiflow_spark.functions.text import fingerprint
+
+    fps = (
+        both.select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .count()
+    )
+    assert fps == 1
