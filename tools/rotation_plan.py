@@ -20,10 +20,21 @@ Derivation:
    sentiflow_spark imports (static scan; function-local imports
    included since the scan is textual),
 4. stale if any source file has a commit after the verified-at date;
-   ordering: most-recently-touched sources first, then oldest
-   verification first.
+   ordering: explicit --must names first (queries whose semantics
+   changed this round and MUST get a fresh driver row), then the AGE
+   FLOOR — any query whose last green row is >= AGE_FLOOR_ROUNDS old
+   fronts regardless of source-touch recency, oldest verification
+   first — then the remaining stale by most-recently-touched sources,
+   then oldest-verified padding.
 
-Run: python tools/rotation_plan.py [--write] [--cap N]
+The age floor exists because pure touch-recency ranking structurally
+STARVES queries whose implementing code never changes: the round-7
+verdict found the 50-query round-1 bucket had not seen a driver row in
+six rounds while shared cores evolved, precisely because its sources
+were never the most-recently-touched. Staleness-major for old-enough
+rows fixes that; touch-recency still orders the young stale set.
+
+Run: python tools/rotation_plan.py [--write] [--cap N] [--must NAME ...]
 Without --write it prints the plan; with --write it writes
 ROTATION_PLAN.json. Re-run each round after the driver commits the new
 CORRECTNESS file.
@@ -131,16 +142,27 @@ def file_last_commit_ts(files: set[str]) -> int:
     return ts
 
 
-def build_plan(cap: int) -> dict:
+# A verified query whose green row is this many rounds old fronts the
+# plan regardless of how recently its sources were touched (the
+# anti-starvation floor — see module docstring).
+AGE_FLOOR_ROUNDS = 5
+
+
+def build_plan(cap: int, must: tuple[str, ...] = ()) -> dict:
     from sentiflow_spark.queries.registry import load_all
 
     reg = load_all()
     verified = last_verified_round()
     bounds = round_boundaries()
+    cur_round = max(bounds) if bounds else 0
     memo: dict[str, set[str]] = {}
     file_ts_cache: dict[frozenset, int] = {}
 
-    stale, fresh = [], []
+    unknown = [m for m in must if m not in reg]
+    if unknown:
+        raise SystemExit(f"--must names not in registry: {unknown}")
+
+    recs = []
     for name, q in reg.items():
         if name not in verified:
             continue  # unverified / rows-only: the registry fronts these itself
@@ -150,27 +172,49 @@ def build_plan(cap: int) -> dict:
         if srcs not in file_ts_cache:
             file_ts_cache[srcs] = file_last_commit_ts(set(srcs))
         src_ts = file_ts_cache[srcs]
-        rec = {
-            "name": name,
-            "verified_round": rnd,
-            "source_ts": src_ts,
-            "stale": src_ts > verified_ts,
-        }
-        (stale if rec["stale"] else fresh).append(rec)
+        recs.append(
+            {
+                "name": name,
+                "verified_round": rnd,
+                "source_ts": src_ts,
+                "stale": src_ts > verified_ts,
+                "aged": cur_round - rnd >= AGE_FLOOR_ROUNDS,
+            }
+        )
 
-    # most-recently-touched sources first, then oldest verification
-    stale.sort(key=lambda r: (-r["source_ts"], r["verified_round"]))
-    # if stale queries don't fill the window, pad with oldest-verified
-    fresh.sort(key=lambda r: (r["verified_round"], r["name"]))
-    picked = (stale + fresh)[:cap]
+    must_set = set(must)
+    must_recs = sorted(
+        (r for r in recs if r["name"] in must_set),
+        key=lambda r: must.index(r["name"]),
+    )
+    rest = [r for r in recs if r["name"] not in must_set]
+    # age floor: old-enough rows front oldest-first, stale or not
+    aged = sorted(
+        (r for r in rest if r["aged"]),
+        key=lambda r: (r["verified_round"], r["name"]),
+    )
+    young = [r for r in rest if not r["aged"]]
+    # young stale: most-recently-touched sources first, then oldest
+    stale = sorted(
+        (r for r in young if r["stale"]),
+        key=lambda r: (-r["source_ts"], r["verified_round"]),
+    )
+    # if the above don't fill the window, pad with oldest-verified
+    fresh = sorted(
+        (r for r in young if not r["stale"]),
+        key=lambda r: (r["verified_round"], r["name"]),
+    )
+    picked = (must_recs + aged + stale + fresh)[:cap]
     return {
-        "generated_from_round": max(bounds) if bounds else 0,
-        "stale_count": len(stale),
+        "generated_from_round": cur_round,
+        "stale_count": sum(r["stale"] for r in recs),
+        "aged_count": len(aged),
         "front": [r["name"] for r in picked],
         "detail": {
             r["name"]: {
                 "verified_round": r["verified_round"],
                 "stale": r["stale"],
+                "aged": r["aged"],
             }
             for r in picked
         },
@@ -181,8 +225,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--write", action="store_true")
     ap.add_argument("--cap", type=int, default=48)
+    ap.add_argument("--must", nargs="*", default=[])
     args = ap.parse_args()
-    plan = build_plan(args.cap)
+    plan = build_plan(args.cap, tuple(args.must))
     if args.write:
         with open(os.path.join(ROOT, "ROTATION_PLAN.json"), "w") as fh:
             json.dump(plan, fh, indent=1)
