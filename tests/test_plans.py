@@ -521,3 +521,192 @@ def test_no_session_conf_leaks_and_no_stray_v2_scans(spark, plan_scan):
     assert (
         spark.conf.get("spark.sql.parquet.aggregatePushdown") == "true"
     ), "allow-list entry rel_agg_pushdown no longer sets its conf"
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle-SQL lambda lint (round-7 verdict ask #3)
+#
+# In this sandbox's DuckDB 1.0.0, reduce() (the 2-arg lambda fold)
+# returns NONDETERMINISTIC results when the accumulator is list-typed
+# or the lambda captures outer columns AND the input has multiple rows
+# with ragged list lengths (found round 6 writing the wordpiece oracle;
+# single-row probes always pass, which hides it in development). The
+# sanctioned patterns for per-row dynamic programs are the lambda-free
+# RECURSIVE JOIN CTE (see _duck_wordpiece_oracle) or a chain of LATERAL
+# COLUMN ALIASES for bounded within-row folds (_duck_dtw_oracle,
+# _duck_unigram_oracle). list_transform/list_filter with outer capture
+# of same-row columns (elementwise maps, no accumulator) has shown no
+# instability across hundreds of sweep runs — those uses are FROZEN in
+# the allow-list below; any NEW outer-capture lambda must be measured
+# and consciously added here, or rewritten to the recursive-join form.
+
+_SQL_LAMBDA_KEYWORDS = {
+    "as", "cast", "case", "when", "then", "else", "end", "and", "or",
+    "not", "in", "is", "null", "true", "false", "bigint", "int",
+    "integer", "double", "varchar", "boolean", "decimal", "interval",
+    "date", "timestamp", "smallint", "tinyint", "float", "real",
+    "between", "like", "distinct",
+}
+
+
+def _strip_sql_noise(sql: str) -> str:
+    """Drop -- comments and single-quoted literals so a mention of
+    reduce( in prose or a string can't trip the lint."""
+    import re
+
+    sql = re.sub(r"--[^\n]*", " ", sql)
+    return re.sub(r"'(?:[^']|'')*'", "''", sql)
+
+
+def _oracle_lambda_findings(sql: str):
+    """Yield ('reduce',) for any reduce( call, and ('capture', ids)
+    for each SQL lambda whose body references identifiers beyond its
+    own parameters (function calls and := named-argument fields are
+    not captures)."""
+    import re
+
+    s = _strip_sql_noise(sql)
+    if re.search(r"\breduce\s*\(", s, re.I):
+        yield ("reduce",)
+    for m in re.finditer(r"(?:\(([\w\s,]+)\)|(\b\w+))\s*->", s):
+        params = {p.strip() for p in (m.group(1) or m.group(2)).split(",")}
+        i, depth, chars = m.end(), 0, []
+        while i < len(s):
+            c = s[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif c == "," and depth == 0:
+                break
+            chars.append(c)
+            i += 1
+        body = "".join(chars)
+        caps = set()
+        for t in re.finditer(r"([A-Za-z_]\w*)(\s*(?:\(|:=))?", body):
+            name, suffix = t.group(1), t.group(2)
+            if suffix:  # function call or := named-argument field
+                continue
+            if name.lower() in _SQL_LAMBDA_KEYWORDS or name in params:
+                continue
+            caps.add(name)
+        if caps:
+            yield ("capture", tuple(sorted(caps)))
+
+
+# Frozen set of measured-stable outer-capture lambdas: every entry is
+# an elementwise list_transform/list_filter over same-row columns
+# (shingle windows t[i]..t[i+k], winnow key slices ks[j:j+w], quantize
+# scales) — no accumulator anywhere. Additions require a determinism
+# measurement (re-run the oracle 3x on ragged multi-row input).
+ORACLE_CAPTURE_ALLOWLIST = {
+    ("dd_cluster_reps", ("t",)),
+    ("dd_cluster_size_hist", ("t",)),
+    ("dd_clusters_sparse", ("t",)),
+    ("dd_containment_capped", ("t",)),
+    ("dd_containment_pairs", ("t",)),
+    ("dd_decontaminate", ("text",)),
+    ("dd_decontaminate_spans", ("ks",)),
+    ("dd_decontaminate_spans", ("t",)),
+    ("dd_doc_sim_topk", ("t",)),
+    ("dd_duplicate_clusters", ("t",)),
+    ("dd_exact_substring_spans", ("ks",)),
+    ("dd_exact_substring_spans", ("t",)),
+    ("dd_intradoc_repeat_spans", ("ks",)),
+    ("dd_intradoc_repeat_spans", ("t",)),
+    ("dd_lsh_calibration", ("t",)),
+    ("dd_lsh_recall", ("t",)),
+    ("dd_method_compare", ("t",)),
+    ("dd_minhash_1bit_est", ("t",)),
+    ("dd_minhash_dedup_survivors", ("t",)),
+    ("dd_minhash_lsh_pairs", ("t",)),
+    ("dd_minhash_signatures", ("t",)),
+    ("dd_multi_signal_pairs", ("t",)),
+    ("dd_ngram_jaccard", ("t",)),
+    ("dd_ngram_jaccard_capped", ("t",)),
+    ("dd_pagerank_dupgraph", ("t",)),
+    ("dd_sparse_cluster_gate", ("t",)),
+    ("dd_substring_dedup_apply", ("ks",)),
+    ("dd_substring_dedup_apply", ("t",)),
+    ("dd_substring_recall", ("ks",)),
+    ("dd_substring_recall", ("t",)),
+    ("dd_threshold_curve", ("t",)),
+    ("dd_winnow_fingerprints", ("ks",)),
+    ("dd_winnow_fingerprints", ("t",)),
+    ("dd_winnow_pairs", ("ks",)),
+    ("dd_winnow_pairs", ("t",)),
+    ("mm_bytes_simhash_pairs", ("hx",)),
+    ("sim_ivfpq_mp_recall", ("cent", "pp", "q", "qvec")),
+    ("sim_ivfpq_mp_recall", ("cent", "qvec")),
+    ("sim_ivfpq_multiprobe", ("cent", "pp", "q", "qvec")),
+    ("sim_ivfpq_multiprobe", ("cent", "qvec")),
+    ("sim_ivfpq_recall", ("cent", "qvec")),
+    ("sim_ivfpq_topk", ("cent", "qvec")),
+    ("sim_multiprobe_knn", ("rp_bucket",)),
+    ("sim_multiprobe_recall", ("rp_bucket",)),
+    ("sim_sq8_recall", ("scale",)),
+    ("st_neardup_alert", ("t",)),
+    ("txt_bpe_encode", ("li",)),
+    ("txt_bpe_pairs", ("w",)),
+    ("txt_curation_dag", ("ks",)),
+    ("txt_curation_dag", ("t",)),
+    ("txt_dsir_weights", ("t",)),
+    ("txt_grouped_split", ("t",)),
+    ("txt_ngram_counts", ("t",)),
+    ("txt_perplexity_bucket", ("t",)),
+}
+
+_LAMBDA_LINT_HINT = (
+    "DuckDB 1.0 reduce() is nondeterministic with list accumulators / "
+    "outer capture on ragged multi-row inputs — rewrite as a "
+    "lambda-free RECURSIVE JOIN CTE (_duck_wordpiece_oracle) or "
+    "chained lateral column aliases (_duck_dtw_oracle); new "
+    "outer-capture list_transform maps need a 3x determinism "
+    "measurement before joining ORACLE_CAPTURE_ALLOWLIST"
+)
+
+
+def test_oracle_sql_lambda_lint_registry_wide():
+    """No reduce() anywhere in registered oracle SQL, and every
+    outer-capture lambda is a frozen, measured-stable elementwise map.
+    The allow-list is exact-match both ways, so it cannot rot: an
+    entry whose oracle drops its lambda must leave the list."""
+    found = set()
+    reduces = []
+    for name, entry in REGISTRY.items():
+        if not entry.oracle:
+            continue
+        for f in _oracle_lambda_findings(entry.oracle):
+            if f[0] == "reduce":
+                reduces.append(name)
+            else:
+                found.add((name, f[1]))
+    assert not reduces, f"reduce() in oracle SQL of {reduces}: {_LAMBDA_LINT_HINT}"
+    new = found - ORACLE_CAPTURE_ALLOWLIST
+    assert not new, f"unvetted outer-capture lambdas {sorted(new)}: {_LAMBDA_LINT_HINT}"
+    gone = ORACLE_CAPTURE_ALLOWLIST - found
+    assert not gone, f"stale allow-list entries (oracle no longer captures): {sorted(gone)}"
+
+
+def test_oracle_lambda_lint_catches_planted_offenders():
+    """The lint itself works: a reduce() fold flags, a novel capture
+    flags, and mentions inside comments or string literals do not."""
+    assert ("reduce",) in set(
+        _oracle_lambda_findings("SELECT reduce(l, 0, (a, b) -> a + b) FROM t")
+    )
+    caps = [
+        f for f in _oracle_lambda_findings(
+            "SELECT list_transform(r, i -> zz[i] + 1) FROM t"
+        )
+    ]
+    assert ("capture", ("zz",)) in caps
+    clean = list(
+        _oracle_lambda_findings(
+            "-- reduce( is banned, see note\n"
+            "SELECT 'call reduce( here' AS doc, "
+            "list_transform(xs, x -> x + 1) AS y FROM t"
+        )
+    )
+    assert clean == []
