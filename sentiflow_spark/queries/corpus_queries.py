@@ -3624,14 +3624,19 @@ def sim_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < MP_RECALL_PROBES)
     # the exact brute-force truth side is joined by BOTH scored arms
     # below (single and multiprobe) and would otherwise be computed
-    # twice per action — persist() is lazy (plan lints stay cheap) and
-    # the cached result is probes x k rows, so the expensive corpus
-    # scan side of the gate runs exactly once however many methods the
-    # harness compares
+    # twice per action — the materialized result is probes x k rows,
+    # so the expensive corpus-scan side of the gate runs exactly once
+    # however many methods the harness compares.
+    # localCheckpoint(eager=False), not persist(): lazy (plan lints
+    # and construction stay job-free) but self-cleaning — persist()
+    # registers in the session CacheManager and the blocks outlived
+    # the query across the sweep/bench harness (r7 ADVICE), while a
+    # local checkpoint's blocks are freed by the ContextCleaner once
+    # the returned frame is garbage-collected
     bf = (
         brute_force_topk(emb, probes, k=KNN_K)
         .select(F.col("probe_id").alias("src"), F.col("cand_id").alias("dst"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     single = (
         knn_graph(emb, planes, k=KNN_K)

@@ -1346,8 +1346,12 @@ def _duck_unigram_oracle() -> str:
     f"with >= {UG_MIN_COUNT} weighted occurrences plus all single "
     "chars (feasibility fallback); piece costs are integer MICRO-NATS "
     "(round(-1e6*ln(pf/total)) — the txt_unigram_logprob quantization "
-    "device, coarse enough that a 1-ulp ln() wobble cannot move the "
-    "rounded integer), and the Viterbi value is the lexicographic "
+    "device; NB this is mitigation, not proof: a cost can land "
+    "arbitrarily close to a .5 rounding boundary where a 1-ulp ln() "
+    "difference between engines could still flip the integer by one — "
+    "residual cross-engine risk ~1e-9 per distinct piece, accepted and "
+    "watched by the sweep rather than engineered away), and the "
+    "Viterbi value AFTER quantization is the lexicographic "
     f"(cost, n_tokens) pair packed as cost*{UG_NT_STRIDE}+nt so the "
     "whole DP is exact BIGINT MIN — both engines agree bitwise. Scale "
     "shape, same sufficient-statistic contract as the other two "
@@ -1715,19 +1719,26 @@ def txt_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sentiflow_spark.tables import load
 
     docs = load(spark, sf_dir, "documents")
-    # persist() the bucket-count table (sources x buckets rows):
+    # Materialize the bucket-count table (sources x buckets rows):
     # _psi_from_counts references it through SIX join branches (domain,
     # bucket sizes, ref/source counts and totals) whose projections and
     # filters all DIFFER, so exchange reuse cannot collapse them and
     # each re-expands to its own corpus scan — the plan read 12
     # FileScans of documents for a metadata-sized aggregate (r7
-    # scan-fanout audit). The streaming twin already materializes this
-    # boundary (st_drift_psi's run_to_table + localCheckpoint).
+    # scan-fanout audit). localCheckpoint(eager=False), not persist():
+    # both pin the single scan, but persist() registers in the session
+    # CacheManager and the blocks outlive the query (they accumulated
+    # across the sweep/bench harness until LRU eviction — r7 ADVICE);
+    # a local checkpoint's blocks are freed by the ContextCleaner once
+    # the returned frame is garbage-collected. Lazy, so plan lints and
+    # query construction stay job-free. The streaming twin already
+    # materializes this boundary (st_drift_psi's run_to_table +
+    # localCheckpoint).
     counts = (
         _psi_feat(docs)
         .groupBy("source", "metric", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     return _psi_from_counts(counts)
 
