@@ -784,6 +784,53 @@ def curation_admit_flow(docs: DataFrame) -> DataFrame:
 
 
 @register(
+    "st_curation_manifest",
+    oracle=None,  # late-bound below: same truth as st_curation_admit
+    tags=("streaming", "curation", "dedup", "sink", "M3", "K2", "J5", "K4",
+          "arrow-udf"),
+    doc="The full reference ingest loop on the curation path — "
+    "st_curation_admit's admission stream feeding the K2 MERGE sink: "
+    "admitted (fp, n_words) rows are upserted into a hash-bucketed "
+    "corpus-manifest parquet table in foreachBatch (TTL-stamped, keyed "
+    "by fingerprint), and the QUERY RESULT IS THE MANIFEST READ BACK — "
+    "so the driver hash-checks the physical sink path (dynamic "
+    "partition overwrite, bucket-scoped merge, idempotent fp-wins "
+    "upsert) end-to-end, not just the in-memory stream. This is the "
+    "J5→K1→K4 ordering of the reference's fetch loop "
+    "(internal/producer/fetch.go:146-176: skip seen → publish → mark) "
+    "collapsed into checkpoint + watermarked dedup state + keyed MERGE "
+    "— exactly-once manifest maintenance with replay convergence "
+    "(tests/test_sinks.py::test_curation_manifest_two_run_drip gates a "
+    "two-run drip with a duplicate spike plus a from-scratch replay "
+    "into the same table). Scale shape: per micro-batch the merge "
+    "reads and rewrites ONLY the hash buckets the batch touches — "
+    "O(touched buckets), never O(manifest) — and admission state is "
+    "one RocksDB mark per distinct fingerprint. The oracle is "
+    "st_curation_admit's: after a full pass the manifest IS the "
+    "admitted-fingerprint set.",
+)
+def st_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sentiflow_spark.streaming.sinks import curation_manifest_sink
+
+    docs = load_stream(spark, sf_dir, "documents")
+    manifest = tempfile.mkdtemp(prefix="sf_manifest_") + "/manifest"
+    q = (
+        curation_admit_flow(docs)
+        .writeStream.foreachBatch(curation_manifest_sink(manifest))
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="ckpt_manifest_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(manifest).select("fp", "n_words")
+
+
+@register(
     "st_curation_admit",
     oracle=None,  # late-bound below, like st_curation_gate
     tags=("streaming", "curation", "dedup", "M3", "A3", "J5", "arrow-udf"),
@@ -848,4 +895,8 @@ _REG["st_curation_gate"] = _dc.replace(
 )
 _REG["st_curation_admit"] = _dc.replace(
     _REG["st_curation_admit"], oracle=_st_admit_oracle()
+)
+# the manifest after one full pass IS the admitted set — same oracle
+_REG["st_curation_manifest"] = _dc.replace(
+    _REG["st_curation_manifest"], oracle=_st_admit_oracle()
 )

@@ -172,3 +172,25 @@ def results_sink(table_path: str, key: str = "content_id"):
         )
 
     return _write
+
+
+def curation_manifest_sink(table_path: str):
+    """foreachBatch callable: MERGE each micro-batch of ADMITTED
+    (fp, n_words) curation rows into the corpus-manifest table keyed
+    by fingerprint — the tail of the reference ingest loop (dedup-mark
+    then persist; J5→K1→K4 ordering, internal/producer/fetch.go:146-176)
+    on the curation path. Upstream dropDuplicatesWithinWatermark
+    guarantees at most one row per fp per batch; the keyed MERGE makes
+    REPLAYED batches converge to the same table (fp-wins-by-key), so
+    checkpoint + this sink is exactly-once manifest maintenance. Rows
+    are TTL-stamped on write (K3/W2 parity with the results sink)."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert(
+            batch_df.sparkSession,
+            stamp_ttl(batch_df),
+            table_path,
+            "fp",
+        )
+
+    return _write

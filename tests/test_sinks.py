@@ -1016,3 +1016,81 @@ def test_curation_admit_punctuation_variant_parity(spark):
         .count()
     )
     assert fps == 1
+
+
+def test_curation_manifest_two_run_drip(spark, sf_dir):
+    """The full ingest loop (J5→K1→K4) gated end-to-end: admission
+    feeds the K2 MERGE sink across a TWO-RUN DRIP with a duplicate
+    spike — run 1 ingests half the corpus, run 2 resumes from the same
+    checkpoint with the other half SPIKED with verbatim copies of
+    already-manifested content. Gates: (1) manifest rows == the batch
+    DISTINCT admitted fingerprints over everything that ever hit the
+    stream (the copies upserted nothing new), (2) REPLAY CONVERGENCE —
+    wiping the checkpoint and re-ingesting the entire source from
+    scratch into the SAME manifest leaves it unchanged (the fp-keyed
+    MERGE is idempotent, so recovery-time batch replays cannot double
+    rows; reference parity: internal/producer/fetch.go:146-176's
+    skip-seen → publish → mark)."""
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.queries.streaming_queries import (
+        curation_admit_flow,
+        curation_admit_gate,
+    )
+    from sentiflow_spark.streaming.sinks import curation_manifest_sink
+    from sentiflow_spark.tables import load
+
+    src = tempfile.mkdtemp(prefix="sf_mani_src_")
+    manifest = tempfile.mkdtemp(prefix="sf_mani_tbl_") + "/manifest"
+    ckpt = tempfile.mkdtemp(prefix="sf_mani_ck_")
+    try:
+        docs = load(spark, sf_dir, "documents")
+        schema = docs.schema
+        half_a = docs.filter(F.col("doc_id") < 250)
+        copies = half_a.filter(F.col("doc_id") < 100).withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        )
+        half_b = docs.filter(F.col("doc_id") >= 250).unionByName(copies)
+
+        def run_once():
+            reader = spark.readStream.schema(schema).parquet(src)
+            q = (
+                curation_admit_flow(reader)
+                .writeStream.foreachBatch(curation_manifest_sink(manifest))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        half_a.coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        n_run1 = spark.read.parquet(manifest).count()
+        half_b.coalesce(1).write.mode("append").parquet(src)
+        run_once()
+
+        got = spark.read.parquet(manifest).select("fp", "n_words")
+        want = curation_admit_gate(half_a.unionByName(half_b)).distinct()
+        n_want = want.count()
+        assert n_run1 < n_want  # the drip really was incremental
+        assert got.count() == n_want  # spike upserted nothing new
+        assert got.select("fp").distinct().count() == n_want
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+        # TTL stamping (K3/W2) rode along on every manifest row
+        full = spark.read.parquet(manifest)
+        assert {"created_at", "ttl"} <= set(full.columns)
+        assert full.filter(F.col("ttl").isNull()).count() == 0
+
+        # replay convergence: lose the checkpoint, re-ingest EVERYTHING
+        # from scratch into the same manifest — rows must not change
+        shutil.rmtree(ckpt, ignore_errors=True)
+        run_once()
+        replayed = spark.read.parquet(manifest).select("fp", "n_words")
+        assert replayed.count() == n_want
+        assert replayed.exceptAll(want).count() == 0
+        assert want.exceptAll(replayed).count() == 0
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(manifest), ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
