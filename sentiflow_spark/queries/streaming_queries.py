@@ -761,10 +761,24 @@ def curation_admit_gate(docs: DataFrame) -> DataFrame:
     )
     keyed = canon.select(F.md5(F.col("text")).alias("doc_id"), "text")
     flags = gopher_flags(keyed)
+    # Explode-barrier before the gate filter: PushPredicateThroughNonJoin
+    # substitutes the rule predicates straight through every projection
+    # down to the scan, inlining the canonicalization regex chain into
+    # EACH rule reference (measured: 56 regexp_replace nodes and TWO
+    # ArrowEvalPython evaluations of the NFC UDF in the optimized plan,
+    # a 2.7x wall-time regression at 500k docs). A Generate's outputs
+    # cannot be pushed through, so wrapping the flag row in
+    # explode(array(struct(...))) pins the plan to one evaluation of
+    # the UDF, the canon chain, and each metric per row; the filter
+    # then tests plain boolean attributes. The no-op generator itself
+    # is stateless and row-local — streaming-safe, cost ~0.
+    b = flags.select(
+        F.explode(F.array(F.struct(*flags.columns))).alias("s")
+    ).select("s.*")
     admitted = None
     for r in DAG_GOPHER_RULES:
         admitted = F.col(r) if admitted is None else (admitted & F.col(r))
-    return flags.filter(admitted).select(
+    return b.filter(admitted).select(
         F.col("doc_id").alias("fp"), "n_words"
     )
 

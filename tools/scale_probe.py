@@ -7,8 +7,20 @@ whose cost curves bend quadratic (pair generation, windows over hot
 keys) show it between 1× and 20× long before a cluster would. Results
 are recorded in BASELINE.md's scale-headroom sections.
 
-Run: python tools/scale_probe.py [N] [--overlap] [--tpch] [query ...]
+Run: python tools/scale_probe.py [N] [--overlap] [--tpch] [--hotkey] [query ...]
 Defaults: N=20, the corpus-family headline queries.
+
+--hotkey probes the streaming admission path (st_curation_admit)
+under ADVERSARIAL DUPLICATE SKEW instead of running queries: it
+builds a replica corpus where HALF of all rows share ONE
+gate-passing document (one fingerprint carrying 50% of the stream —
+the hot-crawl worst case for a dedup keyed shuffle), runs the
+admission flow against both the uniform replica corpus and the
+hot-key variant at the same row count, and prints wall time, admitted
+rows, and dedup state-store mark count for each. Verifies the
+reference-parity claim that admission state is bounded by DISTINCT
+CONTENT (internal/clients/valkey_client.go:126-159) and measures
+whether the single hot state key bottlenecks the stateful shuffle.
 
 --tpch additionally replicates the star-schema fact tables with
 COHERENT keys (customer/orders/lineitem get disjoint per-replica key
@@ -167,6 +179,78 @@ def build_tpch(spark, n: int, out_dir: str) -> None:
         )
 
 
+# 60 canonical words, >=2 stopwords, mean word length in [3,10] — a
+# document that PASSES the Gopher admission gate, so its fingerprint
+# really becomes a hot state key (a gate-failing hot text would be
+# filtered before the stateful dedup and measure nothing)
+HOT_TEXT = " ".join(
+    ["the", "quick", "brown", "fox", "and",
+     "that", "have", "with", "to", "of"] * 6
+)
+
+
+def build_hotkey(spark, n: int, out_dir: str) -> None:
+    """documents replicated n× with HALF of all rows' text replaced by
+    the single hot document: one fingerprint carries 50% of the
+    stream, the other half keeps the uniform n-way replica tail."""
+    dst = f"{out_dir}/documents.parquet"
+    if os.path.exists(dst):
+        return
+    base = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    reps = spark.range(n).select(F.col("id").alias("_rep"))
+    (
+        base.crossJoin(reps)
+        .withColumn("doc_id", F.col("doc_id") + F.col("_rep") * ID_STRIDE)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 2 == 0, F.lit(HOT_TEXT)).otherwise(
+                F.col("text")
+            ),
+        )
+        .drop("_rep")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(dst)
+    )
+
+
+def run_admit_probe(spark, data_dir: str, label: str) -> None:
+    """Run the streaming admission flow over data_dir's documents with
+    a fresh checkpoint; print wall time, admitted rows, state marks."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from sentiflow_spark.queries.streaming_queries import curation_admit_flow
+    from sentiflow_spark.streaming.dag import load_stream, read_state_store
+
+    ckpt = tempfile.mkdtemp(prefix="sf_probe_admit_ck_")
+    name = f"probe_admit_{uuid.uuid4().hex[:8]}"
+    try:
+        t0 = time.perf_counter()
+        q = (
+            curation_admit_flow(load_stream(spark, data_dir, "documents"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        rows = spark.table(name).count()
+        marks = read_state_store(spark, ckpt).count()
+        n_docs = spark.read.parquet(f"{data_dir}/documents.parquet").count()
+        print(
+            f"admit[{label}]: {n_docs} docs -> {rows} admitted, "
+            f"{marks} state marks, {wall:.1f} s",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     overlap = "--overlap" in args
@@ -175,6 +259,25 @@ def main() -> None:
     tpch = "--tpch" in args
     if tpch:
         args.remove("--tpch")
+    hotkey = "--hotkey" in args
+    if hotkey:
+        args.remove("--hotkey")
+        n = int(args[0]) if args else 100
+        uni_dir = os.path.abspath(
+            os.path.join(os.path.dirname(__file__), "..", ".tmp", f"scale{n}")
+        )
+        hot_dir = os.path.abspath(
+            os.path.join(os.path.dirname(__file__), "..", ".tmp", f"scale{n}hot")
+        )
+        os.makedirs(uni_dir, exist_ok=True)
+        os.makedirs(hot_dir, exist_ok=True)
+        spark = get_spark("scale-probe")
+        build(spark, n, uni_dir)
+        build_hotkey(spark, n, hot_dir)
+        # same total rows; uniform n-way duplicates vs one 50% hot key
+        run_admit_probe(spark, uni_dir, f"uniform {n}x")
+        run_admit_probe(spark, hot_dir, f"hotkey {n}x")
+        return
     n = int(args[0]) if args else 20
     names = args[1:] or list(DEFAULT_QUERIES)
     suffix = f"scale{n}ov" if overlap else f"scale{n}"
