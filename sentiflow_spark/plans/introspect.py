@@ -145,3 +145,23 @@ def arrow_eval_count(df: DataFrame) -> int:
     Legitimate exactly where a query declares the 'arrow-udf' tag
     (Spark genuinely can't express the stage); 0 everywhere else."""
     return simple_plan(df).count("ArrowEvalPython")
+
+
+def duplicated_python_udfs(df: DataFrame) -> list[str]:
+    """Python UDF names that appear in MORE THAN ONE ArrowEvalPython
+    node of the optimized plan — each extra node is a full extra
+    Python round-trip per row that no JVM-side subexpression
+    elimination can recover (unlike duplicated JVM expressions, which
+    whole-stage codegen CSEs at runtime). The round-8 admission-gate
+    audit found predicate pushdown silently planting a second NFC UDF
+    evaluation this way; [] is the healthy answer."""
+    import re
+    from collections import Counter
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    per_node_names = [
+        set(re.findall(r"(\w+)\(", m.group(1)))
+        for m in re.finditer(r"ArrowEvalPython \[([^\]]*)\]", plan)
+    ]
+    counts = Counter(n for names in per_node_names for n in names)
+    return sorted(n for n, c in counts.items() if c > 1)

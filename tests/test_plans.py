@@ -710,3 +710,27 @@ def test_oracle_lambda_lint_catches_planted_offenders():
         )
     )
     assert clean == []
+
+
+def test_no_duplicated_python_udf_evaluation(plan_scan):
+    """No optimized plan may evaluate the same Python UDF in more than
+    one ArrowEvalPython node: each extra node is a full extra Python
+    round-trip per row that JVM-side subexpression elimination cannot
+    recover. The round-8 admission-gate audit caught predicate
+    pushdown planting a second NFC evaluation exactly this way (fixed
+    with an explode-barrier); this pins the property registry-wide.
+    Streaming/iterative entries execute eagerly and are audited by
+    their own probes."""
+    offenders = {}
+    for name, entry in REGISTRY.items():
+        if not _lazy(entry):
+            continue
+        dups = I.duplicated_python_udfs(plan_scan[name][0])
+        if dups:
+            offenders[name] = dups
+    assert not offenders, (
+        f"same Python UDF evaluated in multiple plan nodes: {offenders} "
+        "— pin the producing projection (localCheckpoint at a stage "
+        "boundary, or an explode-barrier when mid-stream) so pushdown "
+        "cannot re-plant the UDF"
+    )
