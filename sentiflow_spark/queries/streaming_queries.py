@@ -830,9 +830,15 @@ def st_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_stream(spark, sf_dir, "documents")
     manifest = tempfile.mkdtemp(prefix="sf_manifest_") + "/manifest"
+    # 16 buckets, not the serving default of 64: bucket count sizes a
+    # bucket to an executor at the target manifest volume, and a
+    # fingerprint manifest is rows-of-hashes (tiny per entry) — at test
+    # SFs 64 buckets is pure small-file overhead (measured: the 64-way
+    # merge dominated the query at 14 s in-sweep). A 100 TB deployment
+    # re-buckets by expected distinct-content count, same code path.
     q = (
         curation_admit_flow(docs)
-        .writeStream.foreachBatch(curation_manifest_sink(manifest))
+        .writeStream.foreachBatch(curation_manifest_sink(manifest, n_buckets=16))
         .option(
             "checkpointLocation",
             tempfile.mkdtemp(prefix="ckpt_manifest_"),

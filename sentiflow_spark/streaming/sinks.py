@@ -174,7 +174,7 @@ def results_sink(table_path: str, key: str = "content_id"):
     return _write
 
 
-def curation_manifest_sink(table_path: str):
+def curation_manifest_sink(table_path: str, n_buckets: int = N_BUCKETS):
     """foreachBatch callable: MERGE each micro-batch of ADMITTED
     (fp, n_words) curation rows into the corpus-manifest table keyed
     by fingerprint — the tail of the reference ingest loop (dedup-mark
@@ -191,6 +191,7 @@ def curation_manifest_sink(table_path: str):
             stamp_ttl(batch_df),
             table_path,
             "fp",
+            n_buckets=n_buckets,
         )
 
     return _write
