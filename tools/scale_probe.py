@@ -251,6 +251,51 @@ def run_admit_probe(spark, data_dir: str, label: str) -> None:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def run_manifest_probe(spark, data_dir: str, label: str, files_per_trigger: int = 8) -> None:
+    """Drive the full ingest loop (admission → K2 MERGE manifest) over
+    data_dir's documents as a MULTI-BATCH drip (maxFilesPerTrigger), so
+    the merge path is exercised the way production runs it: several
+    micro-batches upserting into the same bucketed table. Prints wall
+    time, micro-batch count, and final manifest row count."""
+    import shutil
+    import tempfile
+
+    from sentiflow_spark.queries.streaming_queries import curation_admit_flow
+    from sentiflow_spark.streaming.sinks import curation_manifest_sink
+
+    ckpt = tempfile.mkdtemp(prefix="sf_probe_mani_ck_")
+    manifest = tempfile.mkdtemp(prefix="sf_probe_mani_tbl_") + "/manifest"
+    try:
+        path = f"{data_dir}/documents.parquet"
+        schema = spark.read.parquet(path).schema
+        reader = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", str(files_per_trigger))
+            .parquet(path)
+        )
+        t0 = time.perf_counter()
+        q = (
+            curation_admit_flow(reader)
+            .writeStream.foreachBatch(curation_manifest_sink(manifest))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        batches = q.lastProgress["batchId"] + 1 if q.lastProgress else -1
+        rows = spark.read.parquet(manifest).count()
+        n_docs = spark.read.parquet(path).count()
+        print(
+            f"manifest[{label}]: {n_docs} docs in {batches} micro-batches "
+            f"-> {rows} manifest rows, {wall:.1f} s",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(manifest), ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     overlap = "--overlap" in args
@@ -259,6 +304,18 @@ def main() -> None:
     tpch = "--tpch" in args
     if tpch:
         args.remove("--tpch")
+    manifest = "--manifest" in args
+    if manifest:
+        args.remove("--manifest")
+        n = int(args[0]) if args else 100
+        out_dir = os.path.abspath(
+            os.path.join(os.path.dirname(__file__), "..", ".tmp", f"scale{n}")
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        spark = get_spark("scale-probe")
+        build(spark, n, out_dir)
+        run_manifest_probe(spark, out_dir, f"{n}x drip")
+        return
     hotkey = "--hotkey" in args
     if hotkey:
         args.remove("--hotkey")
