@@ -165,3 +165,44 @@ def duplicated_python_udfs(df: DataFrame) -> list[str]:
     ]
     counts = Counter(n for names in per_node_names for n in names)
     return sorted(n for n, c in counts.items() if c > 1)
+
+
+# signature column -> testdata table, for classifying unpathed
+# `Relation [...] parquet` nodes in logical plans
+_TABLE_SIG = {
+    "l_orderkey": "lineitem",
+    "o_orderkey": "orders",
+    "c_custkey": "customer",
+    "s_suppkey": "supplier",
+    "p_partkey": "part",
+    "r_regionkey": "region",
+    "n_nationkey": "nation",
+    "event_id": "events",
+    "doc_id": "documents",
+    "vec_id": "embeddings",
+}
+
+
+def table_relation_counts(df: DataFrame) -> dict[str, int]:
+    """How many times each base table appears as a parquet Relation in
+    the OPTIMIZED LOGICAL plan — the structural scan-fanout number.
+    Execution may collapse some via exchange reuse, but growth here is
+    how the txt_drift_psi regression (12 corpus FileScans for a
+    metadata-sized aggregate, r7) entered: each new lineage branch
+    re-expanded to its own corpus scan. Tables are recognized by a
+    signature column since logical Relations print without paths;
+    unrecognized relations count under '?'."""
+    import re
+    from collections import Counter
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    c: Counter = Counter()
+    for m in re.finditer(r"Relation \[([^\]]*)\] parquet", plan):
+        cols = {x.split("#")[0] for x in m.group(1).split(",")}
+        for sig, t in _TABLE_SIG.items():
+            if sig in cols:
+                c[t] += 1
+                break
+        else:
+            c["?"] += 1
+    return dict(c)

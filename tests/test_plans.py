@@ -734,3 +734,94 @@ def test_no_duplicated_python_udf_evaluation(plan_scan):
         "boundary, or an explode-barrier when mid-stream) so pushdown "
         "cannot re-plant the UDF"
     )
+
+
+# ---------------------------------------------------------------------------
+# Structural scan-fanout baseline
+#
+# How the txt_drift_psi regression entered in r7: each new lineage
+# branch over an un-materialized frame re-expanded to its own corpus
+# scan, and the plan silently reached 12 corpus FileScans for a
+# metadata-sized aggregate. This freeze mechanizes that audit: every
+# lazy query's per-table parquet-Relation count in the optimized
+# logical plan must not EXCEED its pinned value (3+ scans are pinned;
+# everything else must stay under 3). Deliberate multi-pass shapes are
+# priced in and documented — e.g. the self-contained ANN index
+# lifecycle (sample-train codebooks → assign all vectors → build LUTs
+# → query + brute-force truth) is inherently multi-pass as ONE query;
+# a production deployment materializes the index after the build pass
+# and pays the corpus once per phase. A count DROPPING below its pin
+# also fails, so the baseline records reality rather than rotting.
+SCAN_FANOUT_BASELINE = {
+    "dd_containment_capped": {"documents": 8},
+    "dd_containment_pairs": {"documents": 8},
+    "dd_decontaminate": {"documents": 3},
+    "dd_doc_sim_topk": {"documents": 8},
+    "dd_edit_prefix_pairs": {"documents": 4},
+    "dd_lsh_recall": {"documents": 8},
+    "dd_ngram_jaccard": {"documents": 4},
+    "dd_ngram_jaccard_capped": {"documents": 8},
+    "dd_segment_dedup": {"documents": 3},
+    "dd_semantic_dedup": {"embeddings": 3},
+    "dd_substring_recall": {"documents": 5},
+    "dd_threshold_curve": {"documents": 4},
+    "pl_e2e_results": {"documents": 6},
+    "rel_column_stats": {"lineitem": 3},
+    "ret_bm25_topk": {"documents": 3},
+    "ret_hybrid_rrf": {"documents": 3},
+    "ret_prf_expansion": {"documents": 5},
+    "ret_query_likelihood": {"documents": 3},
+    "ret_rerank_stub": {"documents": 4},
+    "ret_tfidf_topk": {"documents": 3},
+    "sim_dtw_topk": {"events": 6},
+    "sim_ivf_recall": {"embeddings": 4},
+    "sim_ivfpq_mp_recall": {"embeddings": 12},
+    "sim_ivfpq_multiprobe": {"embeddings": 10},
+    "sim_ivfpq_recall": {"embeddings": 14},
+    "sim_ivfpq_topk": {"embeddings": 12},
+    "sim_multiprobe_recall": {"embeddings": 4},
+    "sim_pq_recall": {"embeddings": 6},
+    "sim_pq_topk": {"embeddings": 4},
+    "sim_sq8_recall": {"embeddings": 4},
+    "txt_cooccur_pmi": {"documents": 7},
+    "txt_dsir_weights": {"documents": 5},
+    "txt_lang_rebalance": {"documents": 3},
+    "txt_mix_temperature": {"documents": 4},
+    "txt_perplexity_bucket": {"documents": 8},
+    "txt_robust_outliers": {"documents": 4},
+    "txt_unigram_logprob": {"documents": 3},
+    "txt_unigram_tokenize": {"documents": 5},
+    "txt_wordpiece_encode": {"documents": 4},
+    "win_ewma_halflife": {"events": 4},
+    "win_percent_rank": {"customer": 4},
+}
+
+
+def test_scan_fanout_frozen(plan_scan):
+    """No lazy query's per-table relation count may exceed its pinned
+    baseline (or 2 when unpinned); counts below a pin fail too so the
+    baseline tracks reality. Catches the silent-fanout regression
+    class mechanically instead of by per-round manual audit."""
+    grew, shrank = {}, {}
+    for name, entry in REGISTRY.items():
+        if not _lazy(entry):
+            continue
+        counts = I.table_relation_counts(plan_scan[name][0])
+        pinned = SCAN_FANOUT_BASELINE.get(name, {})
+        for t, c in counts.items():
+            cap = pinned.get(t, 2)
+            if c > cap:
+                grew[(name, t)] = (c, cap)
+        for t, cap in pinned.items():
+            if counts.get(t, 0) != cap:
+                shrank[(name, t)] = (counts.get(t, 0), cap)
+    assert not grew, (
+        f"scan fanout grew past baseline {grew} — a new lineage branch "
+        "is re-scanning a base table; pin the shared frame "
+        "(localCheckpoint(eager=False)) or restructure, and only then "
+        "consciously raise the pin"
+    )
+    assert not shrank, (
+        f"stale fanout pins (plan now scans fewer times) {shrank} — "
+        "update SCAN_FANOUT_BASELINE to the improved counts"
+    )
