@@ -96,6 +96,58 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivf_served",
+    oracle=f"""
+    WITH {_DUCK_Q_CTE},
+    scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, {_DUCK_SCORE} AS cosine
+      FROM qn p JOIN qn c ON c.label = p.label AND c.vec_id <> p.vec_id
+      WHERE p.vec_id < {N_PROBES}
+    )
+    SELECT probe_id, cand_id, cosine, rank FROM (
+      SELECT probe_id, cand_id, cosine,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "M5", "ann", "sink"),
+    doc="ANN SERVING from a MATERIALIZED index — the production shape "
+    "the self-contained sim_ivf*/sim_ivfpq* lifecycle queries note in "
+    "their docs: build pays the corpus ONE scan and writes the "
+    "quantized index as a parquet table PARTITIONED BY the coarse "
+    "bucket (what Delta/Iceberg clustered writes do for a real "
+    "deployment); serving then joins the probe set against the index "
+    "ON THE PARTITION COLUMN, so Spark's dynamic partition pruning "
+    "plants a runtime filter in the index scan and a probe batch "
+    "reads ONLY its buckets' directories — nprobe/nlist of the index, "
+    "never the corpus (plan-asserted in tests/test_plans.py::"
+    "test_ivf_served_scan_is_dynamically_pruned). Results are "
+    "bit-identical to sim_ivf_topk (same probes, same quantized "
+    "cosine, same tie order), so the oracle IS sim_ivf_topk's — what "
+    "the driver hash-checks here is the materialize→read-back→serve "
+    "path. Reference: the reference serves lookups from its stored "
+    "tables rather than recomputing (internal/db/dynamodb.go) — this "
+    "is that lifecycle for the ANN family.",
+)
+def sim_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    idx_path = tempfile.mkdtemp(prefix="sf_ivf_idx_") + "/index"
+    # BUILD phase: one corpus scan, index laid out bucket-per-directory
+    emb.select("vec_id", "qvec", "qnorm", "label").write.partitionBy(
+        "label"
+    ).parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    # SERVE phase: the probe side is a tiny filtered scan; the join on
+    # the partition column lets DPP prune the index read to the
+    # probed buckets only
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    return bucketed_topk(index, probes, k=TOP_K)
+
+
+@register(
     "sim_neardup_pairs",
     oracle=f"""
     WITH {_DUCK_Q_CTE}

@@ -775,6 +775,11 @@ SCAN_FANOUT_BASELINE = {
     "ret_tfidf_topk": {"documents": 3},
     "sim_dtw_topk": {"events": 6},
     "sim_ivf_recall": {"embeddings": 4},
+    # 3 = the materialized index read (classified as embeddings via its
+    # vec_id signature) + the 5-row probe scan + dynamic partition
+    # pruning's deliberate duplicate of that probe scan (the runtime
+    # filter that makes the index read nprobe/nlist — the whole point)
+    "sim_ivf_served": {"embeddings": 3},
     "sim_ivfpq_mp_recall": {"embeddings": 12},
     "sim_ivfpq_multiprobe": {"embeddings": 10},
     "sim_ivfpq_recall": {"embeddings": 14},
@@ -825,3 +830,26 @@ def test_scan_fanout_frozen(plan_scan):
         f"stale fanout pins (plan now scans fewer times) {shrank} — "
         "update SCAN_FANOUT_BASELINE to the improved counts"
     )
+
+
+def test_ivf_served_scan_is_dynamically_pruned(spark, sf_dir):
+    """The materialized-index serving path must actually prune: the
+    index table is partitioned by the coarse bucket, and the probe
+    join on that column must plant a dynamicpruningexpression in the
+    index FileScan's PartitionFilters — a probe batch reads only its
+    buckets' directories, never the whole index. (Executed plan, after
+    a real collect, so AQE's final shape is what's asserted.)"""
+    import re
+
+    df = q(spark, sf_dir, "sim_ivf_served")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    idx_chunks = [
+        c
+        for c in re.split(r"\n(?=[:+\s]*\+?-? ?FileScan)", plan)
+        if "sf_ivf_idx" in c and "FileScan" in c
+    ]
+    assert idx_chunks, "index scan not found in executed plan"
+    assert all(
+        "dynamicpruningexpression" in c for c in idx_chunks
+    ), "index scan is NOT dynamically pruned — serving reads the full index"
