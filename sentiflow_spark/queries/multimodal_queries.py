@@ -289,3 +289,103 @@ def mm_bytes_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sims = simhash_from_tokens(toks)
     return simhash_near_pairs(sims, max_hamming=3)
+
+
+# ------------------------------ container-header probe (no-decode gate)
+
+MM_RES_MIN, MM_RES_MAX = 64, 4096
+MM_ASPECT = 3  # max aspect ratio, integer cross-multiplied
+
+
+@register(
+    "mm_header_probe",
+    oracle=f"""
+    SELECT doc_id, fmt, width, height,
+           (width >= {MM_RES_MIN} AND width <= {MM_RES_MAX}
+            AND height >= {MM_RES_MIN} AND height <= {MM_RES_MAX}
+            AND {MM_ASPECT} * width >= height
+            AND {MM_ASPECT} * height >= width) AS admitted
+    FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+             CAST(16 + doc_id % 2048 AS INTEGER) AS width,
+             CAST(16 + (doc_id * 7) % 2048 AS INTEGER) AS height
+      FROM documents
+    )
+    """,
+    tags=("multimodal", "M5", "curation"),
+    doc="Image CONTAINER-HEADER parsing as the no-decode resolution "
+    "gate (the LAION-style width/height/aspect pre-filter a multimodal "
+    "curation pipeline runs BEFORE spending any decode): real PNG "
+    "IHDR and JPEG JFIF+SOF0 byte layouts are synthesized into the "
+    "binary payload column (magic + chunk/segment structure, "
+    "dimensions big-endian at the spec offsets), and the query then "
+    "PARSES the bytes back JVM-side — magic dispatch on the hex "
+    "prefix, PNG dims at IHDR offsets 16/20, JPEG dims by locating "
+    "the FFC0 SOF0 marker and reading the segment body — entirely "
+    "with builtin expressions (hex/locate/substr/conv), no Python, no "
+    "image libraries. The oracle states the dimension GENERATOR "
+    "formula, so hash equality proves the parser inverts the "
+    "synthesis byte-exactly (the same golden-round-trip device as the "
+    "format round-trip tests). Honest approximation, documented: "
+    "first-FFC0 scanning is exact for baseline JPEGs like the fixture "
+    "but can false-positive inside entropy-coded data of arbitrary "
+    "files — a production parser walks segment lengths (the shape is "
+    "the same bounded expression chain). At 100 TB the gate is "
+    "map-side over the first KB of each blob — scan-bound, no "
+    "shuffle, no decode.",
+)
+def mm_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    w = (F.lit(16) + F.col("doc_id") % 2048).cast("int")
+    h = (F.lit(16) + (F.col("doc_id") * 7) % 2048).cast("int")
+    is_png = F.col("doc_id") % 2 == 0
+    # --- synthesis: spec-correct header bytes, dims big-endian
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A"),          # PNG signature
+        F.lit("0000000D49484452"),          # IHDR length=13 + type
+        F.lpad(F.hex(w), 8, "0"),           # width  (4B BE)
+        F.lpad(F.hex(h), 8, "0"),           # height (4B BE)
+        F.lit("0806000000"),                # depth/color/comp/filter/interlace
+    )
+    jpeg_hex = F.concat(
+        F.lit("FFD8"),                      # SOI
+        F.lit("FFE000104A464946000101000048004800 00".replace(" ", "")),  # APP0/JFIF
+        F.lit("FFC0001108"),                # SOF0 marker + len=17 + precision 8
+        F.lpad(F.hex(h), 4, "0"),           # height (2B BE)
+        F.lpad(F.hex(w), 4, "0"),           # width  (2B BE)
+        F.lit("03011100021101031101"),      # 3 component specs
+    )
+    media = docs.select(
+        "doc_id",
+        F.to_binary(F.when(is_png, png_hex).otherwise(jpeg_hex), F.lit("hex"))
+        .alias("payload"),
+    )
+    # --- parse: magic dispatch, then dims from the spec offsets
+    hx = F.hex(F.col("payload"))
+    png = hx.startswith("89504E470D0A1A0A")
+    sof = F.locate("FFC0", hx)  # first SOF0 marker (baseline JPEG)
+    width = F.when(
+        png, F.conv(F.substring(hx, 33, 8), 16, 10).cast("int")
+    ).otherwise(F.conv(F.substring(hx, sof + 14, F.lit(4)), 16, 10).cast("int"))
+    height = F.when(
+        png, F.conv(F.substring(hx, 41, 8), 16, 10).cast("int")
+    ).otherwise(F.conv(F.substring(hx, sof + 10, F.lit(4)), 16, 10).cast("int"))
+    parsed = media.select(
+        "doc_id",
+        F.when(png, F.lit("png")).otherwise(F.lit("jpeg")).alias("fmt"),
+        width.alias("width"),
+        height.alias("height"),
+    )
+    ok_res = (
+        (F.col("width") >= MM_RES_MIN)
+        & (F.col("width") <= MM_RES_MAX)
+        & (F.col("height") >= MM_RES_MIN)
+        & (F.col("height") <= MM_RES_MAX)
+    )
+    ok_aspect = (MM_ASPECT * F.col("width") >= F.col("height")) & (
+        MM_ASPECT * F.col("height") >= F.col("width")
+    )
+    return parsed.select(
+        "doc_id", "fmt", "width", "height", (ok_res & ok_aspect).alias("admitted")
+    )
