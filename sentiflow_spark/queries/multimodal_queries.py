@@ -297,6 +297,50 @@ MM_RES_MIN, MM_RES_MAX = 64, 4096
 MM_ASPECT = 3  # max aspect ratio, integer cross-multiplied
 
 
+def image_header_payload(w, h, is_png) -> F.Column:
+    """Spec-correct container-header bytes for the given dimensions:
+    PNG signature + IHDR (dims 4-byte big-endian at offsets 16/20) or
+    JPEG SOI + APP0/JFIF + SOF0 (dims 2-byte big-endian in the SOF0
+    segment body). Shared by mm_header_probe's fixture synthesis and
+    the parser property test, so the parser is exercised on arbitrary
+    dimensions, not just the fixture formula's."""
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A"),          # PNG signature
+        F.lit("0000000D49484452"),          # IHDR length=13 + type
+        F.lpad(F.hex(w), 8, "0"),           # width  (4B BE)
+        F.lpad(F.hex(h), 8, "0"),           # height (4B BE)
+        F.lit("0806000000"),                # depth/color/comp/filter/interlace
+    )
+    jpeg_hex = F.concat(
+        F.lit("FFD8"),                      # SOI
+        F.lit("FFE000104A4649460001010000480048" "0000"),  # APP0/JFIF
+        F.lit("FFC0001108"),                # SOF0 marker + len=17 + precision 8
+        F.lpad(F.hex(h), 4, "0"),           # height (2B BE)
+        F.lpad(F.hex(w), 4, "0"),           # width  (2B BE)
+        F.lit("03011100021101031101"),      # 3 component specs
+    )
+    return F.to_binary(F.when(is_png, png_hex).otherwise(jpeg_hex), F.lit("hex"))
+
+
+def parse_image_dims(payload: F.Column) -> tuple[F.Column, F.Column, F.Column]:
+    """(fmt, width, height) parsed from container-header bytes with
+    builtin expressions only: magic dispatch on the hex prefix, PNG
+    dims at the IHDR offsets, JPEG dims by locating the first FFC0
+    SOF0 marker (exact for baseline JPEGs; a production parser walks
+    segment lengths)."""
+    hx = F.hex(payload)
+    png = hx.startswith("89504E470D0A1A0A")
+    sof = F.locate("FFC0", hx)
+    width = F.when(
+        png, F.conv(F.substring(hx, 33, 8), 16, 10).cast("int")
+    ).otherwise(F.conv(F.substring(hx, sof + 14, F.lit(4)), 16, 10).cast("int"))
+    height = F.when(
+        png, F.conv(F.substring(hx, 41, 8), 16, 10).cast("int")
+    ).otherwise(F.conv(F.substring(hx, sof + 10, F.lit(4)), 16, 10).cast("int"))
+    fmt = F.when(png, F.lit("png")).otherwise(F.lit("jpeg"))
+    return fmt, width, height
+
+
 @register(
     "mm_header_probe",
     oracle=f"""
@@ -340,40 +384,13 @@ def mm_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (F.lit(16) + F.col("doc_id") % 2048).cast("int")
     h = (F.lit(16) + (F.col("doc_id") * 7) % 2048).cast("int")
     is_png = F.col("doc_id") % 2 == 0
-    # --- synthesis: spec-correct header bytes, dims big-endian
-    png_hex = F.concat(
-        F.lit("89504E470D0A1A0A"),          # PNG signature
-        F.lit("0000000D49484452"),          # IHDR length=13 + type
-        F.lpad(F.hex(w), 8, "0"),           # width  (4B BE)
-        F.lpad(F.hex(h), 8, "0"),           # height (4B BE)
-        F.lit("0806000000"),                # depth/color/comp/filter/interlace
-    )
-    jpeg_hex = F.concat(
-        F.lit("FFD8"),                      # SOI
-        F.lit("FFE000104A464946000101000048004800 00".replace(" ", "")),  # APP0/JFIF
-        F.lit("FFC0001108"),                # SOF0 marker + len=17 + precision 8
-        F.lpad(F.hex(h), 4, "0"),           # height (2B BE)
-        F.lpad(F.hex(w), 4, "0"),           # width  (2B BE)
-        F.lit("03011100021101031101"),      # 3 component specs
-    )
     media = docs.select(
-        "doc_id",
-        F.to_binary(F.when(is_png, png_hex).otherwise(jpeg_hex), F.lit("hex"))
-        .alias("payload"),
+        "doc_id", image_header_payload(w, h, is_png).alias("payload")
     )
-    # --- parse: magic dispatch, then dims from the spec offsets
-    hx = F.hex(F.col("payload"))
-    png = hx.startswith("89504E470D0A1A0A")
-    sof = F.locate("FFC0", hx)  # first SOF0 marker (baseline JPEG)
-    width = F.when(
-        png, F.conv(F.substring(hx, 33, 8), 16, 10).cast("int")
-    ).otherwise(F.conv(F.substring(hx, sof + 14, F.lit(4)), 16, 10).cast("int"))
-    height = F.when(
-        png, F.conv(F.substring(hx, 41, 8), 16, 10).cast("int")
-    ).otherwise(F.conv(F.substring(hx, sof + 10, F.lit(4)), 16, 10).cast("int"))
+    fmt, width, height = parse_image_dims(F.col("payload"))
     parsed = media.select(
         "doc_id",
-        F.when(png, F.lit("png")).otherwise(F.lit("jpeg")).alias("fmt"),
+        fmt.alias("fmt"),
         width.alias("width"),
         height.alias("height"),
     )

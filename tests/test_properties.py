@@ -1465,3 +1465,48 @@ def test_unigram_tokenize_oracle_matches_python_viterbi():
             for r in con.execute(_duck_unigram_oracle()).fetchall()
         }
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+@SETTINGS
+@given(
+    dims=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=65535),  # JPEG SOF0 bound
+            st.integers(min_value=1, max_value=65535),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_image_header_parse_inverts_synthesis(spark, dims):
+    """mm_header_probe's parser on ARBITRARY dimensions, not just the
+    fixture formula's: for any (width, height, png-or-jpeg), parsing
+    the spec-correct synthesized header bytes returns exactly the
+    dimensions and format that went in — the golden round-trip as a
+    property. Width/height range over the full 2-byte JPEG SOF0
+    domain (PNG's 4-byte fields are a superset at these values)."""
+    from sentiflow_spark.queries.multimodal_queries import (
+        image_header_payload,
+        parse_image_dims,
+    )
+
+    rows = [(i, w, h, p) for i, (w, h, p) in enumerate(dims)]
+    df = spark.createDataFrame(rows, "i long, w int, h int, png boolean")
+    media = df.select(
+        "i", "w", "h", "png",
+        image_header_payload(F.col("w"), F.col("h"), F.col("png")).alias(
+            "payload"
+        ),
+    )
+    fmt, width, height = parse_image_dims(F.col("payload"))
+    got = {
+        r["i"]: (r["pw"], r["ph"], r["pf"])
+        for r in media.select(
+            "i", width.alias("pw"), height.alias("ph"), fmt.alias("pf")
+        ).collect()
+    }
+    want = {
+        i: (w, h, "png" if p else "jpeg") for i, w, h, p in rows
+    }
+    assert got == want
