@@ -296,6 +296,20 @@ def mm_bytes_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 MM_RES_MIN, MM_RES_MAX = 64, 4096
 MM_ASPECT = 3  # max aspect ratio, integer cross-multiplied
 
+# APP0/JFIF segment every synthesized JPEG starts with (marker FFE0,
+# length 0x0010 = 16 bytes, identifier "JFIF", density 72x72)
+_JFIF_APP0_HEX = "FFE000104A4649460001010000480048" "0000"
+
+# Markers that OPEN a frame header carrying dimensions: SOF0 (baseline),
+# SOF1 (extended sequential), SOF2 (progressive) — the encodings that
+# cover real-world crawl JPEGs.
+_SOF_MARKERS = ("FFC0", "FFC1", "FFC2")
+
+# Bound on the number of segments walked before giving up: real JPEG
+# headers put SOF within a handful of APPn/COM/DQT/DHT segments; 16 is
+# generous and keeps the expression chain (one aggregate() fold) small.
+MM_JPEG_WALK_SEGMENTS = 16
+
 
 def image_header_payload(w, h, is_png) -> F.Column:
     """Spec-correct container-header bytes for the given dimensions:
@@ -313,7 +327,7 @@ def image_header_payload(w, h, is_png) -> F.Column:
     )
     jpeg_hex = F.concat(
         F.lit("FFD8"),                      # SOI
-        F.lit("FFE000104A4649460001010000480048" "0000"),  # APP0/JFIF
+        F.lit(_JFIF_APP0_HEX),              # APP0/JFIF
         F.lit("FFC0001108"),                # SOF0 marker + len=17 + precision 8
         F.lpad(F.hex(h), 4, "0"),           # height (2B BE)
         F.lpad(F.hex(w), 4, "0"),           # width  (2B BE)
@@ -322,21 +336,71 @@ def image_header_payload(w, h, is_png) -> F.Column:
     return F.to_binary(F.when(is_png, png_hex).otherwise(jpeg_hex), F.lit("hex"))
 
 
+def jpeg_sof_pos(hx: F.Column) -> F.Column:
+    """1-indexed hex-char position of the frame header (SOF0/1/2) found
+    by WALKING SEGMENT LENGTHS from the first segment after SOI — the
+    production-correct JPEG scan, still builtin-only (one aggregate()
+    fold over a bounded index sequence; the lambda body is evaluated
+    iteratively at runtime, so the expression tree stays O(1)).
+
+    Each step reads the 2-byte marker at the cursor; on SOF it stops
+    (fixed point), otherwise it reads the 2-byte big-endian segment
+    length and advances past marker + segment. Malformed input (cursor
+    past EOF, a non-FF marker byte, a length < 2) also freezes the
+    cursor, and the caller detects non-SOF rest positions and yields
+    NULL dims. Unlike locate('FFC0', ...), an FFC0 byte pair INSIDE a
+    COM/APPn payload (or entropy-coded data) is skipped by its
+    enclosing segment's length and can never be misread as the frame
+    header."""
+
+    def step(pos: F.Column, _i: F.Column) -> F.Column:
+        marker = F.substring(hx, pos, F.lit(4))
+        is_sof = marker.isin(*_SOF_MARKERS)
+        seglen = F.conv(F.substring(hx, pos + F.lit(4), F.lit(4)), 16, 10).cast(
+            "int"
+        )
+        valid = (
+            (F.length(marker) == 4)
+            & marker.startswith("FF")
+            & (seglen >= 2)
+        )
+        return F.when(is_sof | ~valid, pos).otherwise(
+            pos + F.lit(4) + seglen * F.lit(2)
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(MM_JPEG_WALK_SEGMENTS)),
+        F.lit(5).cast("int"),  # first marker right after SOI ("FFD8")
+        step,
+    )
+
+
+def _jpeg_dims_at(hx: F.Column, pos: F.Column) -> tuple[F.Column, F.Column]:
+    """(width, height) read from the SOF segment whose marker starts at
+    hex-char ``pos``: length(2B) + precision(1B) precede height(2B) then
+    width(2B), so height sits at pos+10 and width at pos+14 (hex chars)."""
+    width = F.conv(F.substring(hx, pos + F.lit(14), F.lit(4)), 16, 10).cast("int")
+    height = F.conv(F.substring(hx, pos + F.lit(10), F.lit(4)), 16, 10).cast("int")
+    return width, height
+
+
 def parse_image_dims(payload: F.Column) -> tuple[F.Column, F.Column, F.Column]:
     """(fmt, width, height) parsed from container-header bytes with
     builtin expressions only: magic dispatch on the hex prefix, PNG
-    dims at the IHDR offsets, JPEG dims by locating the first FFC0
-    SOF0 marker (exact for baseline JPEGs; a production parser walks
-    segment lengths)."""
+    dims at the IHDR offsets, JPEG dims from the SOF0/1/2 segment found
+    by the bounded segment-length walk (jpeg_sof_pos) — NULL dims when
+    no frame header is found within the walk bound."""
     hx = F.hex(payload)
     png = hx.startswith("89504E470D0A1A0A")
-    sof = F.locate("FFC0", hx)
+    sof = jpeg_sof_pos(hx)
+    sof_found = F.substring(hx, sof, F.lit(4)).isin(*_SOF_MARKERS)
+    jw, jh = _jpeg_dims_at(hx, sof)
     width = F.when(
         png, F.conv(F.substring(hx, 33, 8), 16, 10).cast("int")
-    ).otherwise(F.conv(F.substring(hx, sof + 14, F.lit(4)), 16, 10).cast("int"))
+    ).otherwise(F.when(sof_found, jw))
     height = F.when(
         png, F.conv(F.substring(hx, 41, 8), 16, 10).cast("int")
-    ).otherwise(F.conv(F.substring(hx, sof + 10, F.lit(4)), 16, 10).cast("int"))
+    ).otherwise(F.when(sof_found, jh))
     fmt = F.when(png, F.lit("png")).otherwise(F.lit("jpeg"))
     return fmt, width, height
 
@@ -365,19 +429,20 @@ def parse_image_dims(payload: F.Column) -> tuple[F.Column, F.Column, F.Column]:
     "binary payload column (magic + chunk/segment structure, "
     "dimensions big-endian at the spec offsets), and the query then "
     "PARSES the bytes back JVM-side — magic dispatch on the hex "
-    "prefix, PNG dims at IHDR offsets 16/20, JPEG dims by locating "
-    "the FFC0 SOF0 marker and reading the segment body — entirely "
-    "with builtin expressions (hex/locate/substr/conv), no Python, no "
-    "image libraries. The oracle states the dimension GENERATOR "
+    "prefix, PNG dims at IHDR offsets 16/20, JPEG dims from the "
+    "SOF0/1/2 segment found by WALKING SEGMENT LENGTHS (jpeg_sof_pos: "
+    "one aggregate() fold over a bounded step sequence) — entirely "
+    "with builtin expressions (hex/substr/conv/aggregate), no Python, "
+    "no image libraries. The oracle states the dimension GENERATOR "
     "formula, so hash equality proves the parser inverts the "
     "synthesis byte-exactly (the same golden-round-trip device as the "
-    "format round-trip tests). Honest approximation, documented: "
-    "first-FFC0 scanning is exact for baseline JPEGs like the fixture "
-    "but can false-positive inside entropy-coded data of arbitrary "
-    "files — a production parser walks segment lengths (the shape is "
-    "the same bounded expression chain). At 100 TB the gate is "
-    "map-side over the first KB of each blob — scan-bound, no "
-    "shuffle, no decode.",
+    "format round-trip tests). The walk is the production-correct "
+    "scan: an FFC0 byte pair inside a COM/APPn payload is skipped by "
+    "its segment length, never misread as the frame header "
+    "(mm_jpeg_segment_walk is the adversarial fixture proving "
+    "exactly that against the naive first-FFC0 scan). At 100 TB the "
+    "gate is map-side over the first KB of each blob — scan-bound, "
+    "no shuffle, no decode.",
 )
 def mm_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
@@ -405,4 +470,119 @@ def mm_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return parsed.select(
         "doc_id", "fmt", "width", "height", (ok_res & ok_aspect).alias("admitted")
+    )
+
+
+# ------------------- adversarial JPEG fixture: decoy SOF inside a COM
+
+# APP1 padding segment: marker FFE1, declared length 4 (2-byte length
+# field + 2 payload bytes "ABCD") — 6 bytes / 12 hex chars per segment
+_PAD_SEG_HEX = "FFE10004ABCD"
+MM_MAX_PAD_SEGMENTS = 8
+
+
+def jpeg_adversarial_payload(w, h, decoy_w, decoy_h, n_pad) -> F.Column:
+    """JPEG header bytes built to defeat a naive first-FFC0 scan: after
+    SOI + APP0/JFIF comes a COM segment whose PAYLOAD contains a
+    byte-exact SOF0 lookalike carrying DECOY dimensions, then ``n_pad``
+    APP1 padding segments (variable walk depth), then the real SOF0
+    with the true dimensions. locate('FFC0') lands on the decoy; the
+    segment walk skips the COM by its declared length and reads the
+    real frame header."""
+    com = F.concat(
+        # COM marker + length 0x000B (= 2-byte length field + 9-byte
+        # payload: the 5-byte SOF0-lookalike prefix + 2B h + 2B w)
+        F.lit("FFFE000B" "FFC0001108"),
+        F.lpad(F.hex(decoy_h), 4, "0"),
+        F.lpad(F.hex(decoy_w), 4, "0"),
+    )
+    pads = F.substring(
+        F.lit(_PAD_SEG_HEX * MM_MAX_PAD_SEGMENTS),
+        F.lit(1),
+        n_pad * F.lit(len(_PAD_SEG_HEX)),
+    )
+    sof = F.concat(
+        F.lit("FFC0001108"),
+        F.lpad(F.hex(h), 4, "0"),
+        F.lpad(F.hex(w), 4, "0"),
+        F.lit("03011100021101031101"),
+    )
+    return F.to_binary(
+        F.concat(F.lit("FFD8"), F.lit(_JFIF_APP0_HEX), com, pads, sof),
+        F.lit("hex"),
+    )
+
+
+@register(
+    "mm_jpeg_segment_walk",
+    oracle=f"""
+    SELECT doc_id, width, height, naive_width, naive_height,
+           (width >= {MM_RES_MIN} AND width <= {MM_RES_MAX}
+            AND height >= {MM_RES_MIN} AND height <= {MM_RES_MAX}
+            AND {MM_ASPECT} * width >= height
+            AND {MM_ASPECT} * height >= width) AS admitted
+    FROM (
+      SELECT doc_id,
+             CAST(16 + doc_id % 2048 AS INTEGER) AS width,
+             CAST(16 + (doc_id * 7) % 2048 AS INTEGER) AS height,
+             CAST(8 + doc_id % 16 AS INTEGER) AS naive_width,
+             CAST(8 + (doc_id * 3) % 16 AS INTEGER) AS naive_height
+      FROM documents
+    )
+    """,
+    tags=("multimodal", "M5", "curation"),
+    doc="Adversarial proof that the JPEG dimension gate walks segment "
+    "lengths instead of pattern-matching: every synthesized header "
+    "plants a byte-exact FFC0 SOF0 LOOKALIKE (with decoy dimensions "
+    "8..23, all below the resolution floor) inside a COM segment "
+    "payload, pads with a doc-varying number of APP1 segments (walk "
+    "depth 2..10), and only then emits the real SOF0. The query "
+    "parses the same bytes BOTH ways — jpeg_sof_pos's bounded "
+    "segment-length walk and the naive first-FFC0 locate — and the "
+    "oracle states both generator formulas: hash equality proves the "
+    "walker returns the TRUE dimensions on every row while the naive "
+    "scan reads the planted decoy (which would reject the entire "
+    "corpus at the resolution gate). This is the crawl-data failure "
+    "mode for real files — FFC0 appears freely inside EXIF/comment "
+    "payloads and entropy-coded data. Same scale shape as "
+    "mm_header_probe: map-side builtin expressions over blob heads, "
+    "scan-bound, no shuffle, no Python.",
+)
+def mm_jpeg_segment_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    w = (F.lit(16) + F.col("doc_id") % 2048).cast("int")
+    h = (F.lit(16) + (F.col("doc_id") * 7) % 2048).cast("int")
+    decoy_w = (F.lit(8) + F.col("doc_id") % 16).cast("int")
+    decoy_h = (F.lit(8) + (F.col("doc_id") * 3) % 16).cast("int")
+    n_pad = (F.col("doc_id") % (MM_MAX_PAD_SEGMENTS + 1)).cast("int")
+    media = docs.select(
+        "doc_id",
+        jpeg_adversarial_payload(w, h, decoy_w, decoy_h, n_pad).alias("payload"),
+    )
+    hx = F.hex(F.col("payload"))
+    walk_w, walk_h = _jpeg_dims_at(hx, jpeg_sof_pos(hx))
+    naive_w, naive_h = _jpeg_dims_at(hx, F.locate("FFC0", hx))
+    parsed = media.select(
+        "doc_id",
+        walk_w.alias("width"),
+        walk_h.alias("height"),
+        naive_w.alias("naive_width"),
+        naive_h.alias("naive_height"),
+    )
+    ok_res = (
+        (F.col("width") >= MM_RES_MIN)
+        & (F.col("width") <= MM_RES_MAX)
+        & (F.col("height") >= MM_RES_MIN)
+        & (F.col("height") <= MM_RES_MAX)
+    )
+    ok_aspect = (MM_ASPECT * F.col("width") >= F.col("height")) & (
+        MM_ASPECT * F.col("height") >= F.col("width")
+    )
+    return parsed.select(
+        "doc_id",
+        "width",
+        "height",
+        "naive_width",
+        "naive_height",
+        (ok_res & ok_aspect).alias("admitted"),
     )

@@ -824,30 +824,45 @@ def curation_admit_flow(docs: DataFrame) -> DataFrame:
     "admitted-fingerprint set.",
 )
 def st_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from sentiflow_spark.streaming.sinks import curation_manifest_sink
 
     docs = load_stream(spark, sf_dir, "documents")
-    manifest = tempfile.mkdtemp(prefix="sf_manifest_") + "/manifest"
+    scratch = tempfile.mkdtemp(prefix="sf_manifest_")
+    manifest = scratch + "/manifest"
     # 16 buckets, not the serving default of 64: bucket count sizes a
     # bucket to an executor at the target manifest volume, and a
     # fingerprint manifest is rows-of-hashes (tiny per entry) — at test
     # SFs 64 buckets is pure small-file overhead (measured: the 64-way
     # merge dominated the query at 14 s in-sweep). A 100 TB deployment
     # re-buckets by expected distinct-content count, same code path.
-    q = (
-        curation_admit_flow(docs)
-        .writeStream.foreachBatch(curation_manifest_sink(manifest, n_buckets=16))
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="ckpt_manifest_"),
+    ckpt = tempfile.mkdtemp(prefix="ckpt_manifest_")
+    try:
+        q = (
+            curation_admit_flow(docs)
+            .writeStream.foreachBatch(
+                curation_manifest_sink(manifest, n_buckets=16)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.parquet(manifest).select("fp", "n_words")
+        q.awaitTermination()
+        # Materialize the read-back eagerly (the manifest is admitted
+        # fingerprints — tiny relative to the stream; block-manager
+        # copy freed by ContextCleaner when the result is dropped) so
+        # both scratch dirs can be removed NOW instead of leaking one
+        # manifest + checkpoint pair per invocation (round-8 ADVICE).
+        return (
+            spark.read.parquet(manifest)
+            .select("fp", "n_words")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 @register(

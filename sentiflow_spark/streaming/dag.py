@@ -68,17 +68,68 @@ def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def run_to_table(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
     """Execute a (bounded) stream with an availableNow trigger into an
     in-memory table and return the materialized result."""
+    import shutil
+
     name = f"st_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return stream_df.sparkSession.table(name)
+    finally:
+        # the memory table lives in the session; a terminated
+        # availableNow query never resumes from this checkpoint
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def warm_streaming_engine(spark: SparkSession) -> None:
+    """Pay the session's ONE-TIME streaming bring-up off any
+    measurement clock: the first streaming query of a session absorbs
+    micro-batch engine start, offset/commit log machinery, state-store
+    provider classloading, and the Arrow/Python-worker launch for
+    pandas-UDF stages — measured at ~8-10 s landing on whichever st_*
+    query runs first in a sweep (round-8: st_curation_manifest read
+    14 s in-sweep vs 3.5-5.6 s warm). One tiny file-source stateful
+    stream into a noop sink plus one 8-row pandas-UDF batch job warms
+    all of it; harnesses (bench.py, tools/oracle_sweep.py) call this
+    before starting their clocks."""
+    import shutil
+
+    from sentiflow_spark.queries.curation_queries import nfc_norm_expr
+
+    # Arrow python-worker launch + pandas-UDF codepath (the NFC UDF is
+    # the one every curation-path streaming query runs)
+    spark.range(8).select(
+        nfc_norm_expr(F.col("id").cast("string")).alias("t")
+    ).count()
+
+    scratch = tempfile.mkdtemp(prefix="sf_warmup_stream_")
+    try:
+        src = scratch + "/src"
+        spark.range(256).select(
+            "id", F.current_timestamp().alias("ts")
+        ).coalesce(1).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["id"])
+            .writeStream.format("noop")
+            .option("checkpointLocation", scratch + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 def streaming_sentiment_flow(raw: DataFrame, router_threshold: int = 1024) -> DataFrame:

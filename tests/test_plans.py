@@ -807,6 +807,14 @@ def test_scan_fanout_frozen(plan_scan):
     baseline (or 2 when unpinned); counts below a pin fail too so the
     baseline tracks reality. Catches the silent-fanout regression
     class mechanically instead of by per-round manual audit."""
+    # a pin for a renamed/retired query would otherwise sit silently
+    # dead — the loop below only visits live lazy entries
+    lazy_names = {name for name, entry in REGISTRY.items() if _lazy(entry)}
+    dead_pins = set(SCAN_FANOUT_BASELINE) - lazy_names
+    assert not dead_pins, (
+        f"SCAN_FANOUT_BASELINE pins queries that are no longer lazy "
+        f"registry entries: {sorted(dead_pins)} — remove or rename the pins"
+    )
     grew, shrank = {}, {}
     for name, entry in REGISTRY.items():
         if not _lazy(entry):
@@ -847,7 +855,7 @@ def test_ivf_served_scan_is_dynamically_pruned(spark, sf_dir):
     idx_chunks = [
         c
         for c in re.split(r"\n(?=[:+\s]*\+?-? ?FileScan)", plan)
-        if "sf_ivf_idx" in c and "FileScan" in c
+        if "ivf_index_" in c and "FileScan" in c
     ]
     assert idx_chunks, "index scan not found in executed plan"
     assert all(

@@ -1510,3 +1510,58 @@ def test_image_header_parse_inverts_synthesis(spark, dims):
         i: (w, h, "png" if p else "jpeg") for i, w, h, p in rows
     }
     assert got == want
+
+
+@SETTINGS
+@given(
+    cases=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=65535),  # true width
+            st.integers(min_value=1, max_value=65535),  # true height
+            st.integers(min_value=1, max_value=65535),  # decoy width
+            st.integers(min_value=1, max_value=65535),  # decoy height
+            st.integers(min_value=0, max_value=8),      # padding segments
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_jpeg_segment_walk_skips_planted_decoy(spark, cases):
+    """The segment walker on ADVERSARIAL headers: for any true dims,
+    any decoy dims planted as an FFC0 lookalike inside a COM segment
+    payload, and any padding depth, jpeg_sof_pos finds the REAL frame
+    header (walker dims == true dims) while the naive first-FFC0
+    locate reads the planted decoy (naive dims == decoy dims) — the
+    misparse the walk exists to prevent, as a property over the full
+    2-byte dimension domain."""
+    from sentiflow_spark.queries.multimodal_queries import (
+        _jpeg_dims_at,
+        jpeg_adversarial_payload,
+        jpeg_sof_pos,
+    )
+
+    rows = [(i, *c) for i, c in enumerate(cases)]
+    df = spark.createDataFrame(
+        rows, "i long, w int, h int, dw int, dh int, np int"
+    )
+    media = df.select(
+        "i",
+        jpeg_adversarial_payload(
+            F.col("w"), F.col("h"), F.col("dw"), F.col("dh"), F.col("np")
+        ).alias("payload"),
+    )
+    hx = F.hex(F.col("payload"))
+    walk_w, walk_h = _jpeg_dims_at(hx, jpeg_sof_pos(hx))
+    naive_w, naive_h = _jpeg_dims_at(hx, F.locate("FFC0", hx))
+    got = {
+        r["i"]: (r["ww"], r["wh"], r["nw"], r["nh"])
+        for r in media.select(
+            "i",
+            walk_w.alias("ww"),
+            walk_h.alias("wh"),
+            naive_w.alias("nw"),
+            naive_h.alias("nh"),
+        ).collect()
+    }
+    want = {i: (w, h, dw, dh) for i, w, h, dw, dh, _ in rows}
+    assert got == want

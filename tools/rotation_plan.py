@@ -24,8 +24,10 @@ Derivation:
    changed this round and MUST get a fresh driver row), then the AGE
    FLOOR — any query whose last green row is >= AGE_FLOOR_ROUNDS old
    fronts regardless of source-touch recency, oldest verification
-   first — then the remaining stale by most-recently-touched sources,
-   then oldest-verified padding.
+   first (capped at half the post-must window when young stale
+   queries would otherwise be crowded out entirely) — then the
+   remaining stale by most-recently-touched sources, then
+   oldest-verified padding.
 
 The age floor exists because pure touch-recency ranking structurally
 STARVES queries whose implementing code never changes: the round-7
@@ -204,7 +206,16 @@ def build_plan(cap: int, must: tuple[str, ...] = ()) -> dict:
         (r for r in young if not r["stale"]),
         key=lambda r: (r["verified_round"], r["name"]),
     )
-    picked = (must_recs + aged + stale + fresh)[:cap]
+    # The aged block fronts, but may not STARVE young-stale queries
+    # (source-touched this round) out of the window entirely: aged
+    # takes all the room only when young-stale still fits after it;
+    # otherwise it is capped at half the remaining room so every round
+    # re-verifies at least some of what just changed (round-8 ADVICE).
+    room = max(0, cap - len(must_recs))
+    aged_take = min(len(aged), max(room - len(stale), room // 2))
+    picked = (must_recs + aged[:aged_take] + stale + aged[aged_take:] + fresh)[
+        :cap
+    ]
     return {
         "generated_from_round": cur_round,
         "stale_count": sum(r["stale"] for r in recs),

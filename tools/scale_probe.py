@@ -7,8 +7,25 @@ whose cost curves bend quadratic (pair generation, windows over hot
 keys) show it between 1× and 20× long before a cluster would. Results
 are recorded in BASELINE.md's scale-headroom sections.
 
-Run: python tools/scale_probe.py [N] [--overlap] [--tpch] [--hotkey] [query ...]
-Defaults: N=20, the corpus-family headline queries.
+Run: python tools/scale_probe.py [N] [--overlap] [--tpch] [--hotkey]
+     [--manifest] [--merge] [query ...]
+Defaults: N=20, the corpus-family headline queries. The probe modes
+(--hotkey/--manifest/--merge) take only an optional leading numeric
+argument and reject query names.
+
+--manifest drives the FULL ingest loop (streaming admission → K2
+MERGE manifest sink) over the N× replica corpus as a multi-batch drip
+(maxFilesPerTrigger), printing wall time, micro-batch count, and
+final manifest rows — the end-to-end cost of the production ingest
+path at N× volume.
+
+--merge isolates the MERGE against a LARGE PRE-SEEDED manifest (N
+fingerprints, default 10M, 64 buckets): a fixed-size incoming batch
+is constrained to touch B buckets for B in 1/4/16/64 and each merge's
+wall is printed, for the seeded manifest and for a 100× smaller one.
+Proves the O(touched-buckets) claim where it matters: merge cost must
+track the batch's bucket fanout (and per-bucket volume), never total
+manifest size.
 
 --hotkey probes the streaming admission path (st_curation_admit)
 under ADVERSARIAL DUPLICATE SKEW instead of running queries: it
@@ -296,6 +313,82 @@ def run_manifest_probe(spark, data_dir: str, label: str, files_per_trigger: int 
         shutil.rmtree(os.path.dirname(manifest), ignore_errors=True)
 
 
+def run_merge_probe(spark, n_fp: int, n_buckets: int = 64) -> None:
+    """Isolated K2 MERGE cost against a pre-seeded manifest: seed n_fp
+    fingerprints across n_buckets bucket partitions, then merge a
+    FIXED-SIZE incoming batch constrained to land in B buckets for
+    growing B, printing each merge's wall. Repeats against a 100×
+    smaller manifest: O(touched-buckets) means wall tracks B (and the
+    per-bucket row volume), never total manifest size."""
+    import shutil
+    import tempfile
+
+    from sentiflow_spark.streaming.sinks import (
+        _bucket_of,
+        merge_upsert,
+        stamp_ttl,
+    )
+
+    batch_rows = 2048
+    # candidate pool of NEW fps large enough that even B=1 (1/64 of the
+    # pool lands in bucket 0) fills the batch
+    pool = (
+        spark.range(batch_rows * n_buckets * 4)
+        .select(
+            F.md5(F.concat(F.lit("new_"), F.col("id").cast("string"))).alias("fp"),
+            (F.col("id") % 997).cast("int").alias("n_words"),
+        )
+        .withColumn("_b", _bucket_of("fp", n_buckets))
+    )
+    for rows in (n_fp // 100, n_fp):
+        table = tempfile.mkdtemp(prefix="sf_probe_merge_") + "/manifest"
+        try:
+            seed = spark.range(rows).select(
+                F.md5(F.col("id").cast("string")).alias("fp"),
+                (F.col("id") % 997).cast("int").alias("n_words"),
+            )
+            (
+                stamp_ttl(seed)
+                .withColumn("_bucket", _bucket_of("fp", n_buckets))
+                .repartition("_bucket")
+                .write.partitionBy("_bucket")
+                .parquet(table)
+            )
+            for b in (1, 4, 16, n_buckets):
+                batch = (
+                    pool.filter(F.col("_b") < b)
+                    .drop("_b")
+                    .limit(batch_rows)
+                    .localCheckpoint(eager=True)  # exclude generation cost
+                )
+                t0 = time.perf_counter()
+                merge_upsert(
+                    spark, stamp_ttl(batch), table, "fp", n_buckets=n_buckets
+                )
+                wall = time.perf_counter() - t0
+                print(
+                    f"merge[{rows} fp manifest, {n_buckets} buckets]: "
+                    f"{batch_rows}-fp batch -> {b} buckets touched, "
+                    f"{wall:.2f} s",
+                    flush=True,
+                )
+        finally:
+            shutil.rmtree(os.path.dirname(table), ignore_errors=True)
+
+
+def _probe_n(args: list[str], default: int) -> int:
+    """Probe modes take ONE optional leading integer; a trailing query
+    name would previously hit int(args[0]) and raise a bare
+    ValueError — reject it with a usage error instead."""
+    if args and args[0].lstrip("-").isdigit():
+        return int(args.pop(0))
+    if args:
+        raise SystemExit(
+            f"probe modes take only an optional numeric argument, got: {args!r}"
+        )
+    return default
+
+
 def main() -> None:
     args = sys.argv[1:]
     overlap = "--overlap" in args
@@ -304,10 +397,17 @@ def main() -> None:
     tpch = "--tpch" in args
     if tpch:
         args.remove("--tpch")
+    merge = "--merge" in args
+    if merge:
+        args.remove("--merge")
+        n_fp = _probe_n(args, 10_000_000)
+        spark = get_spark("scale-probe")
+        run_merge_probe(spark, n_fp)
+        return
     manifest = "--manifest" in args
     if manifest:
         args.remove("--manifest")
-        n = int(args[0]) if args else 100
+        n = _probe_n(args, 100)
         out_dir = os.path.abspath(
             os.path.join(os.path.dirname(__file__), "..", ".tmp", f"scale{n}")
         )
@@ -319,7 +419,7 @@ def main() -> None:
     hotkey = "--hotkey" in args
     if hotkey:
         args.remove("--hotkey")
-        n = int(args[0]) if args else 100
+        n = _probe_n(args, 100)
         uni_dir = os.path.abspath(
             os.path.join(os.path.dirname(__file__), "..", ".tmp", f"scale{n}")
         )
