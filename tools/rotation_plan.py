@@ -24,8 +24,8 @@ Derivation:
    changed this round and MUST get a fresh driver row), then the AGE
    FLOOR — any query whose last green row is >= AGE_FLOOR_ROUNDS old
    fronts regardless of source-touch recency, oldest verification
-   first (capped at half the post-must window when young stale
-   queries would otherwise be crowded out entirely) — then the
+   first (a quarter of the post-must window stays reserved for young
+   stale queries so they are never crowded out entirely) — then the
    remaining stale by most-recently-touched sources, then
    oldest-verified padding.
 
@@ -207,12 +207,15 @@ def build_plan(cap: int, must: tuple[str, ...] = ()) -> dict:
         key=lambda r: (r["verified_round"], r["name"]),
     )
     # The aged block fronts, but may not STARVE young-stale queries
-    # (source-touched this round) out of the window entirely: aged
-    # takes all the room only when young-stale still fits after it;
-    # otherwise it is capped at half the remaining room so every round
-    # re-verifies at least some of what just changed (round-8 ADVICE).
+    # (source-touched this round) out of the window entirely: a quarter
+    # of the post-must room is reserved for young-stale whenever any
+    # exist, so every round re-verifies at least some of what just
+    # changed (round-8 ADVICE) while a large aged backlog still drains
+    # at full speed (capping aged at half would stretch the staleness
+    # retirement the age floor exists to finish).
     room = max(0, cap - len(must_recs))
-    aged_take = min(len(aged), max(room - len(stale), room // 2))
+    reserve = min(len(stale), room // 4)
+    aged_take = min(len(aged), room - reserve)
     picked = (must_recs + aged[:aged_take] + stale + aged[aged_take:] + fresh)[
         :cap
     ]
