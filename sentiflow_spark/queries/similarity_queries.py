@@ -130,23 +130,29 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tables rather than recomputing (internal/db/dynamodb.go) — this "
     "is that lifecycle for the ANN family.",
 )
-def sim_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _managed_index_path(sf_dir: str, prefix: str) -> str:
+    """Index location under the repo's gitignored .tmp/ scratch root,
+    keyed by the source dir so distinct SFs / probe replicas never
+    collide (and mkdtemp-per-call never accumulates index copies in
+    /tmp — round-8 ADVICE)."""
     import os
     import re
 
-    emb = with_quantized(load(spark, sf_dir, "embeddings"))
-    # Managed index location keyed by the source dir, REUSED across
-    # invocations: a materialized index is a build-once artifact, and
-    # mkdtemp-per-call accumulated a full index copy in /tmp on every
-    # sweep/bench/plan-scan construction (round-8 ADVICE). The key is
-    # the corpus path, so distinct SFs / probe replicas never collide;
-    # .tmp/ is the repo's existing gitignored scratch root.
     key = re.sub(r"\W+", "_", sf_dir.strip("/"))
-    idx_path = os.path.join(
+    return os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".tmp",
-        f"ivf_index_{key}",
+        f"{prefix}_{key}",
     )
+
+
+def sim_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    # Managed, REUSED across invocations: a materialized index is a
+    # build-once artifact.
+    idx_path = _managed_index_path(sf_dir, "ivf_index")
     if not os.path.isfile(os.path.join(idx_path, "_SUCCESS")):
         # BUILD phase: one corpus scan, index laid out
         # bucket-per-directory. Spark's _SUCCESS commit marker gates
@@ -159,6 +165,70 @@ def sim_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SERVE phase: the probe side is a tiny filtered scan; the join on
     # the partition column lets DPP prune the index read to the
     # probed buckets only
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    return bucketed_topk(index, probes, k=TOP_K)
+
+
+@register(
+    "sim_ivf_upsert",
+    oracle=f"""
+    WITH {_DUCK_Q_CTE},
+    scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, {_DUCK_SCORE} AS cosine
+      FROM qn p JOIN qn c ON c.label = p.label AND c.vec_id <> p.vec_id
+      WHERE p.vec_id < {N_PROBES}
+    )
+    SELECT probe_id, cand_id, cosine, rank FROM (
+      SELECT probe_id, cand_id, cosine,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "M5", "ann", "sink"),
+    doc="INCREMENTAL MAINTENANCE of the materialized ANN index — the "
+    "lifecycle piece sim_ivf_served leaves open (its build is "
+    "one-shot; a crawl appends vectors continuously, and rebuilding "
+    "an index over the full corpus per delta is O(corpus)): the base "
+    "index is built WITHOUT a 5% slice of the corpus (vec_id%20==7), "
+    "then a delta batch — those missing vectors (the INSERT case) "
+    "plus a re-sent unchanged slice vec_id%20==3 (the idempotent "
+    "UPDATE case) — is MERGED in with the same keyed bucket-scoped "
+    "upsert the curation manifest uses (streaming/sinks.merge_upsert, "
+    "partition_col='label'): only the label partitions present in the "
+    "delta are read and rewritten via dynamic partition overwrite — "
+    "O(touched coarse buckets), never O(index) "
+    "(tests/test_sinks.py::test_ivf_upsert_rewrites_only_delta_labels "
+    "proves untouched partition files are byte-identical). The query "
+    "result is the serve pass against the UPSERTED index, and the "
+    "oracle is the full-corpus IVF truth (sim_ivf_topk's), so hash "
+    "equality proves upsert ≡ rebuild — the convergence property "
+    "incremental maintenance must have. Reference: the reference's "
+    "stores update per batch and serve from the updated table "
+    "(internal/db/dynamodb.go PK-overwrite upsert); this is that "
+    "semantics for the ANN index. At 100 TB the delta's merge cost "
+    "tracks its own bucket fanout (measured for the manifest merge in "
+    "BASELINE.md's 10M-fp probe — same code path).",
+)
+def sim_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from sentiflow_spark.streaming.sinks import merge_upsert
+
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    cols = ["vec_id", "qvec", "qnorm", "label"]
+    idx_path = _managed_index_path(sf_dir, "ivf_upsert")
+    # base build excludes the 5% arriving as the delta; rebuilt fresh
+    # each invocation so the query always measures base-build + merge
+    shutil.rmtree(idx_path, ignore_errors=True)
+    emb.filter(F.col("vec_id") % 20 != 7).select(*cols).write.partitionBy(
+        "label"
+    ).parquet(idx_path)
+    delta = emb.filter(
+        (F.col("vec_id") % 20 == 7) | (F.col("vec_id") % 20 == 3)
+    ).select(*cols)
+    merge_upsert(spark, delta, idx_path, key="vec_id", partition_col="label")
+    index = spark.read.parquet(idx_path)
     probes = emb.filter(F.col("vec_id") < N_PROBES)
     return bucketed_topk(index, probes, k=TOP_K)
 

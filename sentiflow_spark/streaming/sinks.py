@@ -55,7 +55,9 @@ def _bucket_of(key: str, n_buckets: int):
     return F.pmod(F.hash(F.col(key)), F.lit(n_buckets))
 
 
-def _drop_partition_dirs(spark: SparkSession, table_path: str, buckets: list[int]) -> None:
+def _drop_partition_dirs(
+    spark: SparkSession, table_path: str, buckets: list[int], pcol: str = "_bucket"
+) -> None:
     """Remove bucket partition dirs whose merged content became empty
     (dynamic overwrite only replaces partitions that receive output
     rows). Goes through the Hadoop FileSystem API so it works on any
@@ -63,7 +65,7 @@ def _drop_partition_dirs(spark: SparkSession, table_path: str, buckets: list[int
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     for b in buckets:
-        p = jvm.org.apache.hadoop.fs.Path(f"{table_path}/_bucket={b}")
+        p = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{pcol}={b}")
         fs = p.getFileSystem(conf)
         fs.delete(p, True)
 
@@ -75,11 +77,19 @@ def merge_upsert(
     key: str,
     retention_cutoff_expr: str | None = None,
     n_buckets: int = N_BUCKETS,
+    partition_col: str | None = None,
 ) -> None:
-    """Keyed upsert into a hash-bucketed parquet table: new rows win
-    over current by key; optionally drop rows past retention.
+    """Keyed upsert into a partition-clustered parquet table: new rows
+    win over current by key; optionally drop rows past retention.
     Deterministic + idempotent: applying the same batch twice yields
     the same table.
+
+    By default the table is clustered on a derived hash bucket of the
+    key (``_bucket = pmod(hash(key), n_buckets)``). Pass
+    ``partition_col`` to cluster on a DOMAIN column the rows already
+    carry instead — e.g. the IVF coarse-bucket ``label`` for
+    incremental ANN-index maintenance (sim_ivf_upsert) — with
+    identical touched-partition semantics.
 
     Scale shape: only buckets present in the batch (plus buckets
     holding expired rows during a retention sweep) are read and
@@ -89,15 +99,25 @@ def merge_upsert(
     re-written. The retention probe scans only the ``ttl`` column and
     parquet min/max stats skip files with no expired rows.
     """
-    incoming = new_rows.withColumn("_bucket", _bucket_of(key, n_buckets)).withColumn(
-        "_pri", F.lit(0)
-    )
+    pcol = partition_col or "_bucket"
+    incoming = (
+        new_rows
+        if partition_col
+        else new_rows.withColumn("_bucket", _bucket_of(key, n_buckets))
+    ).withColumn("_pri", F.lit(0))
     exists = os.path.isdir(table_path)
     touched: set[int] = set()
     migrating = False
     if exists:
         current = spark.read.parquet(table_path)
-        if "_bucket" not in current.columns:
+        if pcol not in current.columns:
+            if partition_col:
+                # a domain partition column cannot be derived here —
+                # the caller owns its computation
+                raise ValueError(
+                    f"existing table at {table_path} lacks partition "
+                    f"column {pcol!r}"
+                )
             # One-time migration of a legacy unbucketed table: every
             # row is "touched" this merge; subsequent merges are
             # bucket-scoped. O(table) exactly once, by design.
@@ -107,18 +127,18 @@ def merge_upsert(
             ).withColumn("_pri", F.lit(1))
         else:
             touched = {
-                r["_bucket"] for r in incoming.select("_bucket").distinct().collect()
+                r[pcol] for r in incoming.select(pcol).distinct().collect()
             }
             if retention_cutoff_expr:
                 expired = (
                     current.filter(F.col("ttl") < F.expr(retention_cutoff_expr))
-                    .select("_bucket")
+                    .select(pcol)
                     .distinct()
                     .collect()
                 )
-                touched |= {r["_bucket"] for r in expired}
+                touched |= {r[pcol] for r in expired}
             cur_touched = current.filter(
-                F.col("_bucket").isin(sorted(touched))
+                F.col(pcol).isin(sorted(touched))
             ).withColumn("_pri", F.lit(1))
         union = incoming.unionByName(cur_touched)
     else:
@@ -138,7 +158,7 @@ def merge_upsert(
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_bucket")
+        .partitionBy(pcol)
         .parquet(table_path)
     )
     if migrating:
@@ -155,8 +175,8 @@ def merge_upsert(
         # A touched bucket whose merged content is now empty produces
         # no output rows, so dynamic overwrite leaves its stale files
         # in place — clear those partitions explicitly.
-        survivors = {r["_bucket"] for r in merged.select("_bucket").distinct().collect()}
-        _drop_partition_dirs(spark, table_path, sorted(touched - survivors))
+        survivors = {r[pcol] for r in merged.select(pcol).distinct().collect()}
+        _drop_partition_dirs(spark, table_path, sorted(touched - survivors), pcol)
 
 
 def results_sink(table_path: str, key: str = "content_id"):

@@ -85,6 +85,58 @@ def test_merge_upsert_leaves_untouched_buckets_alone(spark):
     assert ("k0", 99) in got and len(got) == 200
 
 
+def test_ivf_upsert_rewrites_only_delta_labels(spark):
+    """merge_upsert with a DOMAIN partition column (the sim_ivf_upsert
+    path: partition_col='label', the IVF coarse bucket): a delta
+    confined to two labels must leave every other label partition's
+    files byte-identical, and the upserted table must equal the
+    from-scratch rebuild over base∪delta with delta winning by key —
+    the convergence property incremental index maintenance needs."""
+    import glob
+
+    path = os.path.join(tempfile.mkdtemp(), "idx")
+    base = spark.createDataFrame(
+        [(i, i % 8, 10 + i) for i in range(400)], ["vec_id", "label", "v"]
+    )
+    base.write.partitionBy("label").parquet(path)
+
+    def snapshot():
+        return {
+            f: (os.path.getmtime(f), os.path.getsize(f))
+            for f in glob.glob(f"{path}/label=*/part-*")
+        }
+
+    before = snapshot()
+    # delta: update 3 vectors in label 0, insert 2 new ones in label 1
+    delta = spark.createDataFrame(
+        [(0, 0, 99), (8, 0, 99), (16, 0, 99), (1000, 1, 7), (1001, 1, 7)],
+        ["vec_id", "label", "v"],
+    )
+    merge_upsert(spark, delta, path, key="vec_id", partition_col="label")
+    after = snapshot()
+    untouched_b = {f: v for f, v in before.items()
+                   if "/label=0/" not in f and "/label=1/" not in f}
+    untouched_a = {f: v for f, v in after.items()
+                   if "/label=0/" not in f and "/label=1/" not in f}
+    assert untouched_b and untouched_b == untouched_a
+    got = {(r.vec_id, r.label, r.v) for r in _read(spark, path).collect()}
+    want = {
+        (i, i % 8, 99 if i in (0, 8, 16) else 10 + i) for i in range(400)
+    } | {(1000, 1, 7), (1001, 1, 7)}
+    assert got == want
+    # replay converges (idempotent per batch)
+    merge_upsert(spark, delta, path, key="vec_id", partition_col="label")
+    assert {(r.vec_id, r.label, r.v) for r in _read(spark, path).collect()} == want
+    # a pre-existing table missing the domain column is a caller error,
+    # not a silent hash-bucket migration
+    flat = os.path.join(tempfile.mkdtemp(), "flat")
+    base.drop("label").write.parquet(flat)
+    import pytest
+
+    with pytest.raises(ValueError, match="lacks partition column"):
+        merge_upsert(spark, delta, flat, key="vec_id", partition_col="label")
+
+
 def test_ttl_stamp_and_retention(spark):
     path = os.path.join(tempfile.mkdtemp(), "tbl")
     old = stamp_ttl(
