@@ -586,3 +586,201 @@ def mm_jpeg_segment_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "naive_height",
         (ok_res & ok_aspect).alias("admitted"),
     )
+
+
+# --------------------- RIFF/WAVE header probe (audio no-decode gate)
+
+# Chunk ids as hex of their 4-char ascii tags
+_RIFF_HEX, _WAVE_HEX = "52494646", "57415645"
+_FMT_HEX, _DATA_HEX, _JUNK_HEX = "666D7420", "64617461", "4A554E4B"
+MM_RIFF_WALK_CHUNKS = 12
+# admission gate bounds (speech-pipeline pre-filter)
+MM_SR_MIN, MM_SR_MAX = 8000, 48000
+MM_DUR_MIN_MS, MM_DUR_MAX_MS = 300, 30000
+MM_MAX_CHANNELS = 2
+
+
+def _hex_le(v: F.Column, n_bytes: int) -> F.Column:
+    """Little-endian hex encoding of an integer column (RIFF stores
+    every size/field LE — the byte-order mirror of JPEG/PNG's BE)."""
+    be = F.lpad(F.hex(v), 2 * n_bytes, "0")
+    return F.concat(
+        *[F.substring(be, 2 * i + 1, 2) for i in reversed(range(n_bytes))]
+    )
+
+
+def _le32(hx: F.Column, pos) -> F.Column:
+    """Integer from 4 little-endian bytes at 1-indexed hex-char pos."""
+    be = F.concat(
+        *[F.substring(hx, pos + F.lit(2 * i), F.lit(2)) for i in (3, 2, 1, 0)]
+    )
+    return F.conv(be, 16, 10).cast("long")
+
+
+def _le16(hx: F.Column, pos) -> F.Column:
+    be = F.concat(
+        F.substring(hx, pos + F.lit(2), F.lit(2)),
+        F.substring(hx, pos, F.lit(2)),
+    )
+    return F.conv(be, 16, 10).cast("int")
+
+
+def wav_header_payload(sample_rate, n_channels, duration_ms, junk_bytes) -> F.Column:
+    """Spec-correct RIFF/WAVE header bytes: RIFF size + WAVE form, a
+    JUNK padding chunk of ``junk_bytes`` (real encoders emit JUNK/LIST
+    before fmt; this varies the walk depth and offsets), the PCM
+    'fmt ' chunk (16-bit), and the 'data' chunk header whose size
+    encodes the duration. Only the data-chunk SIZE is synthesized —
+    the gate never needs sample bytes, which is the point."""
+    bits = F.lit(16)
+    block_align = (n_channels * bits / F.lit(8)).cast("int")
+    byte_rate = (sample_rate * block_align).cast("long")
+    data_size = ((byte_rate * duration_ms) / F.lit(1000)).cast("long")
+    # odd-size chunks carry a pad byte to the next even offset (not
+    # counted in the size field) — synthesize it or the walk lands one
+    # byte short of the next chunk id
+    junk_padded = junk_bytes + junk_bytes % 2
+    junk = F.concat(
+        F.lit(_JUNK_HEX),
+        _hex_le(junk_bytes, 4),
+        F.substring(F.lit("00" * 64), F.lit(1), junk_padded * F.lit(2)),
+    )
+    fmt = F.concat(
+        F.lit(_FMT_HEX),
+        _hex_le(F.lit(16), 4),          # PCM fmt payload is 16 bytes
+        _hex_le(F.lit(1), 2),           # audio_format = 1 (PCM)
+        _hex_le(n_channels, 2),
+        _hex_le(sample_rate, 4),
+        _hex_le(byte_rate, 4),
+        _hex_le(block_align, 2),
+        _hex_le(bits, 2),
+    )
+    data_hdr = F.concat(F.lit(_DATA_HEX), _hex_le(data_size, 4))
+    # RIFF size = everything after the size field: "WAVE" + chunks
+    riff_size = (
+        F.lit(4)                         # WAVE
+        + F.lit(8) + junk_padded         # JUNK hdr + payload + pad
+        + F.lit(8 + 16)                  # fmt hdr + payload
+        + F.lit(8)                       # data hdr (sample bytes omitted)
+    ).cast("long")
+    return F.to_binary(
+        F.concat(
+            F.lit(_RIFF_HEX), _hex_le(riff_size, 4), F.lit(_WAVE_HEX),
+            junk, fmt, data_hdr,
+        ),
+        F.lit("hex"),
+    )
+
+
+def riff_chunk_pos(hx: F.Column, chunk_id_hex: str) -> F.Column:
+    """1-indexed hex-char position of the named chunk's id, found by
+    walking RIFF chunk sizes from the first chunk after the 12-byte
+    RIFF/WAVE preamble — same bounded aggregate() fold as
+    jpeg_sof_pos, with LITTLE-endian sizes and odd-size pad bytes
+    (RIFF aligns chunks to even offsets). Freezes on the target id or
+    on malformed input; the caller checks the id at the rest position."""
+
+    def step(pos: F.Column, _i: F.Column) -> F.Column:
+        cid = F.substring(hx, pos, F.lit(8))
+        size = _le32(hx, pos + F.lit(8))
+        valid = (F.length(cid) == 8) & size.isNotNull() & (size >= 0)
+        # 8-byte header + payload + pad-to-even, in hex chars
+        adv = F.lit(16) + size * F.lit(2) + (size % 2) * F.lit(2)
+        return F.when((cid == chunk_id_hex) | ~valid, pos).otherwise(
+            (pos + adv).cast("int")
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(MM_RIFF_WALK_CHUNKS)),
+        F.lit(25).cast("int"),  # first chunk after RIFF(4)+size(4)+WAVE(4)
+        step,
+    )
+
+
+def parse_wav_header(payload: F.Column):
+    """(sample_rate, n_channels, bits, duration_ms) parsed from
+    RIFF/WAVE header bytes, builtin-only; NULLs when the magic is
+    wrong or a chunk is missing within the walk bound."""
+    hx = F.hex(payload)
+    is_wav = hx.startswith(_RIFF_HEX) & (F.substring(hx, 17, 8) == _WAVE_HEX)
+    fmt_pos = riff_chunk_pos(hx, _FMT_HEX)
+    fmt_ok = is_wav & (F.substring(hx, fmt_pos, F.lit(8)) == _FMT_HEX)
+    body = fmt_pos + F.lit(16)  # past id + size
+    n_channels = F.when(fmt_ok, _le16(hx, body + F.lit(4)))
+    sample_rate = F.when(fmt_ok, _le32(hx, body + F.lit(8)).cast("int"))
+    byte_rate = F.when(fmt_ok, _le32(hx, body + F.lit(16)))
+    bits = F.when(fmt_ok, _le16(hx, body + F.lit(28)))
+    data_pos = riff_chunk_pos(hx, _DATA_HEX)
+    data_ok = is_wav & (F.substring(hx, data_pos, F.lit(8)) == _DATA_HEX)
+    data_size = F.when(data_ok, _le32(hx, data_pos + F.lit(8)))
+    # exact by construction: data_size is an integer number of
+    # byte_rate-per-second frames times ms/1000
+    duration_ms = ((data_size * 1000) / byte_rate).cast("int")
+    return sample_rate, n_channels, bits, duration_ms
+
+
+@register(
+    "mm_wav_header_probe",
+    oracle=f"""
+    SELECT doc_id, sample_rate, n_channels, bits, duration_ms,
+           (sample_rate >= {MM_SR_MIN} AND sample_rate <= {MM_SR_MAX}
+            AND n_channels <= {MM_MAX_CHANNELS}
+            AND duration_ms >= {MM_DUR_MIN_MS}
+            AND duration_ms <= {MM_DUR_MAX_MS}) AS admitted
+    FROM (
+      SELECT doc_id,
+             CAST(8000 * (1 + doc_id % 6) AS INTEGER) AS sample_rate,
+             CAST(1 + doc_id % 3 AS INTEGER) AS n_channels,
+             16 AS bits,
+             CAST(200 + (doc_id * 13) % 40000 AS INTEGER) AS duration_ms
+      FROM documents
+    )
+    """,
+    tags=("multimodal", "M5", "curation"),
+    doc="AUDIO no-decode admission gate — the speech-curation analog "
+    "of the image header probe: spec-correct RIFF/WAVE bytes (RIFF "
+    "size + WAVE form, a doc-varying JUNK padding chunk as real "
+    "encoders emit, the PCM 'fmt ' chunk, and the 'data' chunk header "
+    "whose size encodes duration) are synthesized into the binary "
+    "payload, then PARSED back builtin-only: riff_chunk_pos walks "
+    "chunk sizes with the same bounded aggregate() fold as the JPEG "
+    "segment walk but with LITTLE-endian sizes and pad-to-even "
+    "alignment, and the gate admits on sample-rate / channel-count / "
+    "duration bounds (duration = data-chunk size over byte rate — no "
+    "sample bytes are read, which is the point of a header gate). "
+    "The oracle states the generator formulas, so hash equality "
+    "proves the LE chunk walk inverts the synthesis byte-exactly. At "
+    "100 TB this runs map-side over the first KB of each audio blob — "
+    "scan-bound, no shuffle, no codec.",
+)
+def mm_wav_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    sample_rate = (F.lit(8000) * (1 + F.col("doc_id") % 6)).cast("int")
+    n_channels = (F.lit(1) + F.col("doc_id") % 3).cast("int")
+    duration_ms = (F.lit(200) + (F.col("doc_id") * 13) % 40000).cast("int")
+    junk_bytes = (F.col("doc_id") % 37).cast("int")
+    media = docs.select(
+        "doc_id",
+        wav_header_payload(
+            sample_rate, n_channels, duration_ms, junk_bytes
+        ).alias("payload"),
+    )
+    sr, ch, bits, dur = parse_wav_header(F.col("payload"))
+    parsed = media.select(
+        "doc_id",
+        sr.alias("sample_rate"),
+        ch.alias("n_channels"),
+        bits.alias("bits"),
+        dur.alias("duration_ms"),
+    )
+    admitted = (
+        (F.col("sample_rate") >= MM_SR_MIN)
+        & (F.col("sample_rate") <= MM_SR_MAX)
+        & (F.col("n_channels") <= MM_MAX_CHANNELS)
+        & (F.col("duration_ms") >= MM_DUR_MIN_MS)
+        & (F.col("duration_ms") <= MM_DUR_MAX_MS)
+    )
+    return parsed.select(
+        "doc_id", "sample_rate", "n_channels", "bits", "duration_ms",
+        admitted.alias("admitted"),
+    )

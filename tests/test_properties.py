@@ -1565,3 +1565,51 @@ def test_jpeg_segment_walk_skips_planted_decoy(spark, cases):
     }
     want = {i: (w, h, dw, dh) for i, w, h, dw, dh, _ in rows}
     assert got == want
+
+
+@SETTINGS
+@given(
+    cases=st.lists(
+        st.tuples(
+            # sample rate a multiple of 500 so byte_rate divides the
+            # ms→bytes conversion exactly (the fixture formula's
+            # 8000-multiples are a subset); full RIFF fields otherwise
+            st.integers(min_value=1, max_value=192),   # sr = 500*this
+            st.integers(min_value=1, max_value=8),     # channels
+            st.integers(min_value=1, max_value=100_000),  # duration ms
+            st.integers(min_value=0, max_value=64),    # JUNK bytes
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_wav_header_parse_inverts_synthesis(spark, cases):
+    """mm_wav_header_probe's RIFF chunk walk on ARBITRARY fields: for
+    any (sample_rate, channels, duration, junk-chunk size — odd sizes
+    exercising the pad-to-even rule), parsing the synthesized header
+    returns exactly what went in. Little-endian round-trip as a
+    property, including the duration reconstruction from the data
+    chunk size."""
+    from sentiflow_spark.queries.multimodal_queries import (
+        parse_wav_header,
+        wav_header_payload,
+    )
+
+    rows = [(i, 500 * s, c, d, j) for i, (s, c, d, j) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i long, sr int, ch int, ms int, junk int")
+    media = df.select(
+        "i",
+        wav_header_payload(
+            F.col("sr"), F.col("ch"), F.col("ms"), F.col("junk")
+        ).alias("payload"),
+    )
+    sr, ch, bits, dur = parse_wav_header(F.col("payload"))
+    got = {
+        r["i"]: (r["psr"], r["pch"], r["pb"], r["pms"])
+        for r in media.select(
+            "i", sr.alias("psr"), ch.alias("pch"),
+            bits.alias("pb"), dur.alias("pms"),
+        ).collect()
+    }
+    want = {i: (s, c, 16, d) for i, s, c, d, _ in rows}
+    assert got == want
