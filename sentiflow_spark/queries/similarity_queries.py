@@ -44,6 +44,22 @@ _DUCK_SCORE = duck_cosine(
 )
 
 
+def _managed_index_path(sf_dir: str, prefix: str) -> str:
+    """Index location under the repo's gitignored .tmp/ scratch root,
+    keyed by the source dir so distinct SFs / probe replicas never
+    collide (and mkdtemp-per-call never accumulates index copies in
+    /tmp — round-8 ADVICE)."""
+    import os
+    import re
+
+    key = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp",
+        f"{prefix}_{key}",
+    )
+
+
 @register(
     "sim_brute_topk",
     oracle=f"""
@@ -130,22 +146,6 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tables rather than recomputing (internal/db/dynamodb.go) — this "
     "is that lifecycle for the ANN family.",
 )
-def _managed_index_path(sf_dir: str, prefix: str) -> str:
-    """Index location under the repo's gitignored .tmp/ scratch root,
-    keyed by the source dir so distinct SFs / probe replicas never
-    collide (and mkdtemp-per-call never accumulates index copies in
-    /tmp — round-8 ADVICE)."""
-    import os
-    import re
-
-    key = re.sub(r"\W+", "_", sf_dir.strip("/"))
-    return os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".tmp",
-        f"{prefix}_{key}",
-    )
-
-
 def sim_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 

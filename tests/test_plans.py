@@ -780,6 +780,10 @@ SCAN_FANOUT_BASELINE = {
     # pruning's deliberate duplicate of that probe scan (the runtime
     # filter that makes the index read nprobe/nlist — the whole point)
     "sim_ivf_served": {"embeddings": 3},
+    # same serve shape as sim_ivf_served: probe scan + index read
+    # (vec_id signature) + the DPP subquery's duplicate of the probe
+    # side — the pruning filter itself
+    "sim_ivf_upsert": {"embeddings": 3},
     "sim_ivfpq_mp_recall": {"embeddings": 12},
     "sim_ivfpq_multiprobe": {"embeddings": 10},
     "sim_ivfpq_recall": {"embeddings": 14},
