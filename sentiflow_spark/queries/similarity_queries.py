@@ -44,11 +44,20 @@ _DUCK_SCORE = duck_cosine(
 )
 
 
+# Bump whenever the materialized-index CONTENT changes for the same
+# corpus (with_quantized's quantization, the stored column set, the
+# partition layout): .tmp/ persists across sessions AND build rounds,
+# so without a version in the path a code change would silently serve
+# a stale index built by the old code.
+_INDEX_VERSION = 1
+
+
 def _managed_index_path(sf_dir: str, prefix: str) -> str:
     """Index location under the repo's gitignored .tmp/ scratch root,
-    keyed by the source dir so distinct SFs / probe replicas never
-    collide (and mkdtemp-per-call never accumulates index copies in
-    /tmp — round-8 ADVICE)."""
+    keyed by the source dir (so distinct SFs / probe replicas never
+    collide, and mkdtemp-per-call never accumulates index copies in
+    /tmp — round-8 ADVICE) and by _INDEX_VERSION (so index-content
+    code changes invalidate reuse instead of serving stale bytes)."""
     import os
     import re
 
@@ -56,7 +65,7 @@ def _managed_index_path(sf_dir: str, prefix: str) -> str:
     return os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".tmp",
-        f"{prefix}_{key}",
+        f"{prefix}_v{_INDEX_VERSION}_{key}",
     )
 
 

@@ -85,6 +85,48 @@ def test_merge_upsert_leaves_untouched_buckets_alone(spark):
     assert ("k0", 99) in got and len(got) == 200
 
 
+def test_managed_ivf_index_reuse_and_rebuild(spark, sf_dir):
+    """sim_ivf_served's managed index lifecycle: the first build
+    commits Spark's _SUCCESS marker; a second invocation REUSES the
+    index without rewriting a single file; a missing marker (killed
+    partial build) forces a rebuild instead of serving partial bytes."""
+    import glob
+
+    from sentiflow_spark.queries.similarity_queries import (
+        _managed_index_path,
+        sim_ivf_served,
+    )
+
+    idx = _managed_index_path(sf_dir, "ivf_index")
+    shutil.rmtree(idx, ignore_errors=True)
+    n1 = sim_ivf_served(spark, sf_dir).count()
+    snap = {f: os.path.getmtime(f) for f in glob.glob(f"{idx}/label=*/part-*")}
+    assert snap and os.path.isfile(os.path.join(idx, "_SUCCESS"))
+    assert sim_ivf_served(spark, sf_dir).count() == n1
+    assert snap == {
+        f: os.path.getmtime(f) for f in glob.glob(f"{idx}/label=*/part-*")
+    }, "reuse path rewrote index files"
+    os.remove(os.path.join(idx, "_SUCCESS"))  # simulate a killed build
+    assert sim_ivf_served(spark, sf_dir).count() == n1
+    assert os.path.isfile(os.path.join(idx, "_SUCCESS"))
+    after = {f: os.path.getmtime(f) for f in glob.glob(f"{idx}/label=*/part-*")}
+    assert after != snap, "missing commit marker did not trigger a rebuild"
+
+
+def test_warm_streaming_engine_runs_and_cleans_up(spark):
+    """The harness warm-up (bench.py / oracle_sweep run it before
+    their clocks start) must execute end-to-end and leave no scratch
+    dirs behind."""
+    import glob
+
+    from sentiflow_spark.streaming.dag import warm_streaming_engine
+
+    pat = os.path.join(tempfile.gettempdir(), "sf_warmup_stream_*")
+    before = set(glob.glob(pat))
+    warm_streaming_engine(spark)
+    assert set(glob.glob(pat)) == before
+
+
 def test_ivf_upsert_rewrites_only_delta_labels(spark):
     """merge_upsert with a DOMAIN partition column (the sim_ivf_upsert
     path: partition_col='label', the IVF coarse bucket): a delta
