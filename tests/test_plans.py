@@ -844,6 +844,36 @@ def test_scan_fanout_frozen(plan_scan):
     )
 
 
+def test_eager_query_construction_leaves_no_scratch(spark, sf_dir):
+    """Constructing (and, for streaming/sink entries, EXECUTING) every
+    eager query must leave no scratch dirs in the system tempdir — the
+    leak class round-8 ADVICE flagged twice (sim_ivf_served index
+    copies, st_curation_manifest manifest+checkpoint pairs per
+    invocation) and round 9 fixed. Package scratch uses the sf_*/ckpt_*
+    prefixes; reusable managed artifacts live under the repo's .tmp/
+    instead (exempt). jobs.py's CLI checkpoint is user-facing resume
+    state and not constructed here."""
+    import glob
+    import os
+    import tempfile
+
+    pats = [os.path.join(tempfile.gettempdir(), p) for p in ("sf_*", "ckpt_*")]
+
+    def snap():
+        return {f for p in pats for f in glob.glob(p)}
+
+    before = snap()
+    for name, entry in REGISTRY.items():
+        if {"streaming", "sink"} & set(entry.tags):
+            entry.fn(spark, sf_dir)
+    leaked = snap() - before
+    assert not leaked, (
+        f"query construction leaked scratch dirs: {sorted(leaked)[:10]} — "
+        "clean up after awaitTermination/materialization (see "
+        "run_to_table / st_curation_manifest for the pattern)"
+    )
+
+
 def test_ivf_served_scan_is_dynamically_pruned(spark, sf_dir):
     """The materialized-index serving path must actually prune: the
     index table is partitioned by the coarse bucket, and the probe
