@@ -217,7 +217,12 @@ def sim_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(internal/db/dynamodb.go PK-overwrite upsert); this is that "
     "semantics for the ANN index. At 100 TB the delta's merge cost "
     "tracks its own bucket fanout (measured for the manifest merge in "
-    "BASELINE.md's 10M-fp probe — same code path).",
+    "BASELINE.md's 10M-fp probe — same code path). Contract honored "
+    "here as everywhere clustered MERGE is used: a key's partition "
+    "value is fixed for the table's lifetime, so coarse "
+    "RE-ASSIGNMENT (centroid retraining) is a rebuild, not an upsert "
+    "— appends and same-bucket updates are the incremental path (see "
+    "merge_upsert's docstring).",
 )
 def sim_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil

@@ -91,6 +91,18 @@ def merge_upsert(
     incremental ANN-index maintenance (sim_ivf_upsert) — with
     identical touched-partition semantics.
 
+    CONTRACT: the partition value must be a FIXED function of the key
+    across the table's lifetime (the derived hash bucket is, by
+    construction). If a key re-sent in a delta carried a DIFFERENT
+    partition value than its stored row, the merge would only read the
+    new partition and the stale row would survive in the old one —
+    a duplicate key across partitions. This is the standard clustered-
+    MERGE constraint (Delta/Iceberg clustered writes share it); for the
+    IVF index it means coarse re-assignment (centroid retraining) is a
+    REBUILD, not an upsert — appends and same-bucket updates are the
+    incremental path. Pinned by
+    tests/test_sinks.py::test_merge_upsert_partition_col_converges_to_fold.
+
     Scale shape: only buckets present in the batch (plus buckets
     holding expired rows during a retention sweep) are read and
     rewritten — partition pruning keeps the read side to those

@@ -85,6 +85,51 @@ def test_merge_upsert_leaves_untouched_buckets_alone(spark):
     assert ("k0", 99) in got and len(got) == 200
 
 
+def test_merge_upsert_partition_col_converges_to_fold(spark):
+    """Convergence property of the clustered MERGE with a domain
+    partition column: applying ANY sequence of batches (unique keys
+    within a batch; a key's partition fixed across batches — the
+    documented contract) leaves the table equal to the last-write-wins
+    dict fold of the batches. Randomized over batch count, batch
+    composition, and key→partition assignment; replaying the final
+    batch must be a no-op (idempotence under at-least-once delivery)."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    keys = [f"k{i}" for i in range(40)]
+    for trial in range(3):
+        part_of = {k: rng.randrange(5) for k in keys}  # fixed per key
+        path = os.path.join(tempfile.mkdtemp(), "tbl")
+        model: dict[str, int] = {}
+        batches = []
+        for b in range(rng.randint(2, 5)):
+            batch_keys = rng.sample(keys, rng.randint(1, 25))
+            rows = [(k, part_of[k], rng.randrange(1000)) for k in batch_keys]
+            batches.append(rows)
+            for k, _, v in rows:
+                model[k] = v
+        for rows in batches:
+            merge_upsert(
+                spark,
+                spark.createDataFrame(rows, ["key", "part", "v"]),
+                path,
+                key="key",
+                partition_col="part",
+            )
+        got = {(r.key, r.part, r.v) for r in _read(spark, path).collect()}
+        want = {(k, part_of[k], v) for k, v in model.items()}
+        assert got == want, f"trial {trial}: fold mismatch"
+        # at-least-once replay of the last batch converges
+        merge_upsert(
+            spark,
+            spark.createDataFrame(batches[-1], ["key", "part", "v"]),
+            path,
+            key="key",
+            partition_col="part",
+        )
+        assert {(r.key, r.part, r.v) for r in _read(spark, path).collect()} == want
+
+
 def test_managed_ivf_index_reuse_and_rebuild(spark, sf_dir):
     """sim_ivf_served's managed index lifecycle: the first build
     commits Spark's _SUCCESS marker; a second invocation REUSES the
