@@ -531,6 +531,106 @@ def segment_dedup(
     )
 
 
+def boilerplate_removal(
+    docs: DataFrame,
+    seg_chars: int = 16,
+    min_docs: int = 3,
+    max_removed_frac: float = 0.30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document frequency-threshold boilerplate removal — the
+    OTHER canonical line-dedup mode next to segment_dedup's C4-style
+    first-wins ownership: a segment that occurs in >= ``min_docs``
+    DISTINCT documents is boilerplate (nav bars, cookie banners,
+    licence footers) and is removed from EVERY document including the
+    first, per CCNet's paragraph dedup (Wenzek et al., LREC 2020) and
+    RefinedWeb's line dedup (Penedo et al., 2023). Documents losing
+    more than ``max_removed_frac`` of their characters are flagged
+    dropped (doc_kept = false), RefinedWeb's document-level rule.
+
+    Returns (id, text_clean, n_kept, n_total, removed_frac, doc_kept);
+    fixed ``seg_chars`` segments stand in for lines on the
+    newline-free synthetic corpus, exactly like segment_dedup.
+
+    Scale shape: the boilerplate set is a partial-aggregated distinct
+    count over (segment, doc) — two-phase, so a segment repeated a
+    billion times combines map-side and never hot-spots one reducer —
+    and is typically tiny relative to the corpus (only segments
+    crossing the threshold survive the HAVING), so the removal
+    anti-join broadcasts under AQE; at larger boilerplate-set sizes it
+    degrades to a shuffled hash anti-join co-partitioned with the
+    counting shuffle on the same key. Reconstruction aggregates per
+    document, bounded by one doc's size. removed_frac is one IEEE
+    double division of two exact ints — bitwise identical across
+    engines."""
+    n_total = F.greatest(
+        F.ceil(F.length(text_col) / F.lit(float(seg_chars))).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    segs = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_total - 1)).alias("seg_no"),
+    ).select(
+        id_col,
+        "seg_no",
+        F.col("_t")
+        .substr((F.col("seg_no") * seg_chars + 1).cast("int"), F.lit(seg_chars))
+        .alias("seg"),
+    )
+    boiler = (
+        segs.groupBy("seg")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("seg", F.lit(True).alias("is_bp"))
+    )
+    # Mark-and-aggregate instead of anti-join + totals join-back: one
+    # left join flags boilerplate occurrences, then a SINGLE per-doc
+    # aggregation produces the kept text AND the totals — every doc has
+    # >= 1 segment, so no re-scan of docs is needed for per-doc stats
+    # (the scan-fanout lint holds this operator to 2 scans of documents)
+    flagged = segs.join(boiler, "seg", "left").select(
+        id_col, "seg_no", "seg",
+        F.coalesce("is_bp", F.lit(False)).alias("is_bp"),
+    )
+    rec = flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("seg_no", "seg", "is_bp"))
+                    ),
+                    lambda s: ~s.is_bp,
+                ),
+                lambda s: s.seg,
+            ),
+            "",
+        ).alias("text_clean"),
+        F.sum(F.when(~F.col("is_bp"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(~F.col("is_bp"), F.length("seg")).otherwise(0))
+        .cast("long")
+        .alias("kept_chars"),
+        F.sum(F.length("seg")).cast("long").alias("total_chars"),
+    )
+    total_chars = F.col("total_chars")
+    removed_frac = F.when(
+        total_chars > 0,
+        (total_chars - F.col("kept_chars")).cast("double") / total_chars,
+    ).otherwise(F.lit(0.0))
+    return rec.select(
+        id_col,
+        "text_clean",
+        "n_kept",
+        "n_total",
+        removed_frac.alias("removed_frac"),
+        (removed_frac <= max_removed_frac).alias("doc_kept"),
+    )
+
+
 PR_SCALE = 10**12
 
 

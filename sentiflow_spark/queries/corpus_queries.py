@@ -118,6 +118,14 @@ from sentiflow_spark.queries.retrieval_queries import (
 from sentiflow_spark.tables import load
 
 SEG_CHARS = 80
+# Boilerplate (frequency-threshold) line dedup: shorter segments than
+# the first-wins pass — boilerplate detection keys on short repeated
+# "lines", and 16 chars gives the word-soup fixture a real collision
+# surface (sf0.01: 73 segments cross the 3-doc threshold, 2.5% of
+# occurrences removed, and the doc-drop gate fires on 3-278 docs per SF)
+BP_SEG_CHARS = 16
+BP_MIN_DOCS = 3
+BP_MAX_REMOVED_FRAC = 0.30
 QL_MU = 300.0
 QL_TOP_K = 20
 RRF_K = 60
@@ -182,6 +190,77 @@ def dd_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sentiflow_spark.operators.dedup import segment_dedup
 
     return segment_dedup(load(spark, sf_dir, "documents"), seg_chars=SEG_CHARS)
+
+
+_BP_FRAC_SQL = f"""CASE WHEN length(d.text) > 0
+            THEN CAST(length(d.text) - COALESCE(r.kept_chars, 0) AS DOUBLE)
+                 / length(d.text)
+            ELSE CAST(0 AS DOUBLE) END"""
+
+
+@register(
+    "dd_boilerplate_lines",
+    oracle=f"""
+    WITH segs AS (
+      SELECT doc_id,
+             unnest(range(greatest(CAST(ceil(length(text)/{BP_SEG_CHARS}.0) AS BIGINT), 1))) AS seg_no,
+             text
+      FROM documents
+    ),
+    s2 AS (
+      SELECT doc_id, seg_no,
+             substring(text, CAST(seg_no*{BP_SEG_CHARS} AS INT)+1, {BP_SEG_CHARS}) AS seg
+      FROM segs
+    ),
+    boiler AS (
+      SELECT seg FROM s2 GROUP BY seg
+      HAVING COUNT(DISTINCT doc_id) >= {BP_MIN_DOCS}
+    ),
+    kept AS (
+      SELECT s.doc_id, s.seg_no, s.seg
+      FROM s2 s ANTI JOIN boiler b ON b.seg = s.seg
+    ),
+    rec AS (
+      SELECT doc_id, string_agg(seg, '' ORDER BY seg_no) AS text_clean,
+             COUNT(*) AS n_kept,
+             CAST(SUM(length(seg)) AS BIGINT) AS kept_chars
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(r.text_clean, '') AS text_clean,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           greatest(CAST(ceil(length(d.text)/{BP_SEG_CHARS}.0) AS BIGINT), 1) AS n_total,
+           {_BP_FRAC_SQL} AS removed_frac,
+           ({_BP_FRAC_SQL}) <= CAST({BP_MAX_REMOVED_FRAC} AS DOUBLE) AS doc_kept
+    FROM documents d LEFT JOIN rec r ON r.doc_id = d.doc_id
+    """,
+    tags=("dedup", "M5", "boilerplate", "e2e", "bench"),
+    doc="Cross-document frequency-threshold boilerplate removal — the "
+    "OTHER canonical line-dedup mode next to dd_segment_dedup's "
+    "C4-style first-wins ownership: a segment occurring in >= 3 "
+    "DISTINCT documents (nav bars, cookie banners, licence footers) "
+    "is removed from EVERY document including the first, per CCNet's "
+    "paragraph dedup (Wenzek et al., LREC 2020) and RefinedWeb's line "
+    "dedup (Penedo et al., 2023); documents losing > 30% of their "
+    "characters are flagged doc_kept = false (RefinedWeb's doc-level "
+    "rule). Distinct-doc counting is a two-phase partial agg (hot "
+    "boilerplate combines map-side, never one reducer); the removal "
+    "anti-join builds on the tiny over-threshold set (broadcast under "
+    "AQE, degrading to a co-partitioned hash anti-join at larger "
+    "boilerplate volumes); per-doc reconstruction is bounded by one "
+    "document. removed_frac is one IEEE double division of exact ints "
+    "— bitwise identical across engines. 16-char segments stand in "
+    "for lines on the newline-free fixture, like dd_segment_dedup.",
+)
+def dd_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.operators.dedup import boilerplate_removal
+
+    return boilerplate_removal(
+        load(spark, sf_dir, "documents"),
+        seg_chars=BP_SEG_CHARS,
+        min_docs=BP_MIN_DOCS,
+        max_removed_frac=BP_MAX_REMOVED_FRAC,
+    )
 
 
 @register(

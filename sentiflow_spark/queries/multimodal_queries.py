@@ -784,3 +784,228 @@ def mm_wav_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "sample_rate", "n_channels", "bits", "duration_ms",
         admitted.alias("admitted"),
     )
+
+
+# ------------------------------ video container probe (MP4 / ISO BMFF)
+
+_FTYP_HEX = "66747970"
+_MOOV_HEX = "6D6F6F76"
+_MVHD_HEX = "6D766864"
+_FREE_HEX = "66726565"
+_UDTA_HEX = "75647461"
+
+# Bound on top-level / child boxes walked before giving up: real MP4s
+# put moov within a handful of top-level boxes (ftyp, free/skip, pdin,
+# moov, mdat...) and mvhd is by spec a direct moov child.
+MM_MP4_WALK_BOXES = 8
+MM_VID_DUR_MIN_MS, MM_VID_DUR_MAX_MS = 500, 60_000
+MM_MP4_BRANDS_OK = ("isom", "mp42")
+
+# mvhd version-0 unity matrix (9 x 4B fixed-point) — spec constant
+_MVHD_MATRIX_HEX = (
+    "00010000" "00000000" "00000000"
+    "00000000" "00010000" "00000000"
+    "00000000" "00000000" "40000000"
+)
+
+
+def _be32(v: F.Column) -> F.Column:
+    """Big-endian 4-byte hex of an integer column (ISO BMFF stores box
+    sizes and mvhd fields BE — the byte-order mirror of RIFF)."""
+    return F.lpad(F.hex(v), 8, "0")
+
+
+def mp4_payload(
+    brand, timescale, dur_ticks, free_bytes, udta_pad, decoy=None
+) -> F.Column:
+    """Spec-correct MP4 (ISO/IEC 14496-12) header bytes: an ftyp box
+    carrying the major brand, a doc-varying ``free`` box (real muxers
+    emit free/skip padding, and it moves moov to a per-doc offset so
+    the top-level walk is real), and a moov container whose FIRST
+    child is a udta box whose payload BEGINS with the ASCII bytes
+    "mvhd" — a planted decoy: a naive locate('mvhd') reads udta's
+    payload as the movie header, so oracle hash-equality proves the
+    walk descends by box sizes instead of pattern-matching. The real
+    mvhd (version 0) follows with timescale and duration ticks; no
+    mdat/sample bytes are synthesized — a header gate never reads
+    them, which is the point."""
+    ftyp = F.concat(
+        F.lit("00000014"), F.lit(_FTYP_HEX),   # size 20 + 'ftyp'
+        F.hex(brand),                          # major brand (4 ASCII)
+        F.lit("00000200"),                     # minor version
+        F.lit("69736F6D"),                     # compatible brand 'isom'
+    )
+    free = F.concat(
+        _be32(free_bytes + F.lit(8)), F.lit(_FREE_HEX),
+        F.substring(F.lit("00" * 64), F.lit(1), free_bytes * F.lit(2)),
+    )
+    if decoy is None:
+        decoy = F.lit(_MVHD_HEX + "00000000" + "00000000")  # 'mvhd' + 8B fake
+    udta_body = F.concat(
+        decoy, F.substring(F.lit("00" * 32), F.lit(1), udta_pad * F.lit(2))
+    )
+    udta_size = F.lit(8) + (F.length(udta_body) / F.lit(2)).cast("int")
+    udta = F.concat(_be32(udta_size), F.lit(_UDTA_HEX), udta_body)
+    mvhd = F.concat(
+        F.lit("0000006C"), F.lit(_MVHD_HEX),   # size 108 + 'mvhd'
+        F.lit("00000000"),                     # version 0 + flags
+        F.lit("00000000"), F.lit("00000000"),  # creation, modification
+        _be32(timescale),
+        _be32(dur_ticks),
+        F.lit("00010000"),                     # rate 1.0
+        F.lit("01000000"),                     # volume 1.0 + reserved
+        F.lit("00" * 8),                       # reserved
+        F.lit(_MVHD_MATRIX_HEX),
+        F.lit("00" * 24),                      # pre_defined
+        F.lit("00000002"),                     # next_track_ID
+    )
+    moov_size = F.lit(8) + udta_size + F.lit(108)
+    moov = F.concat(_be32(moov_size), F.lit(_MOOV_HEX), udta, mvhd)
+    return F.to_binary(F.concat(ftyp, free, moov), F.lit("hex"))
+
+
+def mp4_adversarial_payload(
+    brand, timescale, dur_ticks, fake_ts, fake_ticks, free_bytes, udta_pad
+) -> F.Column:
+    """mp4_payload with the udta decoy dressed as a FULL mvhd field
+    block — 'mvhd' + version/flags + creation + modification + a FAKE
+    timescale and FAKE duration at the exact offsets a naive
+    locate('mvhd') reader would read them from. Used by the decoy
+    property test to prove the box walk reads the real header while
+    the naive scan reads the plant."""
+    decoy = F.concat(
+        F.lit(_MVHD_HEX + "00000000" + "00000000" + "00000000"),
+        _be32(fake_ts),
+        _be32(fake_ticks),
+    )
+    return mp4_payload(
+        brand, timescale, dur_ticks, free_bytes, udta_pad, decoy=decoy
+    )
+
+
+def mp4_box_pos(hx: F.Column, start, box_type_hex: str) -> F.Column:
+    """1-indexed hex-char position of the named box's SIZE field, found
+    by walking box sizes from ``start`` — the same bounded aggregate()
+    fold as jpeg_sof_pos/riff_chunk_pos with 4-byte big-endian sizes
+    that INCLUDE the 8-byte header (so the advance is size*2 hex chars,
+    no alignment padding). One call walks one nesting level; container
+    descent is a second call starting at parent+16. Freezes on the
+    target type or malformed input (truncated header, size < 8); the
+    caller checks the type at the rest position."""
+
+    def step(pos: F.Column, _i: F.Column) -> F.Column:
+        btype = F.substring(hx, pos + F.lit(8), F.lit(8))
+        size = F.conv(F.substring(hx, pos, F.lit(8)), 16, 10).cast("long")
+        valid = (F.length(btype) == 8) & size.isNotNull() & (size >= 8)
+        return F.when((btype == box_type_hex) | ~valid, pos).otherwise(
+            (pos + size * F.lit(2)).cast("int")
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(MM_MP4_WALK_BOXES)),
+        F.lit(0).cast("int") + start,
+        step,
+    )
+
+
+def parse_mp4_header(payload: F.Column):
+    """(major_brand, timescale, duration_ms) parsed from MP4 header
+    bytes, builtin-only: top-level walk to ftyp and moov, child walk
+    inside moov to mvhd (version 0: timescale at byte 20, duration
+    ticks at byte 24 of the box), duration_ms = floor(ticks*1000/
+    timescale) — exact across engines because both operands are small
+    integers cast exactly to double and a true quotient is never
+    within an ulp of an integer unless it IS one. NULLs when a box is
+    missing within the walk bound."""
+    hx = F.hex(payload)
+    ftyp = mp4_box_pos(hx, F.lit(1), _FTYP_HEX)
+    ftyp_ok = F.substring(hx, ftyp + F.lit(8), F.lit(8)) == _FTYP_HEX
+    brand = F.when(
+        ftyp_ok,
+        F.to_binary(F.substring(hx, ftyp + F.lit(16), F.lit(8)),
+                    F.lit("hex")).cast("string"),
+    )
+    moov = mp4_box_pos(hx, F.lit(1), _MOOV_HEX)
+    moov_ok = F.substring(hx, moov + F.lit(8), F.lit(8)) == _MOOV_HEX
+    mvhd = mp4_box_pos(hx, moov + F.lit(16), _MVHD_HEX)
+    mvhd_ok = moov_ok & (
+        F.substring(hx, mvhd + F.lit(8), F.lit(8)) == _MVHD_HEX
+    )
+    timescale = F.when(
+        mvhd_ok, F.conv(F.substring(hx, mvhd + F.lit(40), F.lit(8)), 16, 10)
+    ).cast("long")
+    ticks = F.when(
+        mvhd_ok, F.conv(F.substring(hx, mvhd + F.lit(48), F.lit(8)), 16, 10)
+    ).cast("long")
+    duration_ms = F.floor(ticks * F.lit(1000) / timescale).cast("long")
+    return brand, timescale, duration_ms
+
+
+@register(
+    "mm_mp4_box_walk",
+    oracle=f"""
+    SELECT doc_id, major_brand, timescale, duration_ms,
+           (major_brand IN ('isom','mp42')
+            AND duration_ms >= {MM_VID_DUR_MIN_MS}
+            AND duration_ms <= {MM_VID_DUR_MAX_MS}) AS admitted
+    FROM (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'isom'
+                  WHEN 1 THEN 'mp42' ELSE '3gp4' END AS major_brand,
+             CAST(600 * (1 + doc_id % 5) AS BIGINT) AS timescale,
+             CAST(FLOOR((300 + (doc_id * 37) % 100000) * 1000.0
+                        / (600 * (1 + doc_id % 5))) AS BIGINT) AS duration_ms
+      FROM documents
+    )
+    """,
+    tags=("multimodal", "M5", "curation"),
+    doc="VIDEO no-decode admission gate — completes the image/audio/"
+    "video triad of container-header probes: spec-correct MP4 "
+    "(ISO/IEC 14496-12) bytes — ftyp with a doc-varying major brand, "
+    "a doc-varying free box, and a moov whose first child udta "
+    "payload BEGINS with the ASCII bytes 'mvhd' (a planted decoy a "
+    "naive locate() misreads) — are synthesized into the binary "
+    "payload, then PARSED back builtin-only: mp4_box_pos walks "
+    "big-endian box sizes at the top level (to ftyp/moov) and again "
+    "inside moov (to the real mvhd), and the gate admits on brand "
+    "and duration = mvhd ticks over timescale. The oracle states the "
+    "generator formulas, so hash equality proves the two-level box "
+    "walk inverts the synthesis byte-exactly THROUGH the decoy. At "
+    "100 TB this runs map-side over the first KB of each video blob "
+    "(faststart layouts put moov before mdat) — scan-bound, no "
+    "shuffle, no codec.",
+)
+def mm_mp4_box_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    m3 = (F.col("doc_id") % 3).cast("int")
+    brand = (
+        F.when(m3 == 0, F.lit("isom"))
+        .when(m3 == 1, F.lit("mp42"))
+        .otherwise(F.lit("3gp4"))
+    )
+    timescale = (F.lit(600) * (1 + F.col("doc_id") % 5)).cast("long")
+    ticks = (F.lit(300) + (F.col("doc_id") * 37) % 100000).cast("long")
+    free_bytes = (F.col("doc_id") % 23).cast("int")
+    udta_pad = (F.col("doc_id") % 11).cast("int")
+    media = docs.select(
+        "doc_id",
+        mp4_payload(brand, timescale, ticks, free_bytes, udta_pad).alias(
+            "payload"
+        ),
+    )
+    br, ts, dur = parse_mp4_header(F.col("payload"))
+    parsed = media.select(
+        "doc_id",
+        br.alias("major_brand"),
+        ts.alias("timescale"),
+        dur.alias("duration_ms"),
+    )
+    admitted = (
+        F.col("major_brand").isin(*MM_MP4_BRANDS_OK)
+        & (F.col("duration_ms") >= MM_VID_DUR_MIN_MS)
+        & (F.col("duration_ms") <= MM_VID_DUR_MAX_MS)
+    )
+    return parsed.select(
+        "doc_id", "major_brand", "timescale", "duration_ms",
+        admitted.alias("admitted"),
+    )

@@ -1613,3 +1613,183 @@ def test_wav_header_parse_inverts_synthesis(spark, cases):
     }
     want = {i: (s, c, 16, d) for i, s, c, d, _ in rows}
     assert got == want
+
+
+@SETTINGS
+@given(
+    cases=st.lists(
+        st.tuples(
+            st.sampled_from(["isom", "mp42", "3gp4", "avc1"]),
+            st.integers(min_value=1, max_value=2**31 - 1),  # timescale
+            st.integers(min_value=0, max_value=2**31 - 1),  # duration ticks
+            st.integers(min_value=0, max_value=23),         # free bytes
+            st.integers(min_value=0, max_value=11),         # udta padding
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_mp4_header_parse_inverts_synthesis(spark, cases):
+    """mm_mp4_box_walk's two-level box walk on ARBITRARY fields: for
+    any (brand, timescale, ticks, free-box size, udta padding),
+    parsing the synthesized MP4 header returns exactly the brand and
+    floor(ticks*1000/timescale) ms — through the doc-varying box
+    offsets AND the udta decoy every payload plants. The floor over
+    IEEE double division is exact here because ticks*1000 < 2^52
+    (documented in parse_mp4_header); the Python model uses integer
+    division, so equality also PROVES that claim over the domain."""
+    from sentiflow_spark.queries.multimodal_queries import (
+        mp4_payload,
+        parse_mp4_header,
+    )
+
+    rows = [(i, *c) for i, c in enumerate(cases)]
+    df = spark.createDataFrame(
+        rows, "i long, brand string, ts long, ticks long, fb int, up int"
+    )
+    media = df.select(
+        "i",
+        mp4_payload(
+            F.col("brand"), F.col("ts"), F.col("ticks"),
+            F.col("fb"), F.col("up"),
+        ).alias("payload"),
+    )
+    brand, ts, dur = parse_mp4_header(F.col("payload"))
+    got = {
+        r["i"]: (r["pb"], r["pts"], r["pms"])
+        for r in media.select(
+            "i", brand.alias("pb"), ts.alias("pts"), dur.alias("pms")
+        ).collect()
+    }
+    want = {i: (b, t, (k * 1000) // t) for i, b, t, k, _, _ in rows}
+    assert got == want
+
+
+@SETTINGS
+@given(
+    cases=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2**31 - 1),  # true timescale
+            st.integers(min_value=0, max_value=2**31 - 1),  # true ticks
+            st.integers(min_value=1, max_value=2**31 - 1),  # fake timescale
+            st.integers(min_value=0, max_value=2**31 - 1),  # fake ticks
+            st.integers(min_value=0, max_value=23),         # free bytes
+            st.integers(min_value=0, max_value=11),         # udta padding
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_mp4_box_walk_skips_planted_decoy(spark, cases):
+    """The box walk on ADVERSARIAL headers: the udta decoy is dressed
+    as a full mvhd field block with FAKE timescale/ticks at the exact
+    offsets a naive locate('mvhd') reader consumes. The walker must
+    read the REAL values; the naive reader must read the PLANT — the
+    misparse the two-level walk exists to prevent."""
+    from sentiflow_spark.queries.multimodal_queries import (
+        _MVHD_HEX,
+        mp4_adversarial_payload,
+        parse_mp4_header,
+    )
+
+    rows = [(i, *c) for i, c in enumerate(cases)]
+    df = spark.createDataFrame(
+        rows,
+        "i long, ts long, ticks long, fts long, fticks long, fb int, up int",
+    )
+    media = df.select(
+        "i",
+        mp4_adversarial_payload(
+            F.lit("isom"), F.col("ts"), F.col("ticks"),
+            F.col("fts"), F.col("fticks"), F.col("fb"), F.col("up"),
+        ).alias("payload"),
+    )
+    hx = F.hex(F.col("payload"))
+    _, walk_ts, _ = parse_mp4_header(F.col("payload"))
+    naive_pos = F.locate(_MVHD_HEX, hx)
+    naive_ts = F.conv(
+        F.substring(hx, naive_pos + F.lit(32), F.lit(8)), 16, 10
+    ).cast("long")
+    naive_ticks = F.conv(
+        F.substring(hx, naive_pos + F.lit(40), F.lit(8)), 16, 10
+    ).cast("long")
+    got = {
+        r["i"]: (r["wts"], r["nts"], r["ntk"])
+        for r in media.select(
+            "i", walk_ts.alias("wts"),
+            naive_ts.alias("nts"), naive_ticks.alias("ntk"),
+        ).collect()
+    }
+    want = {i: (ts, fts, ftk) for i, ts, _, fts, ftk, _, _ in rows}
+    assert got == want
+
+
+@SETTINGS
+@given(
+    texts=texts_strategy,
+    seg=st.integers(min_value=1, max_value=7),
+    min_docs=st.integers(min_value=2, max_value=4),
+)
+def test_boilerplate_removal_invariants(spark, texts, seg, min_docs):
+    """For ANY corpus, segment width and doc threshold,
+    boilerplate_removal matches the Python model of the CCNet/
+    RefinedWeb semantics exactly: a segment in >= min_docs DISTINCT
+    docs is removed from EVERY doc (including the first — the
+    difference from segment_dedup's first-wins), everything else is
+    kept in order, and removed_frac/doc_kept follow from exact
+    character counts."""
+    from sentiflow_spark.operators.dedup import boilerplate_removal
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_removal(
+            df, seg_chars=seg, min_docs=min_docs, max_removed_frac=0.30
+        ).collect()
+    }
+    owners: dict[str, set[int]] = {}
+    per_doc = {}
+    for i, t in enumerate(texts):
+        chunks = [t[j : j + seg] for j in range(0, max(len(t), 1), seg)] or [""]
+        per_doc[i] = chunks
+        for c in chunks:
+            owners.setdefault(c, set()).add(i)
+    boiler = {c for c, docs in owners.items() if len(docs) >= min_docs}
+    for i, chunks in per_doc.items():
+        r = out[i]
+        kept_chunks = [c for c in chunks if c not in boiler]
+        total = sum(len(c) for c in chunks)
+        kept_chars = sum(len(c) for c in kept_chunks)
+        frac = (total - kept_chars) / total if total > 0 else 0.0
+        assert r["n_total"] == len(chunks)
+        assert r["n_kept"] == len(kept_chunks)
+        assert r["text_clean"] == "".join(kept_chunks)
+        assert r["removed_frac"] == frac
+        assert r["doc_kept"] == (frac <= 0.30)
+
+
+def test_boilerplate_counts_distinct_docs_not_occurrences(spark):
+    """The threshold is DISTINCT documents: a segment repeated five
+    times inside ONE doc is not boilerplate (intra-doc repetition is
+    txt_repetition_filter's business), while the same segment in three
+    docs is removed from all three."""
+    from sentiflow_spark.operators.dedup import boilerplate_removal
+
+    df = spark.createDataFrame(
+        [
+            (0, "aaaa" * 5),          # 5 intra-doc repeats of 'aaaa'
+            (1, "aaaabbbbccccdddd"),
+            (2, "bbbbxxxxyyyyzzzz"),
+            (3, "bbbbqqqqrrrrssss"),  # 'bbbb' now in 3 distinct docs
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_removal(df, seg_chars=4, min_docs=3).collect()
+    }
+    assert out[0]["text_clean"] == "aaaa" * 5       # kept: 1 distinct doc
+    assert out[1]["text_clean"] == "aaaaccccdddd"   # 'bbbb' removed
+    assert out[2]["text_clean"] == "xxxxyyyyzzzz"
+    assert out[3]["text_clean"] == "qqqqrrrrssss"
+    assert out[1]["removed_frac"] == 0.25 and out[1]["doc_kept"]
