@@ -977,3 +977,92 @@ def brute_force_topk_l2(
         .filter(F.col("rank") <= k)
         .select("probe_id", "cand_id", "d2", "rank")
     )
+
+
+def matryoshka_rerank_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    head_dims: int = 16,
+    cand_k: int = 25,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage adaptive retrieval over nested (Matryoshka)
+    embeddings — Kusupati et al., NeurIPS 2022: unlike PQ/SQ8 (which
+    quantize all dimensions) or IVF (which partitions the corpus),
+    the cheap pass TRUNCATES DIMENSIONS: stage 1 scores only the
+    first ``head_dims`` components of every vector and keeps
+    ``cand_k`` candidate ids per probe; stage 2 joins the shortlist
+    back to the corpus and reranks it with the full-dimensional
+    cosine, returning the top ``k``.
+
+    Scale shape: the candidate stage carries IDS ONLY through the
+    per-probe rank (the full vector never rides the wide scoring
+    join — a head_dims/dim fraction of the bytes a brute-force pass
+    moves), and the rerank is an equi-join of the tiny candidate set
+    (broadcast) against the corpus, touching full vectors for
+    cand_k * n_probes rows total. Both stages are deterministic
+    (cosine DESC, id tiebreak), so the shortlist is reproducible —
+    what lets the oracle mirror it row-for-row."""
+    p_head = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.slice(F.col("qvec"), 1, head_dims).alias("p_hvec"),
+    ).select(
+        "probe_id", "p_hvec", norm_sq(F.col("p_hvec")).alias("p_hnorm")
+    )
+    c_head = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.slice(F.col("qvec"), 1, head_dims).alias("c_hvec"),
+    ).select(
+        "cand_id", "c_hvec", norm_sq(F.col("c_hvec")).alias("c_hnorm")
+    )
+    head_scored = (
+        c_head.crossJoin(F.broadcast(p_head))
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            cosine_q(
+                dot_long(F.col("p_hvec"), F.col("c_hvec")),
+                F.col("p_hnorm"),
+                F.col("c_hnorm"),
+            ).alias("head_cosine"),
+        )
+    )
+    hw = W.partitionBy("probe_id").orderBy(
+        F.desc("head_cosine"), F.asc("cand_id")
+    )
+    cand = (
+        head_scored.withColumn("hrank", F.row_number().over(hw))
+        .filter(F.col("hrank") <= cand_k)
+        .select("probe_id", "cand_id")
+    )
+    full_c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col("qvec").alias("c_qvec"),
+        F.col("qnorm").alias("c_qnorm"),
+    )
+    full_p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col("qvec").alias("p_qvec"),
+        F.col("qnorm").alias("p_qnorm"),
+    )
+    rr = (
+        full_c.join(F.broadcast(cand), "cand_id")
+        .join(F.broadcast(full_p), "probe_id")
+        .select(
+            "probe_id",
+            "cand_id",
+            cosine_q(
+                dot_long(F.col("p_qvec"), F.col("c_qvec")),
+                F.col("p_qnorm"),
+                F.col("c_qnorm"),
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "cand_id", "cosine", "rank")
+    )

@@ -784,6 +784,14 @@ SCAN_FANOUT_BASELINE = {
     # (vec_id signature) + the DPP subquery's duplicate of the probe
     # side — the pruning filter itself
     "sim_ivf_upsert": {"embeddings": 3},
+    # 4 = head-stage corpus + head-stage probes + full-vector corpus
+    # rerank join + full-vector probe join: the ids-only candidate
+    # stage deliberately re-reads full vectors ONLY for the shortlist
+    # (the whole point of truncate-then-rerank); fusing the stages
+    # would carry 64-dim vectors through the candidate rank
+    "sim_matryoshka_rerank": {"embeddings": 4},
+    # rerank's 4 + brute-force ground truth (corpus + probes)
+    "sim_matryoshka_recall": {"embeddings": 6},
     "sim_ivfpq_mp_recall": {"embeddings": 12},
     "sim_ivfpq_multiprobe": {"embeddings": 10},
     "sim_ivfpq_recall": {"embeddings": 14},
