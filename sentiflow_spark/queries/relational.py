@@ -1435,3 +1435,183 @@ def rel_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").cast("long").alias("min_key"),
         F.max("o_orderkey").cast("long").alias("max_key"),
     )
+
+
+# --------------------------- Z-order clustering layout (data skipping)
+
+ZORDER_DIM_BITS = 4          # 16 buckets per dimension, 256 z-cells
+ZORDER_FILES = 16            # z-cells per file = 256 / 16
+ZORDER_PROBE_BUCKET = 7      # probe predicate: one full bucket per dim
+
+
+def _z_interleave_col(xb, yb):
+    """Morton (Z-curve) interleave of two 4-bit bucket ids — arithmetic
+    only, mirrored textually by _z_interleave_sql."""
+    z = F.lit(0)
+    for i in range(ZORDER_DIM_BITS):
+        z = (
+            z
+            + F.shiftleft(F.pmod(F.shiftright(xb, i), 2), 2 * i + 1)
+            + F.shiftleft(F.pmod(F.shiftright(yb, i), 2), 2 * i)
+        )
+    return z
+
+
+def _z_interleave_sql(xb: str, yb: str) -> str:
+    terms = []
+    for i in range(ZORDER_DIM_BITS):
+        terms.append(f"(({xb} // {2**i}) % 2) * {2 ** (2 * i + 1)}")
+        terms.append(f"(({yb} // {2**i}) % 2) * {2 ** (2 * i)}")
+    return " + ".join(terms)
+
+
+@register(
+    "rel_zorder_skipping",
+    oracle=f"""
+    WITH mm AS (
+      SELECT min(l_partkey) AS xmin, max(l_partkey) AS xmax,
+             min(l_suppkey) AS ymin, max(l_suppkey) AS ymax
+      FROM lineitem
+    ),
+    b AS (
+      SELECT CAST(FLOOR((l_partkey - xmin) * 16.0 / (xmax - xmin + 1)) AS INT) AS xb,
+             CAST(FLOOR((l_suppkey - ymin) * 16.0 / (ymax - ymin + 1)) AS INT) AS yb
+      FROM lineitem, mm
+    ),
+    cells AS (SELECT xb, yb, COUNT(*) AS rws FROM b GROUP BY xb, yb),
+    tagged AS (
+      SELECT 'zorder' AS layout,
+             ({_z_interleave_sql('xb', 'yb')}) // {ZORDER_FILES} AS f,
+             xb, yb, rws
+      FROM cells
+      UNION ALL
+      SELECT 'linear', xb, xb, yb, rws FROM cells
+    ),
+    stats AS (
+      SELECT layout, f, MIN(xb) AS mnx, MAX(xb) AS mxx,
+             MIN(yb) AS mny, MAX(yb) AS mxy,
+             CAST(SUM(rws) AS BIGINT) AS rws
+      FROM tagged GROUP BY layout, f
+    ),
+    totals AS (
+      SELECT layout, CAST(COUNT(*) AS BIGINT) AS files_total
+      FROM stats GROUP BY layout
+    ),
+    tx AS (
+      SELECT layout, CAST(COUNT(*) AS BIGINT) AS files_touched,
+             CAST(SUM(rws) AS BIGINT) AS rows_scanned
+      FROM stats
+      WHERE mnx <= {ZORDER_PROBE_BUCKET} AND mxx >= {ZORDER_PROBE_BUCKET}
+      GROUP BY layout
+    ),
+    ty AS (
+      SELECT layout, CAST(COUNT(*) AS BIGINT) AS files_touched,
+             CAST(SUM(rws) AS BIGINT) AS rows_scanned
+      FROM stats
+      WHERE mny <= {ZORDER_PROBE_BUCKET} AND mxy >= {ZORDER_PROBE_BUCKET}
+      GROUP BY layout
+    )
+    SELECT t.layout, 'x' AS probe_dim,
+           COALESCE(tx.files_touched, 0) AS files_touched, t.files_total,
+           COALESCE(tx.rows_scanned, 0) AS rows_scanned
+    FROM totals t LEFT JOIN tx ON tx.layout = t.layout
+    UNION ALL
+    SELECT t.layout, 'y', COALESCE(ty.files_touched, 0), t.files_total,
+           COALESCE(ty.rows_scanned, 0)
+    FROM totals t LEFT JOIN ty ON ty.layout = t.layout
+    """,
+    tags=("relational", "layout", "skipping", "bench"),
+    doc="Z-order clustering layout evaluated for DATA SKIPPING — the "
+    "lakehouse OPTIMIZE ZORDER decision (Morton curve; Delta/Iceberg "
+    "practice) as a measurable query: bucket l_partkey and l_suppkey "
+    "into 16 fixed-width ranges each, assign every row's 256-cell "
+    "z-value by bit interleave, pack 16 z-cells per file, and for a "
+    "one-bucket probe on EACH dimension count the files whose min/max "
+    "stats overlap — against the single-column (linear) sort layout. "
+    "The result is the textbook geometry: linear prunes the sorted "
+    "dimension to 1/16 files but reads ALL 16 on the other; z-order "
+    "reads 4/16 on BOTH (the balanced multi-dimensional trade). Scale "
+    "shape: one scan + one partial agg to at most 256 (xb, yb) cells "
+    "(localCheckpoint-pinned so both layout rollups reuse it), then "
+    "everything is metadata-sized; the min/max-per-file stats are "
+    "exactly what parquet footers give a real writer, so the counts "
+    "ARE the I/O a clustered write would save. Probes on a bucket "
+    "boundary make bucket-space stats equivalent to raw-column stats "
+    "(the bucketing is monotone). At sf0.001 the probe bucket on the "
+    "sparse suppkey dimension is EMPTY, which the query reports "
+    "honestly: z-order skips everything (0 files) while the linear "
+    "layout still reads all 16 — min/max overlap is a containment "
+    "test with false positives, the other thing a layout decision "
+    "must price.",
+)
+def rel_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("x"), F.col("l_suppkey").alias("y")
+    )
+    mm = li.agg(
+        F.min("x").alias("xmin"),
+        F.max("x").alias("xmax"),
+        F.min("y").alias("ymin"),
+        F.max("y").alias("ymax"),
+    )
+
+    def bucket(v, lo, hi):
+        return F.floor(
+            ((F.col(v) - F.col(lo)) * 16.0) / (F.col(hi) - F.col(lo) + 1)
+        ).cast("int")
+
+    b = li.crossJoin(F.broadcast(mm)).select(
+        bucket("x", "xmin", "xmax").alias("xb"),
+        bucket("y", "ymin", "ymax").alias("yb"),
+    )
+    cells = (
+        b.groupBy("xb", "yb")
+        .agg(F.count(F.lit(1)).alias("rws"))
+        .localCheckpoint(eager=False)
+    )
+    zfile = F.shiftright(
+        _z_interleave_col(F.col("xb"), F.col("yb")), ZORDER_DIM_BITS
+    )
+    tagged = cells.select(
+        F.lit("zorder").alias("layout"), zfile.alias("f"), "xb", "yb", "rws"
+    ).unionByName(
+        cells.select(
+            F.lit("linear").alias("layout"), F.col("xb").alias("f"),
+            "xb", "yb", "rws",
+        )
+    )
+    stats = tagged.groupBy("layout", "f").agg(
+        F.min("xb").alias("mnx"), F.max("xb").alias("mxx"),
+        F.min("yb").alias("mny"), F.max("yb").alias("mxy"),
+        F.sum("rws").cast("long").alias("rws"),
+    ).localCheckpoint(eager=False)
+    totals = stats.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("files_total")
+    )
+    pb = ZORDER_PROBE_BUCKET
+
+    def touched(lo_col, hi_col, dim):
+        # LEFT from totals: a probe bucket no file's stats bracket (an
+        # empty bucket at tiny SFs) reports an honest 0, not a missing
+        # row — the output shape is 4 rows at every scale factor
+        hit = (
+            stats.filter((F.col(lo_col) <= pb) & (F.col(hi_col) >= pb))
+            .groupBy("layout")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("files_touched"),
+                F.sum("rws").cast("long").alias("rows_scanned"),
+            )
+        )
+        return totals.join(hit, "layout", "left").select(
+            "layout",
+            F.lit(dim).alias("probe_dim"),
+            F.coalesce("files_touched", F.lit(0).cast("long")).alias(
+                "files_touched"
+            ),
+            "files_total",
+            F.coalesce("rows_scanned", F.lit(0).cast("long")).alias(
+                "rows_scanned"
+            ),
+        )
+
+    return touched("mnx", "mxx", "x").unionByName(touched("mny", "mxy", "y"))
