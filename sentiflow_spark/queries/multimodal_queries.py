@@ -1009,3 +1009,155 @@ def mm_mp4_box_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "major_brand", "timescale", "duration_ms",
         admitted.alias("admitted"),
     )
+
+
+# --------------------------- composed multimodal admission gate (DAG form)
+
+
+@register(
+    "mm_curation_gate",
+    oracle=f"""
+    SELECT doc_id, modality, (reason = 'ok') AS admitted, reason FROM (
+      SELECT doc_id, modality,
+        CASE WHEN modality = 'image' THEN
+          CASE WHEN width < {MM_RES_MIN} OR width > {MM_RES_MAX}
+                 OR height < {MM_RES_MIN} OR height > {MM_RES_MAX}
+               THEN 'dims'
+               WHEN {MM_ASPECT} * width < height
+                 OR {MM_ASPECT} * height < width THEN 'aspect'
+               ELSE 'ok' END
+        WHEN modality = 'audio' THEN
+          CASE WHEN sr < {MM_SR_MIN} OR sr > {MM_SR_MAX} THEN 'sample_rate'
+               WHEN ch > {MM_MAX_CHANNELS} THEN 'channels'
+               WHEN adur < {MM_DUR_MIN_MS} OR adur > {MM_DUR_MAX_MS}
+               THEN 'duration'
+               ELSE 'ok' END
+        ELSE
+          CASE WHEN brand NOT IN ('isom','mp42') THEN 'brand'
+               WHEN vdur < {MM_VID_DUR_MIN_MS} OR vdur > {MM_VID_DUR_MAX_MS}
+               THEN 'duration'
+               ELSE 'ok' END
+        END AS reason
+      FROM (
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+               CAST(16 + doc_id % 2048 AS INTEGER) AS width,
+               CAST(16 + (doc_id * 7) % 2048 AS INTEGER) AS height,
+               CAST(8000 * (1 + doc_id % 6) AS INTEGER) AS sr,
+               CAST(1 + doc_id % 3 AS INTEGER) AS ch,
+               CAST(200 + (doc_id * 13) % 40000 AS INTEGER) AS adur,
+               CASE CAST((doc_id // 3) % 3 AS INT) WHEN 0 THEN 'isom'
+                    WHEN 1 THEN 'mp42' ELSE '3gp4' END AS brand,
+               CAST(FLOOR((300 + (doc_id * 37) % 100000) * 1000.0
+                          / (600 * (1 + doc_id % 5))) AS BIGINT) AS vdur
+        FROM documents
+      )
+    )
+    """,
+    tags=("multimodal", "M5", "curation", "e2e", "bench"),
+    doc="COMPOSED multimodal admission gate — the production form of "
+    "the three standalone header probes, mirroring what "
+    "txt_curation_dag is to the text operators: every blob enters "
+    "with NO modality label, the gate detects the container from the "
+    "magic bytes (PNG/JPEG signature, RIFF+WAVE, an ftyp box), "
+    "dispatches to the right builtin-only parser (IHDR offsets / SOF "
+    "segment walk / RIFF chunk walk / two-level BMFF box walk), "
+    "applies the modality's bounds, and emits a dispositioned row "
+    "(modality, admitted, reason — reasons in a fixed check order, "
+    "so the first failing gate names the drop cause exactly as a "
+    "curation funnel needs). The fixture synthesizes one modality "
+    "per doc with the SAME per-doc formulas as the standalone "
+    "probes, so the oracle stays a pure generator-formula statement "
+    "and hash equality proves detection + parse + gate end-to-end. "
+    "Map-side over blob heads at any scale: no shuffle, no codec, "
+    "no Python.",
+)
+def mm_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    m3 = (d % 3).cast("int")
+    # per-modality fixture formulas — identical to the standalone probes
+    img = image_header_payload(
+        (F.lit(16) + d % 2048).cast("int"),
+        (F.lit(16) + (d * 7) % 2048).cast("int"),
+        d % 2 == 0,
+    )
+    wav = wav_header_payload(
+        (F.lit(8000) * (1 + d % 6)).cast("int"),
+        (F.lit(1) + d % 3).cast("int"),
+        (F.lit(200) + (d * 13) % 40000).cast("int"),
+        (d % 37).cast("int"),
+    )
+    b3 = (F.floor(d / 3) % 3).cast("int")
+    mp4 = mp4_payload(
+        F.when(b3 == 0, F.lit("isom"))
+        .when(b3 == 1, F.lit("mp42"))
+        .otherwise(F.lit("3gp4")),
+        (F.lit(600) * (1 + d % 5)).cast("long"),
+        (F.lit(300) + (d * 37) % 100000).cast("long"),
+        (d % 23).cast("int"),
+        (d % 11).cast("int"),
+    )
+    media = docs.select(
+        "doc_id",
+        F.when(m3 == 0, img).when(m3 == 1, wav).otherwise(mp4).alias(
+            "payload"
+        ),
+    )
+    hx = F.hex(F.col("payload"))
+    is_image = hx.startswith("89504E470D0A1A0A") | hx.startswith("FFD8")
+    is_audio = hx.startswith(_RIFF_HEX) & (
+        F.substring(hx, 17, 8) == _WAVE_HEX
+    )
+    is_video = F.substring(hx, 9, 8) == _FTYP_HEX
+    modality = (
+        F.when(is_image, F.lit("image"))
+        .when(is_audio, F.lit("audio"))
+        .when(is_video, F.lit("video"))
+        .otherwise(F.lit("unknown"))
+    )
+    _, w, h = parse_image_dims(F.col("payload"))
+    sr, ch, _, adur = parse_wav_header(F.col("payload"))
+    brand, _, vdur = parse_mp4_header(F.col("payload"))
+    image_reason = (
+        F.when(
+            (w < MM_RES_MIN) | (w > MM_RES_MAX)
+            | (h < MM_RES_MIN) | (h > MM_RES_MAX),
+            F.lit("dims"),
+        )
+        .when(
+            (F.lit(MM_ASPECT) * w < h) | (F.lit(MM_ASPECT) * h < w),
+            F.lit("aspect"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    audio_reason = (
+        F.when((sr < MM_SR_MIN) | (sr > MM_SR_MAX), F.lit("sample_rate"))
+        .when(ch > MM_MAX_CHANNELS, F.lit("channels"))
+        .when(
+            (adur < MM_DUR_MIN_MS) | (adur > MM_DUR_MAX_MS),
+            F.lit("duration"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    video_reason = (
+        F.when(~brand.isin(*MM_MP4_BRANDS_OK), F.lit("brand"))
+        .when(
+            (vdur < MM_VID_DUR_MIN_MS) | (vdur > MM_VID_DUR_MAX_MS),
+            F.lit("duration"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    reason = (
+        F.when(modality == "image", image_reason)
+        .when(modality == "audio", audio_reason)
+        .when(modality == "video", video_reason)
+        .otherwise(F.lit("unknown_container"))
+    )
+    return media.select(
+        "doc_id",
+        modality.alias("modality"),
+        (reason == "ok").alias("admitted"),
+        reason.alias("reason"),
+    )
