@@ -8,7 +8,7 @@ keys) show it between 1× and 20× long before a cluster would. Results
 are recorded in BASELINE.md's scale-headroom sections.
 
 Run: python tools/scale_probe.py [N] [--overlap] [--tpch] [--hotkey]
-     [--manifest] [--merge] [query ...]
+     [--manifest] [--merge] [--zorder] [query ...]
 Defaults: N=20, the corpus-family headline queries. The probe modes
 (--hotkey/--manifest/--merge) take only an optional leading numeric
 argument and reject query names.
@@ -26,6 +26,14 @@ wall is printed, for the seeded manifest and for a 100× smaller one.
 Proves the O(touched-buckets) claim where it matters: merge cost must
 track the batch's bucket fanout (and per-bucket volume), never total
 manifest size.
+
+--zorder WRITES the two physical layouts rel_zorder_skipping reasons
+about (z-order-clustered vs single-column-sorted lineitem at N×, 16
+files each, directory-partitioned by file bucket) and measures REAL
+skipping: per-file parquet footer min/max stats decide which files a
+one-bucket probe on each dimension must touch, and the probe
+aggregation is timed against each layout. Turns the declared query's
+stats-level geometry into written-artifact evidence.
 
 --hotkey probes the streaming admission path (st_curation_admit)
 under ADVERSARIAL DUPLICATE SKEW instead of running queries: it
@@ -376,6 +384,110 @@ def run_merge_probe(spark, n_fp: int, n_buckets: int = 64) -> None:
             shutil.rmtree(os.path.dirname(table), ignore_errors=True)
 
 
+def run_zorder_probe(spark, n: int) -> None:
+    """Write z-order-clustered and x-sorted lineitem layouts at N× and
+    measure the skipping rel_zorder_skipping computes from bucket-space
+    stats — here from the REAL parquet footers of REAL files, plus the
+    wall time of the probe aggregation against each layout."""
+    import glob as _glob
+    import math
+
+    import pyarrow.parquet as pq
+
+    from sentiflow_spark.queries.relational import _z_interleave_col
+
+    out_dir = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", ".tmp", f"scale{n}")
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    build_tpch(spark, n, out_dir)
+    li = spark.read.parquet(f"{out_dir}/lineitem.parquet").select(
+        F.col("l_partkey").alias("x"),
+        F.col("l_suppkey").alias("y"),
+        "l_orderkey",
+        "l_quantity",
+        "l_extendedprice",
+    )
+    mm = li.agg(
+        F.min("x"), F.max("x"), F.min("y"), F.max("y"), F.count(F.lit(1))
+    ).first()
+    xmin, xmax, ymin, ymax, n_rows = mm
+    w, h = xmax - xmin + 1, ymax - ymin + 1
+    xb = F.floor(((F.col("x") - xmin) * 16.0) / w).cast("int")
+    yb = F.floor(((F.col("y") - ymin) * 16.0) / h).cast("int")
+    base = li.withColumn("xb", xb).withColumn("yb", yb)
+    zv = _z_interleave_col(F.col("xb"), F.col("yb"))
+    # each layout: (file-bucket column, within-file sort) — a real
+    # OPTIMIZE ZORDER sorts by the z-value inside files too, which is
+    # what gives row groups tight stats on BOTH dimensions
+    layouts = {
+        "zorder": (F.shiftright(zv, 4), [F.col("_zv"), F.col("x"), F.col("y")]),
+        "linear": (F.col("xb"), [F.col("x"), F.col("y")]),
+    }
+    root = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", ".tmp", f"zorder{n}")
+    )
+    paths = {}
+    for name, (fcol, sort_cols) in layouts.items():
+        dst = f"{root}/{name}"
+        paths[name] = dst
+        if not os.path.exists(dst):
+            (
+                base.withColumn("f", fcol)
+                .withColumn("_zv", zv)
+                .repartition(F.col("f"))  # one file per bucket value
+                .sortWithinPartitions(*sort_cols)
+                .drop("xb", "yb", "_zv")
+                .write.partitionBy("f")
+                .mode("overwrite")
+                .parquet(dst)
+            )
+    print(f"lineitem {n}x: {n_rows} rows, x[{xmin},{xmax}] y[{ymin},{ymax}]")
+    # bucket-7 value ranges (the declared query's probe, in raw values)
+    xlo, xhi = xmin + math.ceil(7 * w / 16), xmin + math.ceil(8 * w / 16) - 1
+    ylo, yhi = ymin + math.ceil(7 * h / 16), ymin + math.ceil(8 * h / 16) - 1
+    probes = {"x": ("x", xlo, xhi), "y": ("y", ylo, yhi)}
+    for name, dst in paths.items():
+        files = sorted(_glob.glob(f"{dst}/f=*/*.parquet"))
+        stats = []
+        for fp in files:
+            md = pq.ParquetFile(fp).metadata
+            cols = {
+                md.row_group(0).column(j).path_in_schema: j
+                for j in range(md.num_columns)
+            }
+            rng = {}
+            for c in ("x", "y"):
+                j = cols[c]
+                mins = [md.row_group(i).column(j).statistics.min
+                        for i in range(md.num_row_groups)]
+                maxs = [md.row_group(i).column(j).statistics.max
+                        for i in range(md.num_row_groups)]
+                rng[c] = (min(mins), max(maxs))
+            stats.append((rng, md.num_rows))
+        for dim, (c, lo, hi) in probes.items():
+            touched = [
+                (rng, nr) for rng, nr in stats
+                if rng[c][0] <= hi and rng[c][1] >= lo
+            ]
+            rows = sum(nr for _, nr in touched)
+            # wall of the probe aggregation (best of 2: page cache and
+            # session warm-up land on the first pass)
+            walls = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                spark.read.parquet(dst).filter(
+                    (F.col(c) >= lo) & (F.col(c) <= hi)
+                ).agg(F.sum("l_extendedprice")).collect()
+                walls.append(time.perf_counter() - t0)
+            print(
+                f"{name} probe {dim} in [{lo},{hi}]: footer-stats touch "
+                f"{len(touched)}/{len(files)} files ({rows} rows), "
+                f"probe agg {min(walls):.2f} s",
+                flush=True,
+            )
+
+
 def _probe_n(args: list[str], default: int) -> int:
     """Probe modes take ONE optional leading integer; a trailing query
     name would previously hit int(args[0]) and raise a bare
@@ -403,6 +515,13 @@ def main() -> None:
         n_fp = _probe_n(args, 10_000_000)
         spark = get_spark("scale-probe")
         run_merge_probe(spark, n_fp)
+        return
+    zorder = "--zorder" in args
+    if zorder:
+        args.remove("--zorder")
+        n = _probe_n(args, 20)
+        spark = get_spark("scale-probe")
+        run_zorder_probe(spark, n)
         return
     manifest = "--manifest" in args
     if manifest:
