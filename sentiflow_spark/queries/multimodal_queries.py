@@ -1013,10 +1013,9 @@ def mm_mp4_box_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------- composed multimodal admission gate (DAG form)
 
-
-@register(
-    "mm_curation_gate",
-    oracle=f"""
+# shared by mm_curation_gate (batch) and st_mm_gate (streaming) so the
+# two gates cannot drift — same generator-formula statement both ways
+MM_GATE_ORACLE = f"""
     SELECT doc_id, modality, (reason = 'ok') AS admitted, reason FROM (
       SELECT doc_id, modality,
         CASE WHEN modality = 'image' THEN
@@ -1054,7 +1053,12 @@ def mm_mp4_box_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
       )
     )
-    """,
+    """
+
+
+@register(
+    "mm_curation_gate",
+    oracle=MM_GATE_ORACLE,
     tags=("multimodal", "M5", "curation", "e2e", "bench"),
     doc="COMPOSED multimodal admission gate — the production form of "
     "the three standalone header probes, mirroring what "
@@ -1074,7 +1078,15 @@ def mm_mp4_box_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "no Python.",
 )
 def mm_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return mm_gate_flow(load(spark, sf_dir, "documents").select("doc_id"))
+
+
+def mm_gate_flow(docs: DataFrame) -> DataFrame:
+    """The composed multimodal gate as a frame transform — shared by
+    mm_curation_gate (batch) and st_mm_gate (streaming) so the two
+    cannot drift, exactly like curation_admit_gate on the text side.
+    Synthesizes each doc's fixture payload, detects the container from
+    magic bytes, parses builtin-only, and gates with named reasons."""
     d = F.col("doc_id")
     m3 = (d % 3).cast("int")
     # per-modality fixture formulas — identical to the standalone probes

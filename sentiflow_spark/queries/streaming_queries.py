@@ -920,6 +920,32 @@ def _st_admit_oracle() -> str:
     """
 
 
+# ------------------------------------ streaming multimodal admission
+
+
+@register(
+    "st_mm_gate",
+    oracle=None,  # late-bound below from the shared batch constant
+    tags=("streaming", "multimodal", "curation", "M3"),
+    doc="The composed multimodal admission gate under REAL Structured "
+    "Streaming — media-crawl ingest as it arrives: magic-byte "
+    "container detection, the three builtin-only header parsers "
+    "(IHDR / SOF segment walk / RIFF chunk walk / BMFF box walk) and "
+    "the modality bounds all execute INSIDE the micro-batch as pure "
+    "JVM expressions (not even a pandas UDF on this path). Entirely "
+    "STATELESS — no watermark, no state store, a map over source "
+    "partitions at any rate. Shares mm_gate_flow with the batch "
+    "query (mm_curation_gate) so streaming and batch gates cannot "
+    "drift; the oracle is the same generator-formula SQL, so the "
+    "driver hash proves streaming/batch parity end-to-end.",
+)
+def st_mm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sentiflow_spark.queries.multimodal_queries import mm_gate_flow
+
+    docs = load_stream(spark, sf_dir, "documents")
+    return run_to_table(mm_gate_flow(docs.select("doc_id")))
+
+
 # late-bind the oracles: the generators live in curation modules that
 # import this module's registry siblings; binding after definition
 # avoids a circular import at module-load time
@@ -935,3 +961,9 @@ _REG["st_curation_admit"] = _dc.replace(
 _REG["st_curation_manifest"] = _dc.replace(
     _REG["st_curation_manifest"], oracle=_st_admit_oracle()
 )
+
+from sentiflow_spark.queries.multimodal_queries import (  # noqa: E402
+    MM_GATE_ORACLE as _MM_GATE_ORACLE,
+)
+
+_REG["st_mm_gate"] = _dc.replace(_REG["st_mm_gate"], oracle=_MM_GATE_ORACLE)
