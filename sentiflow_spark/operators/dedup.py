@@ -531,11 +531,21 @@ def segment_dedup(
     )
 
 
+# Boilerplate (frequency-threshold) line dedup parameters — shared by
+# dd_boilerplate_lines, the curation DAG's boilerplate stage, and their
+# oracles. 16-char segments stand in for lines on the newline-free
+# fixture; >= 3 distinct docs marks a segment boilerplate; a doc losing
+# > 30% of its characters is dropped (RefinedWeb's doc-level rule).
+BP_SEG_CHARS = 16
+BP_MIN_DOCS = 3
+BP_MAX_REMOVED_FRAC = 0.30
+
+
 def boilerplate_removal(
     docs: DataFrame,
-    seg_chars: int = 16,
-    min_docs: int = 3,
-    max_removed_frac: float = 0.30,
+    seg_chars: int = BP_SEG_CHARS,
+    min_docs: int = BP_MIN_DOCS,
+    max_removed_frac: float = BP_MAX_REMOVED_FRAC,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:

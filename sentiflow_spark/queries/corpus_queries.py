@@ -122,10 +122,13 @@ SEG_CHARS = 80
 # the first-wins pass — boilerplate detection keys on short repeated
 # "lines", and 16 chars gives the word-soup fixture a real collision
 # surface (sf0.01: 73 segments cross the 3-doc threshold, 2.5% of
-# occurrences removed, and the doc-drop gate fires on 3-278 docs per SF)
-BP_SEG_CHARS = 16
-BP_MIN_DOCS = 3
-BP_MAX_REMOVED_FRAC = 0.30
+# occurrences removed, and the doc-drop gate fires on 3-278 docs per
+# SF). Values live next to the operator; the DAG stage shares them.
+from sentiflow_spark.operators.dedup import (  # noqa: E402
+    BP_MAX_REMOVED_FRAC,
+    BP_MIN_DOCS,
+    BP_SEG_CHARS,
+)
 QL_MU = 300.0
 QL_TOP_K = 20
 RRF_K = 60

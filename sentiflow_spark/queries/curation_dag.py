@@ -2,7 +2,9 @@
 the repo proves in isolation, composed in production order over ONE
 corpus pass-through:
 
-  NFC normalize → benchmark holdout → Gopher quality gates →
+  NFC normalize → benchmark holdout → cross-doc boilerplate strip
+  (CCNet order: frequency-threshold line dedup BEFORE quality, so the
+  Gopher metrics score content, not nav bars) → Gopher quality gates →
   exact dedup → MinHash-LSH near dedup → span-level benchmark
   decontamination (cut, not drop) → per-domain cap → leakage-safe
   grouped split → token-budget sequence packing
@@ -46,10 +48,14 @@ from pyspark.sql import functions as F
 from sentiflow_spark.functions.hashing import md5_i32
 from sentiflow_spark.functions.text import BPE_RE, duck_fingerprint, token_count
 from sentiflow_spark.operators.dedup import (
+    BP_MAX_REMOVED_FRAC,
+    BP_MIN_DOCS,
+    BP_SEG_CHARS,
     SPAN_MERGE_GAP,
     SPAN_MIN_FPS,
     WINNOW_K,
     WINNOW_POS_BASE,
+    boilerplate_removal,
     connected_components,
     cut_spans,
     dedup_exact,
@@ -108,7 +114,22 @@ def curation_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     ).localCheckpoint()
     is_bench = F.col("doc_id") % DECON_SPAN_MOD == 0
 
-    cand = docs_n.filter(~is_bench)
+    cand0 = docs_n.filter(~is_bench)
+    # cross-doc boilerplate strip (CCNet order: before quality, so the
+    # Gopher metrics score content, not shared nav/footer segments).
+    # Pinned: the cleaned candidate set is a phase boundary consumed by
+    # the quality gate, every downstream text stage, and disposition.
+    bp = boilerplate_removal(
+        cand0,
+        seg_chars=BP_SEG_CHARS,
+        min_docs=BP_MIN_DOCS,
+        max_removed_frac=BP_MAX_REMOVED_FRAC,
+    ).localCheckpoint()
+    cand = (
+        bp.filter(F.col("doc_kept"))
+        .select("doc_id", F.col("text_clean").alias("text"))
+        .join(docs_n.select("doc_id", "lang"), "doc_id")
+    )
     flags = gopher_flags(cand)
     passes = None
     for r in DAG_GOPHER_RULES:
@@ -228,6 +249,7 @@ def curation_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {
         "docs": docs,
         "docs_n": docs_n,
+        "bp": bp,
         "gq": gq,
         "exact_ranked": exact_ranked,
         "near_losers": near_losers,
@@ -251,8 +273,44 @@ def _duck_dag_oracle() -> str:
     docs_n AS MATERIALIZED (
       SELECT doc_id, lang, {duck_norm_sql('text')} AS text FROM documents
     ),
-    cand AS MATERIALIZED (
+    cand0 AS MATERIALIZED (
       SELECT * FROM docs_n WHERE doc_id % {DECON_SPAN_MOD} <> 0
+    ),
+    bsegs AS (
+      SELECT doc_id,
+             unnest(range(greatest(CAST(ceil(length(text)/{BP_SEG_CHARS}.0) AS BIGINT), 1))) AS seg_no,
+             text
+      FROM cand0
+    ),
+    bs2 AS (
+      SELECT doc_id, seg_no,
+             substring(text, CAST(seg_no*{BP_SEG_CHARS} AS INT)+1, {BP_SEG_CHARS}) AS seg
+      FROM bsegs
+    ),
+    bboiler AS MATERIALIZED (
+      SELECT seg FROM bs2 GROUP BY seg
+      HAVING COUNT(DISTINCT doc_id) >= {BP_MIN_DOCS}
+    ),
+    brec AS MATERIALIZED (
+      SELECT doc_id, string_agg(seg, '' ORDER BY seg_no) AS text,
+             CAST(SUM(length(seg)) AS BIGINT) AS kept_chars
+      FROM bs2 s ANTI JOIN bboiler b ON b.seg = s.seg
+      GROUP BY doc_id
+    ),
+    bstat AS MATERIALIZED (
+      SELECT c.doc_id,
+             CASE WHEN length(c.text) > 0
+                  THEN CAST(length(c.text) - COALESCE(r.kept_chars, 0) AS DOUBLE)
+                       / length(c.text)
+                  ELSE CAST(0 AS DOUBLE) END AS rfrac
+      FROM cand0 c LEFT JOIN brec r USING (doc_id)
+    ),
+    cand AS MATERIALIZED (
+      SELECT c.doc_id, c.lang, COALESCE(r.text, '') AS text
+      FROM cand0 c
+      JOIN bstat bs USING (doc_id)
+      LEFT JOIN brec r USING (doc_id)
+      WHERE bs.rfrac <= CAST({BP_MAX_REMOVED_FRAC} AS DOUBLE)
     ),
     {duck_gopher_m_cte(source="cand")},
     gq AS MATERIALIZED (SELECT doc_id,
@@ -407,6 +465,8 @@ def _duck_dag_oracle() -> str:
     )
     SELECT d.doc_id,
            CASE WHEN d.doc_id % {DECON_SPAN_MOD} = 0 THEN 'bench'
+                WHEN bs.rfrac > CAST({BP_MAX_REMOVED_FRAC} AS DOUBLE)
+                  THEN 'boilerplate'
                 WHEN NOT gq.passes_all THEN 'quality'
                 WHEN exr.rn <> 1 THEN 'exact_dup'
                 WHEN nl.doc_id IS NOT NULL THEN 'near_dup'
@@ -418,6 +478,7 @@ def _duck_dag_oracle() -> str:
            CASE WHEN p.doc_id IS NOT NULL THEN p.n_tokens END AS n_tokens,
            CASE WHEN p.doc_id IS NOT NULL THEN p.cut_chars END AS cut_chars
     FROM documents d
+    LEFT JOIN bstat bs ON bs.doc_id = d.doc_id
     LEFT JOIN gq ON gq.doc_id = d.doc_id
     LEFT JOIN exr ON exr.doc_id = d.doc_id
     LEFT JOIN near_losers nl ON nl.doc_id = d.doc_id
@@ -432,7 +493,10 @@ def _duck_dag_oracle() -> str:
     tags=("text", "dedup", "curation", "M5", "e2e", "iterative",
           "arrow-udf", "bench"),
     doc="The composed production curation DAG (see module docstring): "
-    "normalize → bench holdout → Gopher gates → exact dedup → MinHash "
+    "normalize → bench holdout → cross-doc boilerplate strip (CCNet "
+    "order — frequency-threshold line dedup BEFORE quality, so Gopher "
+    "scores content, not nav bars; docs losing >30% of chars exit "
+    "'boilerplate') → Gopher gates → exact dedup → MinHash "
     "near dedup → span decontamination (cut) → domain cap → grouped "
     "split → sequence packing, emitting one disposition row per input "
     "document. Every stage is the SAME core as its standalone driver-"
@@ -450,6 +514,7 @@ def disposition(st: dict[str, DataFrame]) -> DataFrame:
     so jobs.py curate can write the corpus AND the audit table from ONE
     curation_stages pass instead of running the pipeline twice."""
     docs, gq = st["docs"], st["gq"]
+    bp_kept = st["bp"].select("doc_id", F.col("doc_kept").alias("_bpk"))
     exact_keep = st["exact_ranked"].select("doc_id").withColumn(
         "_ex", F.lit(True)
     )
@@ -460,6 +525,7 @@ def disposition(st: dict[str, DataFrame]) -> DataFrame:
 
     out = (
         docs.select("doc_id")
+        .join(bp_kept, "doc_id", "left")
         .join(gq, "doc_id", "left")
         .join(exact_keep, "doc_id", "left")
         .join(near, "doc_id", "left")
@@ -470,6 +536,7 @@ def disposition(st: dict[str, DataFrame]) -> DataFrame:
     kept = F.col("seq_id").isNotNull()
     stage = (
         F.when(is_bench, "bench")
+        .when(~F.col("_bpk"), "boilerplate")
         .when(~F.col("passes_all"), "quality")
         .when(F.col("_ex").isNull(), "exact_dup")
         .when(F.col("_nd").isNotNull(), "near_dup")

@@ -1186,9 +1186,24 @@ def test_curation_dag_composition_invariants(spark, sf_dir):
         (F.col("stage") != "kept") & F.col("seq_id").isNotNull()
     ).count() == 0
 
-    # 2. stage agreement with independently-computed operators
+    # 2. stage agreement with independently-computed operators: the
+    # quality gate scores the BOILERPLATE-CLEANED candidate text (the
+    # CCNet ordering the DAG implements), so re-derive that set from
+    # the standalone operator before recomputing the gate
+    from sentiflow_spark.operators.dedup import boilerplate_removal
+    from sentiflow_spark.queries.dedup_queries import DECON_SPAN_MOD
+
     st = curation_stages(spark, sf_dir)
-    flags = gopher_flags(st["docs_n"])
+    bp_ind = boilerplate_removal(
+        st["docs_n"].filter(F.col("doc_id") % DECON_SPAN_MOD != 0)
+    )
+    assert kept.join(
+        bp_ind.filter(~F.col("doc_kept")), "doc_id", "left_semi"
+    ).count() == 0
+    cleaned = bp_ind.filter(F.col("doc_kept")).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    flags = gopher_flags(cleaned)
     passes = None
     for r in DAG_GOPHER_RULES:
         passes = F.col(r) if passes is None else (passes & F.col(r))
