@@ -592,6 +592,12 @@ def mm_jpeg_segment_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Chunk ids as hex of their 4-char ascii tags
 _RIFF_HEX, _WAVE_HEX = "52494646", "57415645"
+
+# Cursor-freeze bound for the chunk/box walkers: a header-level size
+# field claiming a jump past 1 MB is malformed input for a
+# head-of-blob gate (and over foreign bytes would overflow the INT
+# cursor under ANSI — see riff_chunk_pos/mp4_box_pos).
+MM_WALK_MAX_BYTES = 1_000_000
 _FMT_HEX, _DATA_HEX, _JUNK_HEX = "666D7420", "64617461", "4A554E4B"
 MM_RIFF_WALK_CHUNKS = 12
 # admission gate bounds (speech-pipeline pre-filter)
@@ -683,7 +689,20 @@ def riff_chunk_pos(hx: F.Column, chunk_id_hex: str) -> F.Column:
     def step(pos: F.Column, _i: F.Column) -> F.Column:
         cid = F.substring(hx, pos, F.lit(8))
         size = _le32(hx, pos + F.lit(8))
-        valid = (F.length(cid) == 8) & size.isNotNull() & (size >= 0)
+        # the size bound is a MALFORMED-INPUT freeze, not a format
+        # limit: when this walker runs over foreign bytes (the composed
+        # gate parses every payload with every parser), a garbage LE32
+        # "size" reaches 4.29e9 and pos + size*2 overflows the INT
+        # cursor — a hard CAST_OVERFLOW error under ANSI mode (found by
+        # the 50x replica probe). A header chunk that jumps > 1 MB is
+        # malformed for a head-of-blob gate either way; freezing leaves
+        # the rest-position id check to yield NULL fields.
+        valid = (
+            (F.length(cid) == 8)
+            & size.isNotNull()
+            & (size >= 0)
+            & (size <= MM_WALK_MAX_BYTES)
+        )
         # 8-byte header + payload + pad-to-even, in hex chars
         adv = F.lit(16) + size * F.lit(2) + (size % 2) * F.lit(2)
         return F.when((cid == chunk_id_hex) | ~valid, pos).otherwise(
@@ -896,7 +915,14 @@ def mp4_box_pos(hx: F.Column, start, box_type_hex: str) -> F.Column:
     def step(pos: F.Column, _i: F.Column) -> F.Column:
         btype = F.substring(hx, pos + F.lit(8), F.lit(8))
         size = F.conv(F.substring(hx, pos, F.lit(8)), 16, 10).cast("long")
-        valid = (F.length(btype) == 8) & size.isNotNull() & (size >= 8)
+        # size bound = malformed-input freeze (see riff_chunk_pos): a
+        # garbage BE32 over foreign bytes would overflow the INT cursor
+        valid = (
+            (F.length(btype) == 8)
+            & size.isNotNull()
+            & (size >= 8)
+            & (size <= MM_WALK_MAX_BYTES)
+        )
         return F.when((btype == box_type_hex) | ~valid, pos).otherwise(
             (pos + size * F.lit(2)).cast("int")
         )
@@ -1117,6 +1143,18 @@ def mm_gate_flow(docs: DataFrame) -> DataFrame:
             "payload"
         ),
     )
+    # Explode-barrier between synthesis and parsing: CollapseProject
+    # substitutes the payload column into EVERY parser reference — the
+    # three-way builder when-chain re-inlines ~30 times, the projection
+    # grows past the codegen method limits, and the whole stage falls
+    # back to INTERPRETED row-at-a-time evaluation (observed: the final
+    # Project lost its codegen star; the same idiom and reasoning as
+    # curation_admit_gate's barrier). A Generate's outputs cannot be
+    # collapsed through, so the parsers see a plain attribute and the
+    # stage stays codegen'd with one payload evaluation per row.
+    media = media.select(
+        F.explode(F.array(F.struct(*media.columns))).alias("s")
+    ).select("s.*")
     hx = F.hex(F.col("payload"))
     is_image = hx.startswith("89504E470D0A1A0A") | hx.startswith("FFD8")
     is_audio = hx.startswith(_RIFF_HEX) & (
@@ -1132,6 +1170,35 @@ def mm_gate_flow(docs: DataFrame) -> DataFrame:
     _, w, h = parse_image_dims(F.col("payload"))
     sr, ch, _, adur = parse_wav_header(F.col("payload"))
     brand, _, vdur = parse_mp4_header(F.col("payload"))
+    # Further barriers: all four byte-walkers fused into ONE projection
+    # still exceed the codegen limits (each standalone probe's parse
+    # stage is codegen'd on its own — verified from their plans), so
+    # the parse splits into two barrier-separated stages: image+audio
+    # walkers, then the two-level video walk, then the reason CASE over
+    # plain attributes. Three no-op Generates per row, each stage
+    # codegen'd, one payload evaluation total.
+    stage_a = media.select(
+        "doc_id",
+        F.col("payload"),
+        modality.alias("modality"),
+        w.alias("_w"), h.alias("_h"),
+        sr.alias("_sr"), ch.alias("_ch"), adur.alias("_adur"),
+    )
+    stage_a = stage_a.select(
+        F.explode(F.array(F.struct(*stage_a.columns))).alias("s")
+    ).select("s.*")
+    brand, _, vdur = parse_mp4_header(F.col("payload"))
+    parsed = stage_a.select(
+        "doc_id", "modality", "_w", "_h", "_sr", "_ch", "_adur",
+        brand.alias("_brand"), vdur.alias("_vdur"),
+    )
+    parsed = parsed.select(
+        F.explode(F.array(F.struct(*parsed.columns))).alias("s")
+    ).select("s.*")
+    modality = F.col("modality")
+    w, h = F.col("_w"), F.col("_h")
+    sr, ch, adur = F.col("_sr"), F.col("_ch"), F.col("_adur")
+    brand, vdur = F.col("_brand"), F.col("_vdur")
     image_reason = (
         F.when(
             (w < MM_RES_MIN) | (w > MM_RES_MAX)
@@ -1167,9 +1234,9 @@ def mm_gate_flow(docs: DataFrame) -> DataFrame:
         .when(modality == "video", video_reason)
         .otherwise(F.lit("unknown_container"))
     )
-    return media.select(
+    return parsed.select(
         "doc_id",
-        modality.alias("modality"),
+        "modality",
         (reason == "ok").alias("admitted"),
         reason.alias("reason"),
     )
