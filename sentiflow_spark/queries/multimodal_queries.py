@@ -1240,3 +1240,144 @@ def mm_gate_flow(docs: DataFrame) -> DataFrame:
         (reason == "ok").alias("admitted"),
         reason.alias("reason"),
     )
+
+
+# --------------------------- EXIF strip (byte-level metadata scrub)
+
+_APP1_HEX = "FFE1"
+_EXIF_MAGIC_HEX = "457869660000"       # "Exif\0\0"
+_TIFF_BE_HDR_HEX = "4D4D002A00000008"  # big-endian TIFF header
+# walker stop set for the strip: the APP1 to remove, or any frame
+# header (= no EXIF before image data starts)
+_STRIP_STOP = (_APP1_HEX,) + _SOF_MARKERS
+
+
+def jpeg_exif_payload(w, h, exif_pad, has_exif) -> F.Column:
+    """Spec-correct JPEG bytes with an optional APP1/EXIF segment
+    (Exif magic + big-endian TIFF header + ``exif_pad`` bytes standing
+    in for the IFD with GPS tags) between APP0 and SOF0 — where real
+    cameras put it."""
+    app1_len = F.lit(2 + 6 + 8) + exif_pad        # len field + payload
+    app1 = F.concat(
+        F.lit(_APP1_HEX),
+        F.lpad(F.hex(app1_len), 4, "0"),
+        F.lit(_EXIF_MAGIC_HEX),
+        F.lit(_TIFF_BE_HDR_HEX),
+        F.substring(F.lit("00" * 32), F.lit(1), exif_pad * F.lit(2)),
+    )
+    jpeg_hex = F.concat(
+        F.lit("FFD8"),
+        F.lit(_JFIF_APP0_HEX),
+        F.when(has_exif, app1).otherwise(F.lit("")),
+        F.lit("FFC0001108"),
+        F.lpad(F.hex(h), 4, "0"),
+        F.lpad(F.hex(w), 4, "0"),
+        F.lit("03011100021101031101"),
+    )
+    return F.to_binary(jpeg_hex, F.lit("hex"))
+
+
+def jpeg_strip_exif(payload: F.Column):
+    """(had_exif, out_payload) — remove the APP1/EXIF segment from a
+    JPEG payload by WALKING segment lengths (same bounded fold as
+    jpeg_sof_pos, stop set = APP1 or any SOF) and splicing the hex
+    around it; a payload with no EXIF passes through byte-identical.
+    The rewrite never touches image data: stripping is a header-range
+    splice, exactly what a production metadata scrub does before
+    publishing a crawl."""
+    hx = F.hex(payload)
+
+    def step(pos: F.Column, _i: F.Column) -> F.Column:
+        marker = F.substring(hx, pos, F.lit(4))
+        stop = marker.isin(*_STRIP_STOP)
+        seglen = F.conv(F.substring(hx, pos + F.lit(4), F.lit(4)), 16, 10).cast(
+            "int"
+        )
+        valid = (
+            (F.length(marker) == 4) & marker.startswith("FF") & (seglen >= 2)
+        )
+        return F.when(stop | ~valid, pos).otherwise(
+            pos + F.lit(4) + seglen * F.lit(2)
+        )
+
+    pos = F.aggregate(
+        F.sequence(F.lit(1), F.lit(MM_JPEG_WALK_SEGMENTS)),
+        F.lit(5).cast("int"),
+        step,
+    )
+    at_app1 = F.substring(hx, pos, F.lit(4)) == _APP1_HEX
+    is_exif = at_app1 & (
+        F.substring(hx, pos + F.lit(8), F.lit(12)) == _EXIF_MAGIC_HEX
+    )
+    seglen = F.conv(F.substring(hx, pos + F.lit(4), F.lit(4)), 16, 10).cast(
+        "int"
+    )
+    out_hex = F.when(
+        is_exif,
+        F.concat(
+            F.substring(hx, F.lit(1), pos - 1),
+            F.substring(hx, pos + F.lit(4) + seglen * F.lit(2),
+                        F.length(hx)),
+        ),
+    ).otherwise(hx)
+    return is_exif, F.to_binary(out_hex, F.lit("hex"))
+
+
+@register(
+    "mm_exif_strip",
+    oracle=f"""
+    SELECT doc_id, had_exif,
+           CAST(39 + CASE WHEN had_exif THEN 18 + pad ELSE 0 END AS BIGINT)
+             AS in_bytes,
+           CAST(39 AS BIGINT) AS out_bytes,
+           'FFD8' || '{_JFIF_APP0_HEX}' || 'FFC0001108'
+             || lpad(upper(to_hex(16 + (doc_id * 7) % 2048)), 4, '0')
+             || lpad(upper(to_hex(16 + doc_id % 2048)), 4, '0')
+             || '03011100021101031101' AS out_hex
+    FROM (
+      SELECT doc_id, (doc_id % 2 = 1) AS had_exif,
+             CAST(doc_id % 19 AS BIGINT) AS pad
+      FROM documents
+    )
+    """,
+    tags=("multimodal", "M5", "curation", "privacy"),
+    doc="Byte-level EXIF/metadata SCRUB — the privacy rewrite a "
+    "web-crawl image pipeline runs before publishing (camera EXIF "
+    "carries GPS coordinates): the APP1 segment is located by the "
+    "bounded segment-length walk (never by pattern match) and spliced "
+    "OUT of the payload; a payload without EXIF passes through "
+    "byte-identical. Extends the container-header family from "
+    "read-only gates to payload REWRITING. The oracle regenerates "
+    "the expected post-strip bytes purely from the generator "
+    "formulas, so hash equality proves the splice byte-exact: "
+    "out_hex is compared as a string, in/out byte counts from the "
+    "segment arithmetic. Map-side at any scale; the splice cost is "
+    "the header size, not the image size, because image data sits "
+    "after the spliced range and is carried, not re-encoded.",
+)
+def mm_exif_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    media = docs.select(
+        "doc_id",
+        jpeg_exif_payload(
+            (F.lit(16) + d % 2048).cast("int"),
+            (F.lit(16) + (d * 7) % 2048).cast("int"),
+            (d % 19).cast("int"),
+            d % 2 == 1,
+        ).alias("payload"),
+    )
+    # barrier: the parse/splice references payload ~10 times; keep the
+    # synthesis evaluated once and the stage codegen'd (see
+    # mm_gate_flow's barrier rationale)
+    media = media.select(
+        F.explode(F.array(F.struct(*media.columns))).alias("s")
+    ).select("s.*")
+    had, out = jpeg_strip_exif(F.col("payload"))
+    return media.select(
+        "doc_id",
+        had.alias("had_exif"),
+        F.length("payload").cast("long").alias("in_bytes"),
+        F.length(out).cast("long").alias("out_bytes"),
+        F.hex(out).alias("out_hex"),
+    )

@@ -1808,3 +1808,49 @@ def test_boilerplate_counts_distinct_docs_not_occurrences(spark):
     assert out[2]["text_clean"] == "xxxxyyyyzzzz"
     assert out[3]["text_clean"] == "qqqqrrrrssss"
     assert out[1]["removed_frac"] == 0.25 and out[1]["doc_kept"]
+
+
+@SETTINGS
+@given(
+    cases=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=65535),  # width
+            st.integers(min_value=1, max_value=65535),  # height
+            st.integers(min_value=0, max_value=32),     # EXIF pad bytes
+            st.booleans(),                              # has EXIF at all
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_exif_strip_is_byte_exact(spark, cases):
+    """mm_exif_strip's splice on ARBITRARY fields: stripping a payload
+    built WITH an EXIF APP1 yields exactly the bytes of the same
+    payload built WITHOUT it, and a payload with no EXIF passes
+    through byte-identical — the rewrite never perturbs anything
+    outside the spliced segment."""
+    from sentiflow_spark.queries.multimodal_queries import (
+        jpeg_exif_payload,
+        jpeg_strip_exif,
+    )
+
+    rows = [(i, *c) for i, c in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i long, w int, h int, pad int, ex boolean")
+    built = df.select(
+        "i", "ex",
+        jpeg_exif_payload(
+            F.col("w"), F.col("h"), F.col("pad"), F.col("ex")
+        ).alias("payload"),
+        jpeg_exif_payload(
+            F.col("w"), F.col("h"), F.col("pad"), F.lit(False)
+        ).alias("clean"),
+    )
+    had, out = jpeg_strip_exif(F.col("payload"))
+    got = built.select(
+        "i", "ex",
+        had.alias("had"),
+        (F.hex(out) == F.hex(F.col("clean"))).alias("match"),
+    ).collect()
+    for r in got:
+        assert r["had"] == r["ex"]
+        assert r["match"]
