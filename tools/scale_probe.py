@@ -8,7 +8,7 @@ keys) show it between 1× and 20× long before a cluster would. Results
 are recorded in BASELINE.md's scale-headroom sections.
 
 Run: python tools/scale_probe.py [N] [--overlap] [--tpch] [--hotkey]
-     [--manifest] [--merge] [--zorder] [query ...]
+     [--manifest] [--merge] [--zorder] [--bloom] [query ...]
 Defaults: N=20, the corpus-family headline queries. The probe modes
 (--hotkey/--manifest/--merge) take only an optional leading numeric
 argument and reject query names.
@@ -34,6 +34,12 @@ skipping: per-file parquet footer min/max stats decide which files a
 one-bucket probe on each dimension must touch, and the probe
 aggregation is timed against each layout. Turns the declared query's
 stats-level geometry into written-artifact evidence.
+
+--bloom writes N× lineitem with and without PARQUET-NATIVE bloom
+filters on l_orderkey, verifies the written footers carry the bloom
+offsets, and measures point lookups for present and absent keys
+against each — the point-lookup complement to --zorder's range
+skipping (hash-distributed keys defeat min/max stats).
 
 --hotkey probes the streaming admission path (st_curation_admit)
 under ADVERSARIAL DUPLICATE SKEW instead of running queries: it
@@ -488,6 +494,88 @@ def run_zorder_probe(spark, n: int) -> None:
             )
 
 
+def run_bloom_probe(spark, n: int) -> None:
+    """Write N× lineitem twice — with and without PARQUET-NATIVE bloom
+    filters on l_orderkey (high-cardinality, hash-distributed across
+    files, so min/max stats cannot prune a point lookup) — and measure
+    equality lookups for PRESENT and ABSENT keys against each layout.
+    The file-format complement to the --zorder probe: range predicates
+    want clustering + min/max, point lookups on unclustered keys want
+    blooms. Measures whether the read path actually consults them
+    rather than assuming it."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    out_dir = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", ".tmp", f"scale{n}")
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    build_tpch(spark, n, out_dir)
+    li = spark.read.parquet(f"{out_dir}/lineitem.parquet")
+    n_rows = li.count()
+    root = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", ".tmp", f"bloom{n}")
+    )
+    paths = {}
+    for variant in ("plain", "bloom"):
+        dst = f"{root}/{variant}"
+        paths[variant] = dst
+        if os.path.exists(dst):
+            continue
+        w = li.repartition(16).write.mode("overwrite")
+        if variant == "bloom":
+            w = w.option(
+                "parquet.bloom.filter.enabled#l_orderkey", "true"
+            ).option(
+                "parquet.bloom.filter.expected.ndv#l_orderkey",
+                str(max(n_rows // 4, 1)),
+            )
+        w.parquet(dst)
+    # written-artifact verification: the bloom variant must carry the
+    # filters — visible as extra bytes per column chunk (pyarrow does
+    # not surface bloom offsets, so the size delta at identical data
+    # is the artifact-level proof), and row-group geometry printed so
+    # the skip unit is explicit
+    sizes = {}
+    for variant, dst in paths.items():
+        files = sorted(_glob.glob(f"{dst}/*.parquet"))
+        sizes[variant] = sum(os.path.getsize(f) for f in files)
+        md = pq.ParquetFile(files[0]).metadata
+        print(
+            f"{variant}: {len(files)} files, {sizes[variant]/1e6:.1f} MB, "
+            f"{md.num_row_groups} row groups / file 0, "
+            f"{md.row_group(0).num_rows} rows / group"
+        )
+    print(f"bloom bytes overhead: {(sizes['bloom']-sizes['plain'])/1e6:.2f} MB")
+    # lookups decode FULL rows (select *): without late
+    # materialization every projected column of a non-skipped row
+    # group is decoded, so row-group skipping — stats or bloom — is
+    # the whole contest. The absent key must sit INSIDE every row
+    # group's [min, max] (keys are hash-distributed, so each group
+    # spans nearly the whole domain) or min/max stats answer it
+    # without the bloom — a key in the dead zone between the base
+    # key range and the first replica stride qualifies.
+    present = li.select("l_orderkey").first()[0]
+    absent = O_STRIDE - 7
+    for variant, dst in paths.items():
+        for label, key in (("present", present), ("absent", absent)):
+            walls = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                got = len(
+                    spark.read.parquet(dst)
+                    .filter(F.col("l_orderkey") == key)
+                    .collect()
+                )
+                walls.append(time.perf_counter() - t0)
+            print(
+                f"{variant} lookup {label} key: {got} rows, "
+                f"{min(walls):.2f} s best-of-2",
+                flush=True,
+            )
+
+
 def _probe_n(args: list[str], default: int) -> int:
     """Probe modes take ONE optional leading integer; a trailing query
     name would previously hit int(args[0]) and raise a bare
@@ -515,6 +603,13 @@ def main() -> None:
         n_fp = _probe_n(args, 10_000_000)
         spark = get_spark("scale-probe")
         run_merge_probe(spark, n_fp)
+        return
+    bloomp = "--bloom" in args
+    if bloomp:
+        args.remove("--bloom")
+        n = _probe_n(args, 100)
+        spark = get_spark("scale-probe")
+        run_bloom_probe(spark, n)
         return
     zorder = "--zorder" in args
     if zorder:
