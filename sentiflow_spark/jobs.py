@@ -253,6 +253,41 @@ def job_curate(args: argparse.Namespace) -> dict:
             "sink": args.out}
 
 
+def job_gate_media(args: argparse.Namespace) -> dict:
+    """Multimodal admission as a runnable job — the media twin of
+    job_curate: run the composed gate (magic-byte container detection
+    → builtin-only header parse → modality bounds;
+    queries/multimodal_queries.py::mm_gate_flow, oracle-checked e2e
+    batch AND streaming) and write TWO artifacts under --out:
+    manifest/ (one dispositioned row per blob, partitioned by
+    modality) and a rejects/ summary (drop counts per
+    modality × reason — what a crawl operator tunes thresholds from).
+    Returns the admission funnel."""
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.queries.multimodal_queries import mm_gate_flow
+    from sentiflow_spark.tables import load
+
+    spark = _spark("sentiflow-gate-media")
+    docs = load(spark, args.sf_dir, "documents").select("doc_id")
+    gate = mm_gate_flow(docs).localCheckpoint()
+    gate.write.mode("overwrite").partitionBy("modality").parquet(
+        f"{args.out}/manifest"
+    )
+    rejects = (
+        gate.filter(~F.col("admitted"))
+        .groupBy("modality", "reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rejects.write.mode("overwrite").parquet(f"{args.out}/rejects")
+    funnel = {
+        f"{r['modality']}/{r['reason']}": r["n"] for r in rejects.collect()
+    }
+    n_in = gate.count()
+    n_ok = gate.filter(F.col("admitted")).count()
+    return {"job": "gate-media", "rows_in": n_in, "rows_out": n_ok,
+            "rejected": funnel, "sink": args.out}
+
 def job_compact(args: argparse.Namespace) -> dict:
     """Small-file maintenance as a runnable job: rewrite --src into
     size-targeted files at --out (sources/files.py::compact), sorted
@@ -321,6 +356,7 @@ JOBS = {
     "audit": job_audit,
     "compact": job_compact,
     "curate": job_curate,
+    "gate-media": job_gate_media,
     "dedup": job_dedup,
     "ingest": job_ingest,
     "pipeline": job_pipeline,

@@ -731,3 +731,42 @@ def test_curate_job_cli_subprocess_stdout_contract(sf_dir):
         assert os.path.isdir(f"{d}/cur/disposition")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_gate_media_job_artifacts_equal_query(spark, sf_dir):
+    """The gate-media job's WRITTEN artifacts equal the oracle-checked
+    mm_curation_gate query: the manifest parquet is row-for-row the
+    declared query's output (partitioned by modality), the rejects
+    summary re-aggregates from it exactly, and the returned funnel
+    matches both."""
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.queries.registry import load_all
+
+    d = tempfile.mkdtemp(prefix="sf_jobs_")
+    try:
+        r = _run(["gate-media", "--sf-dir", sf_dir, "--out", f"{d}/gm"])
+        q = load_all()["mm_curation_gate"].fn(spark, sf_dir)
+        expected = {(x["doc_id"]): (x["modality"], x["admitted"], x["reason"])
+                    for x in q.collect()}
+        manifest = spark.read.parquet(f"{d}/gm/manifest")
+        got = {(x["doc_id"]): (x["modality"], x["admitted"], x["reason"])
+               for x in manifest.collect()}
+        assert got == expected
+        assert r["rows_in"] == len(expected)
+        assert r["rows_out"] == sum(1 for v in expected.values() if v[1])
+        rej = {
+            (x["modality"], x["reason"]): x["n"]
+            for x in spark.read.parquet(f"{d}/gm/rejects").collect()
+        }
+        want_rej: dict = {}
+        for mod, ok, reason in expected.values():
+            if not ok:
+                want_rej[(mod, reason)] = want_rej.get((mod, reason), 0) + 1
+        assert rej == want_rej
+        assert r["rejected"] == {f"{m}/{re}": n for (m, re), n in rej.items()}
+        # modality-partitioned layout, one dir per detected container
+        import glob as _g
+        assert len(_g.glob(f"{d}/gm/manifest/modality=*")) == 3
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
