@@ -29,7 +29,23 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE_TAGS = {"flagship", "bench"}
 
 
+def _cpu_probe_s() -> float:
+    """Fixed single-core CPU probe (~0.1 s nominal on an idle host):
+    pure-Python integer work whose wall time scales directly with host
+    contention, so a contended bench run is machine-detectable from
+    the committed artifact alone (r9 verdict: BENCH_r09 was captured
+    at load 13 with nothing running and read as a 1.22x phantom
+    regression). Compare against the committed nominal band, not zero."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc += i * i
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
+    load1_start = round(os.getloadavg()[0], 2)
+    cpu_probe = _cpu_probe_s()
     t_init = time.perf_counter()
     spark = get_spark("sentiflow-bench")
     # two trivial jobs: SparkContext start + scheduler warm-up, then a
@@ -86,6 +102,11 @@ def main() -> None:
     # run, so either single pass has 2-4x outliers the other doesn't.
     timings = {n: round(min(cold[n], warm[n]), 3) for n in names}
     total = round(sum(timings.values()), 3)
+    host = {
+        "load1_start": load1_start,
+        "load1_end": round(os.getloadavg()[0], 2),
+        "cpu_probe_s": cpu_probe,
+    }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -98,7 +119,8 @@ def main() -> None:
                                "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(
-            {"init_s": init_s, "sf": sf_val, "pass1_queries": cold,
+            {"init_s": init_s, "sf": sf_val, "host": host,
+             "pass1_queries": cold,
              "pass2_queries": warm, "queries": timings, "value": total},
             fh, indent=1,
         )
@@ -108,6 +130,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "init_s": init_s,
+            "host": host,
             "n_queries": len(names),
             "sf": sf_val,
             "queries": timings,
@@ -123,6 +146,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "init_s": init_s,
+                "host": host,
                 "n_queries": len(names),
                 "sf": sf_val,
                 "queries": {"_detail": "BENCH_DETAIL.json"},

@@ -288,6 +288,7 @@ def job_gate_media(args: argparse.Namespace) -> dict:
     return {"job": "gate-media", "rows_in": n_in, "rows_out": n_ok,
             "rejected": funnel, "sink": args.out}
 
+
 def job_compact(args: argparse.Namespace) -> dict:
     """Small-file maintenance as a runnable job: rewrite --src into
     size-targeted files at --out (sources/files.py::compact), sorted

@@ -574,11 +574,31 @@ def boilerplate_removal(
     document, bounded by one doc's size. removed_frac is one IEEE
     double division of two exact ints — bitwise identical across
     engines."""
+    segs = boiler_segments(docs, seg_chars, text_col, id_col)
+    boiler = (
+        segs.groupBy("seg")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("seg")
+    )
+    return strip_with_boiler(segs, boiler, max_removed_frac, id_col)
+
+
+def boiler_segments(
+    docs: DataFrame,
+    seg_chars: int = BP_SEG_CHARS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, seg_no, seg) — the fixed-width segmentation stage of
+    boilerplate_removal, split out so the incremental curation DAG can
+    maintain its cross-batch segment-count manifest from the SAME
+    segmentation the one-shot operator uses (curation_delta.py)."""
     n_total = F.greatest(
         F.ceil(F.length(text_col) / F.lit(float(seg_chars))).cast("long"),
         F.lit(1).cast("long"),
     )
-    segs = docs.select(
+    return docs.select(
         F.col(id_col),
         F.col(text_col).alias("_t"),
         F.explode(F.sequence(F.lit(0).cast("long"), n_total - 1)).alias("seg_no"),
@@ -589,12 +609,20 @@ def boilerplate_removal(
         .substr((F.col("seg_no") * seg_chars + 1).cast("int"), F.lit(seg_chars))
         .alias("seg"),
     )
-    boiler = (
-        segs.groupBy("seg")
-        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("seg", F.lit(True).alias("is_bp"))
-    )
+
+
+def strip_with_boiler(
+    segs: DataFrame,
+    boiler: DataFrame,
+    max_removed_frac: float = BP_MAX_REMOVED_FRAC,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reassemble per-doc text with the given boilerplate segment SET
+    removed — the strip stage of boilerplate_removal, split out so the
+    incremental DAG can apply a manifest-backed boilerplate set to a
+    delta batch. ``boiler`` is any (seg) DataFrame (extra columns
+    ignored). Returns the same schema as boilerplate_removal."""
+    boiler = boiler.select("seg", F.lit(True).alias("is_bp"))
     # Mark-and-aggregate instead of anti-join + totals join-back: one
     # left join flags boilerplate occurrences, then a SINGLE per-doc
     # aggregation produces the kept text AND the totals — every doc has

@@ -1169,7 +1169,6 @@ def mm_gate_flow(docs: DataFrame) -> DataFrame:
     )
     _, w, h = parse_image_dims(F.col("payload"))
     sr, ch, _, adur = parse_wav_header(F.col("payload"))
-    brand, _, vdur = parse_mp4_header(F.col("payload"))
     # Further barriers: all four byte-walkers fused into ONE projection
     # still exceed the codegen limits (each standalone probe's parse
     # stage is codegen'd on its own — verified from their plans), so
@@ -1249,7 +1248,6 @@ _EXIF_MAGIC_HEX = "457869660000"       # "Exif\0\0"
 _TIFF_BE_HDR_HEX = "4D4D002A00000008"  # big-endian TIFF header
 # walker stop set for the strip: the APP1 to remove, or any frame
 # header (= no EXIF before image data starts)
-_STRIP_STOP = (_APP1_HEX,) + _SOF_MARKERS
 
 
 def jpeg_exif_payload(w, h, exif_pad, has_exif) -> F.Column:
@@ -1284,12 +1282,18 @@ def jpeg_strip_exif(payload: F.Column):
     around it; a payload with no EXIF passes through byte-identical.
     The rewrite never touches image data: stripping is a header-range
     splice, exactly what a production metadata scrub does before
-    publishing a crawl."""
+    publishing a crawl. Only an APP1 whose payload starts with the
+    Exif magic stops the walk: non-EXIF APP1 segments (XMP-first
+    JPEGs exist in the wild) are stepped over like any other
+    metadata segment, so a later EXIF APP1 is still found."""
     hx = F.hex(payload)
 
     def step(pos: F.Column, _i: F.Column) -> F.Column:
         marker = F.substring(hx, pos, F.lit(4))
-        stop = marker.isin(*_STRIP_STOP)
+        exif_app1 = (marker == _APP1_HEX) & (
+            F.substring(hx, pos + F.lit(8), F.lit(12)) == _EXIF_MAGIC_HEX
+        )
+        stop = exif_app1 | marker.isin(*_SOF_MARKERS)
         seglen = F.conv(F.substring(hx, pos + F.lit(4), F.lit(4)), 16, 10).cast(
             "int"
         )

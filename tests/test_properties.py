@@ -1854,3 +1854,46 @@ def test_exif_strip_is_byte_exact(spark, cases):
     for r in got:
         assert r["had"] == r["ex"]
         assert r["match"]
+
+
+def test_exif_strip_skips_xmp_app1(spark):
+    """An XMP (non-EXIF) APP1 sitting AHEAD of the EXIF APP1 — a
+    layout that exists in the wild — must be stepped over like any
+    other metadata segment, not frozen at: the EXIF segment is still
+    spliced out and the XMP segment survives byte-identical (r9
+    ADVICE: the walk previously stopped at the FIRST APP1 regardless
+    of payload)."""
+    from sentiflow_spark.queries.multimodal_queries import (
+        _EXIF_MAGIC_HEX,
+        _JFIF_APP0_HEX,
+        _TIFF_BE_HDR_HEX,
+        jpeg_strip_exif,
+    )
+
+    head = "FFD8" + _JFIF_APP0_HEX
+    xmp_app1 = "FFE1" + format(2 + 6, "04X") + "58585858" + "5858"
+    exif_app1 = (
+        "FFE1"
+        + format(2 + 6 + 8 + 4, "04X")
+        + _EXIF_MAGIC_HEX
+        + _TIFF_BE_HDR_HEX
+        + "00" * 4
+    )
+    sof = "FFC0001108001000100301110002" + "1101031101"
+    rows = [
+        # (hex in, expect had_exif, hex out)
+        (head + xmp_app1 + exif_app1 + sof, True, head + xmp_app1 + sof),
+        (head + exif_app1 + xmp_app1 + sof, True, head + xmp_app1 + sof),
+        (head + xmp_app1 + sof, False, head + xmp_app1 + sof),
+    ]
+    df = spark.createDataFrame(
+        [(i, hin, exp_had, hout) for i, (hin, exp_had, hout) in enumerate(rows)],
+        "i long, hin string, exp_had boolean, hout string",
+    )
+    had, out = jpeg_strip_exif(F.to_binary(F.col("hin"), F.lit("hex")))
+    got = df.select(
+        "i",
+        (had == F.col("exp_had")).alias("had_ok"),
+        (F.hex(out) == F.col("hout")).alias("bytes_ok"),
+    ).collect()
+    assert all(r["had_ok"] and r["bytes_ok"] for r in got)
