@@ -253,6 +253,43 @@ def job_curate(args: argparse.Namespace) -> dict:
             "sink": args.out}
 
 
+def job_curate_delta(args: argparse.Namespace) -> dict:
+    """The INCREMENTAL form of job_curate — the steady-state production
+    arrangement (reference: the 300 s fetch loop,
+    cmd/producer/main.go:43-49, at curation-DAG fidelity): admit the
+    corpus as --batches ascending delta batches against standing
+    manifest-backed state under --out/state (additive segment-count
+    MERGE, bench-hash set union, per-doc feature MERGE for delta ∪
+    boilerplate-stale docs), then PUBLISH the release disposition from
+    the manifests. The feature manifest doubles as the curated-corpus
+    text store (post-boilerplate text per admitted doc). Converges to
+    job_curate exactly — proved by txt_curation_delta's oracle entry
+    hash-matching the one-shot DAG oracle."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.queries.curation_delta import (
+        publish,
+        run_delta_batches,
+    )
+
+    spark = _spark("sentiflow-curate-delta")
+    state = f"{args.out}/state"
+    shutil.rmtree(state, ignore_errors=True)
+    stats = run_delta_batches(
+        spark, args.sf_dir, state, n_batches=args.batches, collect_stats=True
+    )
+    disp = publish(spark, args.sf_dir, state).localCheckpoint()
+    disp.write.mode("overwrite").parquet(f"{args.out}/disposition")
+    funnel = {
+        r["stage"]: r["n"]
+        for r in disp.groupBy("stage").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return {"job": "curate-delta", "batches": stats, "funnel": funnel,
+            "rows_out": funnel.get("kept", 0), "sink": args.out}
+
+
 def job_gate_media(args: argparse.Namespace) -> dict:
     """Multimodal admission as a runnable job — the media twin of
     job_curate: run the composed gate (magic-byte container detection
@@ -357,6 +394,7 @@ JOBS = {
     "audit": job_audit,
     "compact": job_compact,
     "curate": job_curate,
+    "curate-delta": job_curate_delta,
     "gate-media": job_gate_media,
     "dedup": job_dedup,
     "ingest": job_ingest,
@@ -383,6 +421,8 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--report-total", action="store_true",
                     help="ingest: also report cumulative table count (extra scan)")
     ap.add_argument("--jaccard", type=float, default=0.9, help="near-dup threshold (dedup job)")
+    ap.add_argument("--batches", type=int, default=3,
+                    help="delta batches (curate-delta job)")
     ap.add_argument("--src", default=None, help="input directory (compact job)")
     ap.add_argument("--sort-by", default=None, help="comma-separated sort keys (compact job)")
     ap.add_argument("--target-file-mb", type=int, default=128)

@@ -1,0 +1,554 @@
+"""The INCREMENTAL (delta-batch) form of the ten-stage curation DAG —
+the steady-state production arrangement: a corpus is never re-curated
+from scratch; crawl batches arrive and are admitted against STANDING
+manifest-backed state, and a release ("publish") derives the training
+set from the manifests without re-touching corpus text.
+
+Reference shape: the steady-state ingest loop the reference runs
+(``cmd/producer/main.go:43-49`` — fetch every 300 s, admit against the
+Valkey dedup marks, persist) lifted to curation-DAG fidelity: the
+standing state here plays the role of the reference's dedup-mark /
+stored-topic stores, and each delta batch is one fetch round.
+
+Why this converges EXACTLY to the one-shot ``txt_curation_dag`` (and is
+therefore provable against the same DuckDB oracle):
+
+* The only cross-doc state that feeds a document's TEXT-derived
+  features is (a) the boilerplate segment set (segments in >=
+  BP_MIN_DOCS distinct docs) and (b) the benchmark winnow-hash set.
+  Both are MONOTONE GROWING unions over batches — a segment that
+  crosses the threshold never uncrosses, a bench hash never leaves.
+* Per-doc features (post-boilerplate text, Gopher flags, exact-dedup
+  fingerprint, MinHash signature, winnow fingerprints, token counts)
+  are pure functions of (raw text, boilerplate set). When a batch
+  makes segments CROSS the threshold, exactly the prior docs
+  CONTAINING a crossing segment are invalidated — no cascade, because
+  no other doc's features read those docs' features. Each batch
+  recomputes features for (delta ∪ stale) only and MERGEs them into
+  the feature manifest, so after the last batch every stored feature
+  row equals the one-shot value computed against the FINAL sets.
+* The decision layer (quality gate, first-wins exact winners, LSH
+  near-dup losers, decontamination spans + cut, domain cap, grouped
+  split, packing) is derived AT PUBLISH from the manifests — narrow
+  columns, no raw text except re-cutting the contaminated docs — so
+  it trivially agrees with the one-shot run over the same state.
+
+Cost shape at 100 TB: per-batch work is O(delta + stale) corpus text
+(normalize/segment/hash/sign/winnow only the affected docs) plus
+bucket-scoped manifest MERGEs (merge_upsert: touched partitions only);
+publish touches raw text ONLY for span-cut docs and otherwise runs on
+manifest-resident metadata (fingerprints, signatures, token counts).
+The one-shot DAG by contrast re-hashes the entire corpus every run.
+The ``--curate-delta`` scale probe measures both claims.
+
+Convergence is proved the way ``sim_ivf_upsert`` proved index upserts:
+``txt_curation_delta`` pushes the whole corpus through as
+DELTA_BATCHES ascending-doc_id batches against initially-empty state
+and must hash-match the ONE-SHOT DAG oracle row-for-row.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sentiflow_spark.functions.hashing import md5_i32
+from sentiflow_spark.functions.text import fingerprint, token_count
+from sentiflow_spark.operators.dedup import (
+    BP_MIN_DOCS,
+    NUM_PERM,
+    SPAN_MERGE_GAP,
+    SPAN_MIN_FPS,
+    WINNOW_K,
+    WINNOW_POS_BASE,
+    _position_islands,
+    boiler_segments,
+    connected_components,
+    cut_spans,
+    lsh_candidate_pairs,
+    lsh_star_edges,
+    minhash_signatures,
+    strip_with_boiler,
+    winnow_fingerprints,
+)
+from sentiflow_spark.queries.curation_dag import (
+    DAG_GOPHER_RULES,
+    NEAR_DUP_JACCARD,
+    SPLIT_SALT,
+    TRAIN_PCT,
+    _duck_dag_oracle,
+)
+from sentiflow_spark.queries.curation_queries import (
+    DOMAIN_CAP,
+    gopher_flags,
+    nfc_norm_expr,
+)
+from sentiflow_spark.queries.dedup_queries import DECON_SPAN_MOD
+from sentiflow_spark.queries.registry import register
+from sentiflow_spark.queries.text_queries import SEQ_BUDGET
+from sentiflow_spark.streaming.sinks import merge_upsert
+from sentiflow_spark.tables import load
+
+DELTA_BATCHES = 3
+# Manifest bucket count: sized for the test SFs; at 100 TB pick so one
+# bucket's feature rows fit an executor (merge_upsert's contract).
+N_STATE_BUCKETS = 16
+# Bump when manifest CONTENT changes for the same corpus (stored
+# columns, bucket layout): the state root carries it, so a code change
+# can never silently serve manifests written by old code.
+_STATE_VERSION = 1
+
+_SIG_COLS = [f"sig_{i}" for i in range(NUM_PERM)]
+
+
+def _state_root(sf_dir: str) -> str:
+    """Managed state location under the repo's gitignored .tmp/ scratch
+    root (the sim_ivf pattern): keyed by source dir + version so SFs /
+    probe replicas never collide and mkdtemp never accumulates."""
+    import re
+
+    key = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    return os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        ".tmp",
+        f"curation_state_v{_STATE_VERSION}_{key}",
+    )
+
+
+def _paths(root: str) -> dict[str, str]:
+    return {
+        "seg_counts": os.path.join(root, "seg_counts"),
+        "segdocs": os.path.join(root, "segdocs"),
+        "bench_hashes": os.path.join(root, "bench_hashes"),
+        "features": os.path.join(root, "features"),
+    }
+
+
+def _seg_bucket():
+    return F.pmod(F.hash(F.col("seg")), F.lit(N_STATE_BUCKETS))
+
+
+def _merge_seg_counts(
+    spark: SparkSession, delta_pairs: DataFrame, path: str
+) -> DataFrame:
+    """Additive MERGE of this batch's distinct (seg, doc) counts into
+    the standing segment-count manifest; returns the segments that
+    CROSSED the boilerplate threshold in this merge (old < MIN <= new)
+    — the invalidation events that drive stale-doc recompute. Additive
+    is exact because batches partition docs (a doc is counted by
+    exactly one batch; stale feature recompute never re-counts).
+    Bucket-scoped like merge_upsert: only partitions holding this
+    batch's segments are read or rewritten."""
+    delta_counts = (
+        delta_pairs.groupBy("seg")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .withColumn("_bucket", _seg_bucket())
+        .localCheckpoint(eager=True)
+    )
+    if os.path.isdir(path):
+        touched = sorted(
+            r["_bucket"]
+            for r in delta_counts.select("_bucket").distinct().collect()
+        )
+        cur = spark.read.parquet(path).filter(F.col("_bucket").isin(touched))
+        merged = (
+            delta_counts.unionByName(cur)
+            .groupBy("seg", "_bucket")
+            .agg(F.sum("nd").cast("long").alias("nd"))
+        )
+        crossers = (
+            merged.join(
+                cur.select("seg", F.col("nd").alias("nd_old")), "seg", "left"
+            )
+            .filter(
+                (F.coalesce("nd_old", F.lit(0)) < BP_MIN_DOCS)
+                & (F.col("nd") >= BP_MIN_DOCS)
+            )
+            .select("seg")
+        )
+    else:
+        merged = delta_counts
+        crossers = merged.filter(F.col("nd") >= BP_MIN_DOCS).select("seg")
+    # materialize BEFORE the overwrite: both frames read the partition
+    # files the write replaces (merge_upsert's rule)
+    merged = merged.localCheckpoint(eager=True)
+    crossers = crossers.localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bucket")
+        .parquet(path)
+    )
+    return crossers
+
+
+def _stale_docs(
+    spark: SparkSession, crossers: DataFrame, segdocs_path: str
+) -> DataFrame:
+    """PRIOR-batch docs containing a threshold-crossing segment — the
+    exact set whose post-boilerplate text changes. Partition-pruned to
+    the crossing segments' buckets."""
+    if not os.path.isdir(segdocs_path):
+        return crossers.sparkSession.range(0).select(
+            F.col("id").alias("doc_id")
+        )
+    cb = crossers.withColumn("_bucket", _seg_bucket())
+    buckets = sorted(
+        r["_bucket"] for r in cb.select("_bucket").distinct().collect()
+    )
+    if not buckets:
+        return spark.range(0).select(F.col("id").alias("doc_id"))
+    prior = spark.read.parquet(segdocs_path).filter(
+        F.col("_bucket").isin(buckets)
+    )
+    return prior.join(cb.select("seg"), "seg").select("doc_id").distinct()
+
+
+def _unpack_h(key):
+    b = WINNOW_POS_BASE
+    return F.expr(f"({key} + {b - 1}) DIV {b}")
+
+
+def _merge_bench_hashes(
+    spark: SparkSession, bench_n: DataFrame, path: str
+) -> int:
+    """Union this batch's benchmark winnow-hash set into the standing
+    manifest (keyed MERGE = set union). Bench docs winnow their RAW
+    normalized text (one-shot parity: wsrc's bench side is docs_n)."""
+    fps = winnow_fingerprints(bench_n, "text", "doc_id")
+    hs = (
+        fps.select(F.explode("fps").alias("_key"))
+        .select(_unpack_h("_key").alias("h"))
+        .distinct()
+        # pinned: merge_upsert takes two actions over its incoming rows
+        # (touched-bucket collect + merged checkpoint) — without the pin
+        # the NFC+winnow extraction runs twice per batch
+        .localCheckpoint(eager=False)
+    )
+    merge_upsert(spark, hs, path, "h", n_buckets=N_STATE_BUCKETS)
+
+
+def _recompute_features(
+    spark: SparkSession, aff_n: DataFrame, seg_counts_path: str
+) -> DataFrame:
+    """Per-doc feature rows for the affected set, computed against the
+    CURRENT (post-merge) boilerplate set — every column the publish
+    pass needs, so publish never re-hashes text:
+    (doc_id, lang, bp_kept, passes_all, fp, sig_0..15, wfps,
+    text_bp, len_bp, n_tokens_bp)."""
+    segs = boiler_segments(aff_n)
+    boiler = (
+        spark.read.parquet(seg_counts_path)
+        .filter(F.col("nd") >= BP_MIN_DOCS)
+        .select("seg")
+    )
+    bp = strip_with_boiler(segs, boiler).localCheckpoint(eager=False)
+    kept = (
+        bp.filter(F.col("doc_kept"))
+        .select("doc_id", F.col("text_clean").alias("text"))
+        .join(aff_n.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    flags = gopher_flags(kept)
+    passes = None
+    for r in DAG_GOPHER_RULES:
+        passes = F.col(r) if passes is None else (passes & F.col(r))
+    gq = flags.select("doc_id", passes.alias("passes_all"))
+    sigs = minhash_signatures(kept)
+    wfps = winnow_fingerprints(kept).select(
+        "doc_id", F.col("fps").alias("wfps")
+    )
+    per_doc = kept.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        F.col("text").alias("text_bp"),
+        F.length("text").cast("long").alias("len_bp"),
+        token_count(F.col("text")).cast("long").alias("n_tokens_bp"),
+    )
+    return (
+        bp.select("doc_id", F.col("doc_kept").alias("bp_kept"))
+        .join(aff_n.select("doc_id", "lang"), "doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(gq, "doc_id", "left")
+        .join(sigs, "doc_id", "left")
+        .join(wfps, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "bp_kept",
+            "passes_all",
+            "fp",
+            *_SIG_COLS,
+            "wfps",
+            "text_bp",
+            "len_bp",
+            "n_tokens_bp",
+        )
+    )
+
+
+def run_delta_batches(
+    spark: SparkSession,
+    sf_dir: str,
+    state_root: str,
+    n_batches: int = DELTA_BATCHES,
+    collect_stats: bool = False,
+) -> list[dict]:
+    """Admit the corpus as ``n_batches`` ascending-doc_id delta batches
+    against the standing state under ``state_root``; with
+    ``collect_stats`` returns per-batch admission stats (extra count
+    jobs — the job/probe path wants them, the registered query skips
+    them). Idempotent per whole run only (state must start empty for
+    the one-shot-equivalence claim; callers own the lifecycle)."""
+    p = _paths(state_root)
+    docs = load(spark, sf_dir, "documents")
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    bounds = [hi * i // n_batches for i in range(n_batches + 1)]
+    stats: list[dict] = []
+    for b in range(n_batches):
+        t_batch = time.perf_counter()
+        lo, up = bounds[b], bounds[b + 1]
+        delta = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < up))
+        delta_n = delta.select(
+            "doc_id", "lang", nfc_norm_expr(F.col("text")).alias("text")
+        ).localCheckpoint(eager=False)
+        is_bench = F.col("doc_id") % DECON_SPAN_MOD == 0
+        _merge_bench_hashes(
+            spark, delta_n.filter(is_bench).select("doc_id", "text"),
+            p["bench_hashes"],
+        )
+        nonbench = delta_n.filter(~is_bench)
+        pairs = (
+            boiler_segments(nonbench)
+            .select("seg", "doc_id")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        crossers = _merge_seg_counts(spark, pairs, p["seg_counts"])
+        stale_ids = _stale_docs(spark, crossers, p["segdocs"]).localCheckpoint(
+            eager=False
+        )
+        (
+            pairs.withColumn("_bucket", _seg_bucket())
+            .write.mode("append")
+            .partitionBy("_bucket")
+            .parquet(p["segdocs"])
+        )
+        # the stale branch is always unioned: when nothing crossed it is
+        # an empty semi-join (one cheap plan beats a driver count gate)
+        stale_n = docs.join(stale_ids, "doc_id", "left_semi").select(
+            "doc_id", "lang", nfc_norm_expr(F.col("text")).alias("text")
+        )
+        aff_n = (
+            nonbench.select("doc_id", "lang", "text")
+            .unionByName(stale_n)
+            .localCheckpoint(eager=False)
+        )
+        # pinned for the same reason as _merge_bench_hashes' hs: the
+        # merge takes two actions over the incoming feature rows
+        feat = _recompute_features(spark, aff_n, p["seg_counts"]).localCheckpoint(
+            eager=False
+        )
+        merge_upsert(
+            spark, feat, p["features"], "doc_id", n_buckets=N_STATE_BUCKETS
+        )
+        if collect_stats:
+            wall = round(time.perf_counter() - t_batch, 2)
+            stats.append(
+                {
+                    "batch": b,
+                    "wall_s": wall,
+                    "delta_docs": delta_n.count(),
+                    "stale_recomputed": stale_ids.count(),
+                    "boiler_crossers": crossers.count(),
+                }
+            )
+    return stats
+
+
+def publish(spark: SparkSession, sf_dir: str, state_root: str) -> DataFrame:
+    """Derive the release: per-doc disposition (same schema as
+    txt_curation_dag) from the standing manifests. Touches raw text for
+    NO document; touches stored post-boilerplate text only for docs
+    with contamination spans to cut."""
+    p = _paths(state_root)
+    feat = spark.read.parquet(p["features"]).localCheckpoint(eager=False)
+    bench_h = spark.read.parquet(p["bench_hashes"]).select("h")
+
+    quality = feat.filter(F.col("bp_kept") & F.col("passes_all"))
+    w_fp = W.partitionBy("fp").orderBy("doc_id")
+    exr = quality.select("doc_id", "fp").withColumn(
+        "rn", F.row_number().over(w_fp)
+    )
+    s4 = exr.filter(F.col("rn") == 1).select("doc_id")
+    sigs = (
+        feat.join(s4, "doc_id", "left_semi")
+        .filter(F.col("sig_0").isNotNull())
+        .select("doc_id", *_SIG_COLS)
+    )
+    near_losers = (
+        lsh_candidate_pairs(sigs)
+        .filter(F.col("est_jaccard") >= NEAR_DUP_JACCARD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    s5 = s4.join(near_losers, "doc_id", "left_anti")
+
+    # decontamination from the manifests: unpack stored winnow keys,
+    # flag positions whose hash is in the bench set, islands -> spans
+    b = WINNOW_POS_BASE
+    pos = (
+        feat.join(s5, "doc_id", "left_semi")
+        .filter(F.col("wfps").isNotNull())
+        .select("doc_id", F.explode("wfps").alias("_key"))
+        .select(
+            "doc_id",
+            _unpack_h("_key").alias("h"),
+            F.expr(
+                f"((_key + {b - 1}) DIV {b}) * {b} - _key"
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    flagged = (
+        pos.join(bench_h, "h", "left_semi").select("doc_id", "pos").distinct()
+    )
+    spans = _position_islands(
+        flagged, "doc_id", WINNOW_K, SPAN_MERGE_GAP, SPAN_MIN_FPS
+    ).localCheckpoint(eager=False)
+    spanned = spans.select("doc_id").distinct()
+    cut_in = feat.join(spanned, "doc_id", "left_semi").select(
+        "doc_id", F.col("text_bp").alias("text")
+    )
+    cut_spanned = cut_spans(cut_in, spans).select(
+        "doc_id",
+        token_count(F.col("clean_text")).cast("long").alias("n_tokens"),
+        (F.col("orig_len") - F.col("clean_len")).cast("long").alias(
+            "cut_chars"
+        ),
+        F.col("clean_len").cast("long").alias("clean_len"),
+    )
+    cut_rest = (
+        feat.join(s5, "doc_id", "left_semi")
+        .join(spanned, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.col("n_tokens_bp").alias("n_tokens"),
+            F.lit(0).cast("long").alias("cut_chars"),
+            F.col("len_bp").alias("clean_len"),
+        )
+    )
+    cut_all = cut_spanned.unionByName(cut_rest).localCheckpoint(eager=False)
+
+    alive = cut_all.filter(F.col("n_tokens") > 0)
+    domain = F.concat(
+        F.lit("example"), (F.col("doc_id") % 40).cast("string"), F.lit(".com")
+    )
+    w_dom = W.partitionBy("domain").orderBy(F.col("clean_len").desc(), "doc_id")
+    capped = (
+        alive.withColumn("domain", domain)
+        .withColumn("cap_rank", F.row_number().over(w_dom))
+        .filter(F.col("cap_rank") <= DOMAIN_CAP)
+        .select("doc_id", "n_tokens", "cut_chars")
+    )
+    sigs_kept = sigs.join(capped.select("doc_id"), "doc_id", "left_semi")
+    cc = connected_components(lsh_star_edges(sigs_kept))
+    clustered = capped.join(cc, capped.doc_id == cc.node, "left").select(
+        capped.doc_id.alias("doc_id"),
+        "n_tokens",
+        "cut_chars",
+        F.coalesce("lbl", capped.doc_id).alias("cluster_id"),
+    )
+    bucket = (
+        md5_i32(
+            F.concat(F.lit(SPLIT_SALT), F.col("cluster_id").cast("string"))
+        )
+        % 100
+    )
+    split_df = clustered.withColumn(
+        "split", F.when(bucket < TRAIN_PCT, "train").otherwise("val")
+    )
+    with_lang = split_df.join(feat.select("doc_id", "lang"), "doc_id")
+    w_pack = (
+        W.partitionBy("split", "lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = with_lang.withColumn(
+        "cum", F.sum("n_tokens").over(w_pack)
+    ).select(
+        "doc_id",
+        "split",
+        "n_tokens",
+        "cut_chars",
+        F.expr(f"(cum - n_tokens) div {SEQ_BUDGET}").alias("seq_id"),
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    out = (
+        docs.join(
+            feat.select("doc_id", "bp_kept", "passes_all"), "doc_id", "left"
+        )
+        .join(s4.withColumn("_ex", F.lit(True)), "doc_id", "left")
+        .join(near_losers.withColumn("_nd", F.lit(True)), "doc_id", "left")
+        .join(
+            cut_all.select("doc_id", F.col("n_tokens").alias("_tok")),
+            "doc_id",
+            "left",
+        )
+        .join(packed, "doc_id", "left")
+    )
+    is_bench = F.col("doc_id") % DECON_SPAN_MOD == 0
+    kept = F.col("seq_id").isNotNull()
+    stage = (
+        F.when(is_bench, "bench")
+        .when(~F.col("bp_kept"), "boilerplate")
+        .when(~F.col("passes_all"), "quality")
+        .when(F.col("_ex").isNull(), "exact_dup")
+        .when(F.col("_nd").isNotNull(), "near_dup")
+        .when(F.col("_tok") == 0, "decontaminated")
+        .when(~kept, "domain_cap")
+        .otherwise("kept")
+    )
+    return out.select(
+        "doc_id",
+        stage.alias("stage"),
+        "split",
+        "seq_id",
+        F.when(kept, F.col("n_tokens")).alias("n_tokens"),
+        F.when(kept, F.col("cut_chars")).alias("cut_chars"),
+    )
+
+
+@register(
+    "txt_curation_delta",
+    oracle=_duck_dag_oracle(),
+    tags=("text", "dedup", "curation", "M5", "e2e", "iterative",
+          "arrow-udf", "incremental"),
+    doc="The ten-stage curation DAG run INCREMENTALLY: the corpus "
+    "arrives as three ascending-doc_id delta batches, each admitted "
+    "against standing manifest-backed state (additive segment-count "
+    "MERGE, bench winnow-hash set union, per-doc feature MERGE for "
+    "delta ∪ boilerplate-stale docs — merge_upsert bucket-scoped "
+    "partition rewrites throughout), then a publish pass derives the "
+    "per-doc disposition from the manifests WITHOUT re-touching "
+    "corpus text (only span-cut docs' stored post-boilerplate text is "
+    "re-read). Convergence is proved sim_ivf_upsert-style: the result "
+    "must hash-match the ONE-SHOT txt_curation_dag oracle exactly — "
+    "valid because both cross-doc state sets are monotone unions, so "
+    "recompute-on-invalidation reaches the one-shot fixpoint with no "
+    "cascade. See module docstring for the 100 TB cost shape.",
+)
+def txt_curation_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _state_root(sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    run_delta_batches(spark, sf_dir, root, n_batches=DELTA_BATCHES)
+    return publish(spark, sf_dir, root)

@@ -1040,11 +1040,19 @@ def mm_mp4_box_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------- composed multimodal admission gate (DAG form)
 
 # shared by mm_curation_gate (batch) and st_mm_gate (streaming) so the
-# two gates cannot drift — same generator-formula statement both ways
+# two gates cannot drift — same generator-formula statement both ways.
+# Docs with doc_id % 13 == 6 carry a MALFORMED payload instead of the
+# valid fixture (class (doc_id // 13) % 3: empty / truncated
+# mid-segment / size field past EOF) and must land in the named
+# 'empty' / 'malformed_header' buckets — never a NULL-field silent
+# admit (r9 verdict item 4).
 MM_GATE_ORACLE = f"""
     SELECT doc_id, modality, (reason = 'ok') AS admitted, reason FROM (
-      SELECT doc_id, modality,
-        CASE WHEN modality = 'image' THEN
+      SELECT doc_id,
+        CASE WHEN mal AND mc = 0 THEN 'unknown' ELSE modality END AS modality,
+        CASE WHEN mal AND mc = 0 THEN 'empty'
+             WHEN mal THEN 'malformed_header'
+        WHEN modality = 'image' THEN
           CASE WHEN width < {MM_RES_MIN} OR width > {MM_RES_MAX}
                  OR height < {MM_RES_MIN} OR height > {MM_RES_MAX}
                THEN 'dims'
@@ -1065,6 +1073,8 @@ MM_GATE_ORACLE = f"""
         END AS reason
       FROM (
         SELECT doc_id,
+               (doc_id % 13 = 6) AS mal,
+               CAST((doc_id // 13) % 3 AS INT) AS mc,
                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                     WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
                CAST(16 + doc_id % 2048 AS INTEGER) AS width,
@@ -1080,6 +1090,27 @@ MM_GATE_ORACLE = f"""
       )
     )
     """
+
+# Malformed-blob fixture family: each keeps a DETECTABLE magic (except
+# 'empty') so the failure lands inside the right modality's parser —
+# the production classes a crawl actually carries.
+#   truncated: header cut mid-segment/mid-chunk/after-ftyp — the walk
+#     runs off the end (empty substring -> invalid -> freeze) and the
+#     rest-position check yields NULL fields.
+#   bad size: a size field pointing past EOF (JPEG: APP0 len 0xFFFF;
+#     WAV: JUNK chunk size 0xFFFFFFFF > MM_WALK_MAX_BYTES, the ANSI
+#     overflow bound from the 50x probe; MP4: free box size 2^31-ish)
+#     — the walk freezes on the bound or runs past EOF, same NULLs.
+_MAL_IMG_TRUNC_HEX = "FFD8" + "FFE00010"              # SOI + APP0 cut mid-seg
+_MAL_IMG_BADSZ_HEX = "FFD8" + "FFE0FFFF"              # APP0 claims 64KB
+_MAL_WAV_TRUNC_HEX = _RIFF_HEX + "24000000" + _WAVE_HEX + _FMT_HEX
+_MAL_WAV_BADSZ_HEX = (
+    _RIFF_HEX + "24000000" + _WAVE_HEX + "4A554E4B" + "FFFFFFFF"
+)
+_MAL_MP4_TRUNC_HEX = (
+    "00000014" + _FTYP_HEX + "69736F6D" + "00000200" + "69736F6D"
+)
+_MAL_MP4_BADSZ_HEX = _MAL_MP4_TRUNC_HEX + "7FFFFFF0" + _FREE_HEX
 
 
 @register(
@@ -1098,10 +1129,16 @@ MM_GATE_ORACLE = f"""
     "so the first failing gate names the drop cause exactly as a "
     "curation funnel needs). The fixture synthesizes one modality "
     "per doc with the SAME per-doc formulas as the standalone "
-    "probes, so the oracle stays a pure generator-formula statement "
-    "and hash equality proves detection + parse + gate end-to-end. "
-    "Map-side over blob heads at any scale: no shuffle, no codec, "
-    "no Python.",
+    "probes, PLUS a malformed-blob family (doc_id % 13 == 6: empty, "
+    "truncated mid-segment, size field past EOF — per modality, "
+    "magic intact) that must land in the named 'empty' / "
+    "'malformed_header' buckets: NULL parsed fields are checked "
+    "FIRST in every modality's chain, because a NULL inside a range "
+    "predicate silently falls through to 'ok' otherwise. The oracle "
+    "stays a pure generator-formula statement and hash equality "
+    "proves detection + parse + gate + malformed-rejection "
+    "end-to-end. Map-side over blob heads at any scale: no shuffle, "
+    "no codec, no Python.",
 )
 def mm_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_gate_flow(load(spark, sf_dir, "documents").select("doc_id"))
@@ -1137,12 +1174,28 @@ def mm_gate_flow(docs: DataFrame) -> DataFrame:
         (d % 23).cast("int"),
         (d % 11).cast("int"),
     )
-    media = docs.select(
-        "doc_id",
-        F.when(m3 == 0, img).when(m3 == 1, wav).otherwise(mp4).alias(
-            "payload"
-        ),
+    # malformed-blob family (doc_id % 13 == 6): class 0 = empty, 1 =
+    # truncated mid-segment, 2 = size field past EOF — per the base
+    # modality, magic intact so the failure exercises the right parser
+    mal = d % 13 == 6
+    mc = (F.expr("doc_id div 13") % 3).cast("int")
+    trunc_hex = (
+        F.when(m3 == 0, F.lit(_MAL_IMG_TRUNC_HEX))
+        .when(m3 == 1, F.lit(_MAL_WAV_TRUNC_HEX))
+        .otherwise(F.lit(_MAL_MP4_TRUNC_HEX))
     )
+    badsz_hex = (
+        F.when(m3 == 0, F.lit(_MAL_IMG_BADSZ_HEX))
+        .when(m3 == 1, F.lit(_MAL_WAV_BADSZ_HEX))
+        .otherwise(F.lit(_MAL_MP4_BADSZ_HEX))
+    )
+    payload = (
+        F.when(mal & (mc == 0), F.to_binary(F.lit(""), F.lit("hex")))
+        .when(mal & (mc == 1), F.to_binary(trunc_hex, F.lit("hex")))
+        .when(mal & (mc == 2), F.to_binary(badsz_hex, F.lit("hex")))
+        .otherwise(F.when(m3 == 0, img).when(m3 == 1, wav).otherwise(mp4))
+    )
+    media = docs.select("doc_id", payload.alias("payload"))
     # Explode-barrier between synthesis and parsing: CollapseProject
     # substitutes the payload column into EVERY parser reference — the
     # three-way builder when-chain re-inlines ~30 times, the projection
@@ -1179,6 +1232,7 @@ def mm_gate_flow(docs: DataFrame) -> DataFrame:
     stage_a = media.select(
         "doc_id",
         F.col("payload"),
+        F.octet_length("payload").alias("_len"),
         modality.alias("modality"),
         w.alias("_w"), h.alias("_h"),
         sr.alias("_sr"), ch.alias("_ch"), adur.alias("_adur"),
@@ -1188,7 +1242,7 @@ def mm_gate_flow(docs: DataFrame) -> DataFrame:
     ).select("s.*")
     brand, _, vdur = parse_mp4_header(F.col("payload"))
     parsed = stage_a.select(
-        "doc_id", "modality", "_w", "_h", "_sr", "_ch", "_adur",
+        "doc_id", "_len", "modality", "_w", "_h", "_sr", "_ch", "_adur",
         brand.alias("_brand"), vdur.alias("_vdur"),
     )
     parsed = parsed.select(
@@ -1198,8 +1252,14 @@ def mm_gate_flow(docs: DataFrame) -> DataFrame:
     w, h = F.col("_w"), F.col("_h")
     sr, ch, adur = F.col("_sr"), F.col("_ch"), F.col("_adur")
     brand, vdur = F.col("_brand"), F.col("_vdur")
+    # NULL-field checks come FIRST in every modality's chain: a
+    # truncated or size-lying header leaves the parsed fields NULL, and
+    # a NULL inside a range predicate makes every when() branch
+    # not-true — without the explicit check the row would fall through
+    # to 'ok', a SILENT ADMIT of a malformed blob (r9 verdict item 4).
     image_reason = (
-        F.when(
+        F.when(w.isNull() | h.isNull(), F.lit("malformed_header"))
+        .when(
             (w < MM_RES_MIN) | (w > MM_RES_MAX)
             | (h < MM_RES_MIN) | (h > MM_RES_MAX),
             F.lit("dims"),
@@ -1211,7 +1271,11 @@ def mm_gate_flow(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit("ok"))
     )
     audio_reason = (
-        F.when((sr < MM_SR_MIN) | (sr > MM_SR_MAX), F.lit("sample_rate"))
+        F.when(
+            sr.isNull() | ch.isNull() | adur.isNull(),
+            F.lit("malformed_header"),
+        )
+        .when((sr < MM_SR_MIN) | (sr > MM_SR_MAX), F.lit("sample_rate"))
         .when(ch > MM_MAX_CHANNELS, F.lit("channels"))
         .when(
             (adur < MM_DUR_MIN_MS) | (adur > MM_DUR_MAX_MS),
@@ -1220,7 +1284,8 @@ def mm_gate_flow(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit("ok"))
     )
     video_reason = (
-        F.when(~brand.isin(*MM_MP4_BRANDS_OK), F.lit("brand"))
+        F.when(brand.isNull() | vdur.isNull(), F.lit("malformed_header"))
+        .when(~brand.isin(*MM_MP4_BRANDS_OK), F.lit("brand"))
         .when(
             (vdur < MM_VID_DUR_MIN_MS) | (vdur > MM_VID_DUR_MAX_MS),
             F.lit("duration"),
@@ -1228,7 +1293,8 @@ def mm_gate_flow(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit("ok"))
     )
     reason = (
-        F.when(modality == "image", image_reason)
+        F.when(F.col("_len") < 4, F.lit("empty"))
+        .when(modality == "image", image_reason)
         .when(modality == "audio", audio_reason)
         .when(modality == "video", video_reason)
         .otherwise(F.lit("unknown_container"))

@@ -76,6 +76,7 @@ _QUERY_MODULES = (
     "sentiflow_spark.queries.dedup_queries",
     "sentiflow_spark.queries.curation_queries",
     "sentiflow_spark.queries.curation_dag",
+    "sentiflow_spark.queries.curation_delta",
     "sentiflow_spark.queries.similarity_queries",
     "sentiflow_spark.queries.retrieval_queries",
     "sentiflow_spark.queries.multimodal_queries",

@@ -156,26 +156,33 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is that lifecycle for the ANN family.",
 )
 def sim_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index = spark.read.parquet(_ensure_ivf_index(spark, sf_dir))
+    # SERVE phase: the probe side is a tiny filtered scan; the join on
+    # the partition column lets DPP prune the index read to the
+    # probed buckets only
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    return bucketed_topk(index, probes, k=TOP_K)
+
+
+def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the coarse-bucket-partitioned ANN index if absent
+    and return its path. Managed, REUSED across invocations: a
+    materialized index is a build-once artifact (shared by
+    sim_ivf_served and its streaming twin st_ivf_served)."""
     import os
 
-    emb = with_quantized(load(spark, sf_dir, "embeddings"))
-    # Managed, REUSED across invocations: a materialized index is a
-    # build-once artifact.
     idx_path = _managed_index_path(sf_dir, "ivf_index")
     if not os.path.isfile(os.path.join(idx_path, "_SUCCESS")):
         # BUILD phase: one corpus scan, index laid out
         # bucket-per-directory. Spark's _SUCCESS commit marker gates
         # reuse, so a partial write (killed run) is rebuilt, never
         # served.
+        emb = with_quantized(load(spark, sf_dir, "embeddings"))
         emb.select("vec_id", "qvec", "qnorm", "label").write.mode(
             "overwrite"
         ).partitionBy("label").parquet(idx_path)
-    index = spark.read.parquet(idx_path)
-    # SERVE phase: the probe side is a tiny filtered scan; the join on
-    # the partition column lets DPP prune the index read to the
-    # probed buckets only
-    probes = emb.filter(F.col("vec_id") < N_PROBES)
-    return bucketed_topk(index, probes, k=TOP_K)
+    return idx_path
 
 
 @register(

@@ -1,0 +1,86 @@
+"""Incremental curation DAG (queries/curation_delta.py): convergence
+to the one-shot txt_curation_dag, and the stale-recompute machinery
+that makes convergence exact when a boilerplate segment crosses the
+threshold AFTER its holder docs were already admitted."""
+
+from __future__ import annotations
+
+import shutil
+
+from sentiflow_spark.queries.curation_delta import (
+    _state_root,
+    publish,
+    run_delta_batches,
+)
+from sentiflow_spark.queries.registry import load_all
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_delta_converges_to_oneshot(spark, sf_dir):
+    """The central claim (the driver proves it against the DuckDB
+    oracle; this pins it Spark-vs-Spark): the corpus pushed through as
+    3 ascending delta batches with manifest-backed state produces the
+    EXACT one-shot disposition — every stage label, split, seq_id,
+    token and cut count."""
+    reg = load_all()
+    delta = reg["txt_curation_delta"].fn(spark, sf_dir)
+    oneshot = reg["txt_curation_dag"].fn(spark, sf_dir)
+    assert _canon(delta) == _canon(oneshot)
+
+
+def test_stale_recompute_on_late_threshold_cross(spark, tmp_path):
+    """A boilerplate segment whose third distinct holder arrives in the
+    LAST batch: the first two holders were admitted with the segment
+    kept, so the final batch must (a) detect the threshold cross,
+    (b) recompute exactly those prior docs' features, and (c) end at
+    the same disposition as the one-shot DAG over the full corpus.
+    This is the monotone-invalidation path the module docstring's
+    convergence argument rests on."""
+    seg = "Z" * 16
+    rows = []
+    for i in range(9):
+        # weave the doc id into EVERY 16-char window: any aligned
+        # window shared across >= 3 docs is itself boilerplate and
+        # would cross the threshold mid-run on its own schedule
+        if i in (1, 4, 7):
+            text = seg + f"h{i:02d}tail " * 6
+        else:
+            text = f"d{i:02d}word " * 8
+        rows.append((i, text, "en", "t", len(text)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+
+    state = f"{tmp_path}/state"
+    stats = run_delta_batches(
+        spark, sf, state, n_batches=3, collect_stats=True
+    )
+    # batches are doc_id ranges [0,3) [3,6) [6,9): the seg's holders are
+    # docs 1, 4, 7 — it crosses BP_MIN_DOCS=3 only in batch 2, which
+    # must pull docs 1 and 4 back in as stale
+    assert stats[0]["stale_recomputed"] == 0
+    assert stats[1]["stale_recomputed"] == 0
+    assert stats[2]["boiler_crossers"] >= 1
+    assert stats[2]["stale_recomputed"] == 2
+
+    reg = load_all()
+    oneshot = reg["txt_curation_dag"].fn(spark, sf)
+    assert _canon(publish(spark, sf, state)) == _canon(oneshot)
+
+
+def test_registered_query_state_is_fresh_per_run(spark, sf_dir):
+    """The registered query owns its state lifecycle: running it twice
+    must converge to the same result (state reset, not accumulated) —
+    the idempotence the sweep/driver re-runs rely on."""
+    reg = load_all()
+    fn = reg["txt_curation_delta"].fn
+    first = _canon(fn(spark, sf_dir))
+    second = _canon(fn(spark, sf_dir))
+    assert first == second
+    # the managed state root exists after a run (debuggability) and is
+    # rebuilt from empty on the next — clean it to keep .tmp bounded
+    shutil.rmtree(_state_root(sf_dir), ignore_errors=True)

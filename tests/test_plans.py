@@ -652,6 +652,10 @@ ORACLE_CAPTURE_ALLOWLIST = {
     ("txt_bpe_pairs", ("w",)),
     ("txt_curation_dag", ("ks",)),
     ("txt_curation_dag", ("t",)),
+    # same oracle STRING as txt_curation_dag (the convergence proof is
+    # hash-matching the one-shot oracle), so the same vetted lambdas
+    ("txt_curation_delta", ("ks",)),
+    ("txt_curation_delta", ("t",)),
     ("txt_dsir_weights", ("t",)),
     ("txt_grouped_split", ("t",)),
     ("txt_ngram_counts", ("t",)),

@@ -1856,6 +1856,54 @@ def test_exif_strip_is_byte_exact(spark, cases):
         assert r["match"]
 
 
+def test_mm_gate_malformed_blobs_never_silently_admit(spark):
+    """Every malformed-blob class — empty, truncated mid-segment, size
+    field past EOF, per modality — lands in a DETERMINISTIC named
+    reject bucket and is never admitted. This is the NULL-dims trap:
+    a NULL parsed field makes every range when() branch not-true, so
+    without the explicit malformed_header check a truncated JPEG falls
+    through to 'ok' (r9 verdict item 4)."""
+    from sentiflow_spark.queries.multimodal_queries import (
+        _MAL_IMG_BADSZ_HEX,
+        _MAL_IMG_TRUNC_HEX,
+        _MAL_MP4_BADSZ_HEX,
+        _MAL_MP4_TRUNC_HEX,
+        _MAL_WAV_BADSZ_HEX,
+        _MAL_WAV_TRUNC_HEX,
+        mm_gate_flow,
+    )
+
+    # doc_ids chosen so doc_id % 13 == 6 (malformed slot) with the
+    # right class (doc_id // 13) % 3 and base modality doc_id % 3:
+    # class 1 = truncated, class 2 = size-past-EOF, class 0 = empty.
+    cases = {}
+    for i in range(6, 4000, 13):
+        mc, m3 = (i // 13) % 3, i % 3
+        key = (mc, m3)
+        if key not in cases:
+            cases[key] = i
+    ids = sorted(cases.values())
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r for r in mm_gate_flow(docs).collect()}
+    expected_hex = {
+        (1, 0): _MAL_IMG_TRUNC_HEX, (2, 0): _MAL_IMG_BADSZ_HEX,
+        (1, 1): _MAL_WAV_TRUNC_HEX, (2, 1): _MAL_WAV_BADSZ_HEX,
+        (1, 2): _MAL_MP4_TRUNC_HEX, (2, 2): _MAL_MP4_BADSZ_HEX,
+    }
+    mod_of = {0: "image", 1: "audio", 2: "video"}
+    for (mc, m3), i in cases.items():
+        r = got[i]
+        assert not r["admitted"], (i, dict(r.asDict()))
+        if mc == 0:
+            assert r["reason"] == "empty" and r["modality"] == "unknown"
+        else:
+            assert r["reason"] == "malformed_header", (i, r["reason"])
+            # magic stays intact so the failure exercised the RIGHT
+            # modality's parser, not the unknown-container fallback
+            assert r["modality"] == mod_of[m3]
+            assert (mc, m3) in expected_hex
+
+
 def test_exif_strip_skips_xmp_app1(spark):
     """An XMP (non-EXIF) APP1 sitting AHEAD of the EXIF APP1 — a
     layout that exists in the wild — must be stepped over like any

@@ -8,7 +8,8 @@ keys) show it between 1× and 20× long before a cluster would. Results
 are recorded in BASELINE.md's scale-headroom sections.
 
 Run: python tools/scale_probe.py [N] [--overlap] [--tpch] [--hotkey]
-     [--manifest] [--merge] [--zorder] [--bloom] [query ...]
+     [--manifest] [--merge] [--zorder] [--bloom] [--curate-delta]
+     [query ...]
 Defaults: N=20, the corpus-family headline queries. The probe modes
 (--hotkey/--manifest/--merge) take only an optional leading numeric
 argument and reject query names.
@@ -576,6 +577,51 @@ def run_bloom_probe(spark, n: int) -> None:
             )
 
 
+def run_curate_delta_probe(spark, data_dir: str, label: str) -> None:
+    """The incremental-curation cost claim, measured: run the ten-stage
+    DAG as 8 ascending delta batches against standing manifests and
+    print each batch's wall + admission stats — per-batch cost must
+    track the DELTA (roughly flat walls batch-over-batch; standing
+    state grows 8x across the run), never the cumulative corpus — then
+    the publish wall, then the ONE-SHOT DAG wall on the same replica
+    corpus for the total-cost comparison. (The delta total may exceed
+    one-shot at small N — 8 rounds of merge/job overhead — the claim
+    is the per-batch SHAPE, which is what survives to 100 TB where
+    re-running the one-shot DAG per crawl is not an option.)"""
+    import shutil
+
+    from sentiflow_spark.queries.curation_delta import (
+        _state_root,
+        publish,
+        run_delta_batches,
+    )
+
+    root = _state_root(data_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    t0 = time.perf_counter()
+    stats = run_delta_batches(
+        spark, data_dir, root, n_batches=8, collect_stats=True
+    )
+    t_batches = time.perf_counter() - t0
+    for s in stats:
+        print(
+            f"curate-delta {label} batch {s['batch']}: {s['wall_s']} s, "
+            f"{s['delta_docs']} delta docs, {s['stale_recomputed']} stale, "
+            f"{s['boiler_crossers']} crossing segs",
+            flush=True,
+        )
+    t0 = time.perf_counter()
+    rows = publish(spark, data_dir, root).rdd.count()
+    t_pub = time.perf_counter() - t0
+    print(f"curate-delta {label}: publish {t_pub:.1f} s, {rows} rows; "
+          f"8 batches total {t_batches:.1f} s", flush=True)
+    registry = load_all()
+    t0 = time.perf_counter()
+    rows1 = registry["txt_curation_dag"].fn(spark, data_dir).rdd.count()
+    print(f"one-shot dag {label}: {rows1} rows in "
+          f"{time.perf_counter() - t0:.1f} s", flush=True)
+
+
 def _probe_n(args: list[str], default: int) -> int:
     """Probe modes take ONE optional leading integer; a trailing query
     name would previously hit int(args[0]) and raise a bare
@@ -617,6 +663,18 @@ def main() -> None:
         n = _probe_n(args, 20)
         spark = get_spark("scale-probe")
         run_zorder_probe(spark, n)
+        return
+    cdelta = "--curate-delta" in args
+    if cdelta:
+        args.remove("--curate-delta")
+        n = _probe_n(args, 20)
+        out_dir = os.path.abspath(
+            os.path.join(os.path.dirname(__file__), "..", ".tmp", f"scale{n}")
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        spark = get_spark("scale-probe")
+        build(spark, n, out_dir)
+        run_curate_delta_probe(spark, out_dir, f"{n}x")
         return
     manifest = "--manifest" in args
     if manifest:
