@@ -22,7 +22,7 @@ from sentiflow_spark.operators.similarity import (
     cosine_neardup_pairs,
     with_quantized,
 )
-from sentiflow_spark.queries.registry import register
+from sentiflow_spark.queries.registry import REGISTRY, register
 from sentiflow_spark.tables import load
 
 N_PROBES = 5  # probes = vec_id < 5
@@ -183,6 +183,109 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
             "overwrite"
         ).partitionBy("label").parquet(idx_path)
     return idx_path
+
+
+@register(
+    "st_ivf_served",
+    oracle=None,  # late-bound below: same truth as sim_ivf_served
+    tags=("streaming", "similarity", "ann", "M5", "sink"),
+    doc="STREAMING ANN serving from the materialized index — the "
+    "production arrangement: probe vectors arrive as a stream, are "
+    "quantized in-stream (map-side builtin exprs), stream-static "
+    "equi-join the coarse-bucket-partitioned index table on the "
+    "partition column, and each micro-batch's candidates are ranked "
+    "to top-k in foreachBatch (a probe row arrives in exactly ONE "
+    "micro-batch and ALL its candidates join within that batch, so "
+    "the per-batch window rank is the global per-probe rank). The "
+    "oracle is sim_ivf_served's full-corpus IVF truth, so hash "
+    "equality proves the checkpointed streaming read path serves the "
+    "same results as the batch serve — the st_neardup_alert "
+    "stream-static shape, but against the MATERIALIZED index. "
+    "DPP finding (the r9 verdict asked): dynamic partition pruning "
+    "does NOT survive into the stream-static join — "
+    "PlanDynamicPruningFilters only plants subquery filters in "
+    "*batch* file-source plans, and the micro-batch's IncrementalExecution "
+    "re-plans the join each trigger without the DPP rule's benefit; "
+    "the executed plan shows the index scan with NO runtime partition "
+    "filter (documented negative, like the parquet-bloom probe; "
+    "tests/test_plans.py::test_st_ivf_served_stream_static_dpp_note "
+    "pins the observed plan shape either way). The production "
+    "fallback when bucket pruning matters at 100 TB: collect the "
+    "micro-batch's distinct buckets in foreachBatch and serve with "
+    "an explicit partition-value filter — O(probed buckets) by "
+    "construction, at the price of one tiny per-batch collect.",
+)
+def st_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from sentiflow_spark.functions.vectors import cosine_q, dot_long
+    from sentiflow_spark.streaming.dag import load_stream
+
+    index = spark.read.parquet(_ensure_ivf_index(spark, sf_dir))
+    probes = with_quantized(load_stream(spark, sf_dir, "embeddings")).filter(
+        F.col("vec_id") < N_PROBES
+    )
+    p = probes.select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("bucket"),
+        F.col("qvec").alias("p_qvec"),
+        F.col("qnorm").alias("p_qnorm"),
+    )
+    c = index.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("bucket"),
+        F.col("qvec").alias("c_qvec"),
+        F.col("qnorm").alias("c_qnorm"),
+    )
+    scored = (
+        p.join(c, "bucket")
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            cosine_q(
+                dot_long(F.col("p_qvec"), F.col("c_qvec")),
+                F.col("p_qnorm"),
+                F.col("c_qnorm"),
+            ).alias("cosine"),
+        )
+    )
+    scratch = tempfile.mkdtemp(prefix="sf_ivf_serve_")
+    out, ckpt = f"{scratch}/topk", f"{scratch}/ckpt"
+
+    def _rank_and_append(batch_df: DataFrame, batch_id: int) -> None:
+        w = W.partitionBy("probe_id").orderBy(
+            F.desc("cosine"), F.asc("cand_id")
+        )
+        (
+            batch_df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    try:
+        q = (
+            scored.writeStream.foreachBatch(_rank_and_append)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # eager: both scratch dirs removed NOW (the round-8 leak rule)
+        return spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+import dataclasses as _dc  # noqa: E402
+
+REGISTRY["st_ivf_served"] = _dc.replace(
+    REGISTRY["st_ivf_served"], oracle=REGISTRY["sim_ivf_served"].oracle
+)
 
 
 @register(

@@ -907,3 +907,66 @@ def test_ivf_served_scan_is_dynamically_pruned(spark, sf_dir):
     assert all(
         "dynamicpruningexpression" in c for c in idx_chunks
     ), "index scan is NOT dynamically pruned — serving reads the full index"
+
+
+def test_st_ivf_served_stream_static_dpp_note(spark, sf_dir):
+    """Pins the DOCUMENTED NEGATIVE in st_ivf_served's docstring (the
+    r9 verdict asked for this finding either way): dynamic partition
+    pruning does NOT survive into a stream-static join — the
+    micro-batch execution plans the same probe↔index join WITHOUT a
+    dynamicpruning filter on the index scan, while the identical batch
+    join gets one (test above). If a Spark upgrade starts pruning
+    here, this test fails and the docstring's fallback guidance
+    (explicit per-batch partition-value filter in foreachBatch) should
+    be retired."""
+    import contextlib
+    import io
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.operators.similarity import with_quantized
+    from sentiflow_spark.queries.similarity_queries import (
+        N_PROBES,
+        _ensure_ivf_index,
+    )
+    from sentiflow_spark.streaming.dag import load_stream
+
+    index = spark.read.parquet(_ensure_ivf_index(spark, sf_dir))
+    probes = with_quantized(load_stream(spark, sf_dir, "embeddings")).filter(
+        F.col("vec_id") < N_PROBES
+    )
+    joined = (
+        probes.select(
+            F.col("vec_id").alias("probe_id"), F.col("label").alias("bucket")
+        )
+        .join(
+            index.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("label").alias("bucket"),
+            ),
+            "bucket",
+        )
+        .filter(F.col("cand_id") != F.col("probe_id"))
+    )
+    ck = tempfile.mkdtemp(prefix="ckpt_dpp_note_")
+    try:
+        sq = (
+            joined.writeStream.format("noop")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            sq.explain(True)
+        plan = buf.getvalue()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    assert "ivf_index_" in plan, "index scan missing from micro-batch plan"
+    assert "dynamicpruning" not in plan.lower(), (
+        "stream-static join now gets DPP — update st_ivf_served's "
+        "docstring note and drop the foreachBatch fallback guidance"
+    )
