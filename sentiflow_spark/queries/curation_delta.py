@@ -196,9 +196,7 @@ def _stale_docs(
     exact set whose post-boilerplate text changes. Partition-pruned to
     the crossing segments' buckets."""
     if not os.path.isdir(segdocs_path):
-        return crossers.sparkSession.range(0).select(
-            F.col("id").alias("doc_id")
-        )
+        return spark.range(0).select(F.col("id").alias("doc_id"))
     cb = crossers.withColumn("_bucket", _seg_bucket())
     buckets = sorted(
         r["_bucket"] for r in cb.select("_bucket").distinct().collect()
@@ -218,7 +216,7 @@ def _unpack_h(key):
 
 def _merge_bench_hashes(
     spark: SparkSession, bench_n: DataFrame, path: str
-) -> int:
+) -> None:
     """Union this batch's benchmark winnow-hash set into the standing
     manifest (keyed MERGE = set union). Bench docs winnow their RAW
     normalized text (one-shot parity: wsrc's bench side is docs_n)."""

@@ -765,8 +765,9 @@ def test_gate_media_job_artifacts_equal_query(spark, sf_dir):
                 want_rej[(mod, reason)] = want_rej.get((mod, reason), 0) + 1
         assert rej == want_rej
         assert r["rejected"] == {f"{m}/{re}": n for (m, re), n in rej.items()}
-        # modality-partitioned layout, one dir per detected container
+        # modality-partitioned layout: one dir per detected container
+        # plus 'unknown' (the malformed-family empty blobs, r10)
         import glob as _g
-        assert len(_g.glob(f"{d}/gm/manifest/modality=*")) == 3
+        assert len(_g.glob(f"{d}/gm/manifest/modality=*")) == 4
     finally:
         shutil.rmtree(d, ignore_errors=True)
