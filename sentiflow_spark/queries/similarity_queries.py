@@ -288,6 +288,64 @@ REGISTRY["st_ivf_served"] = _dc.replace(
 )
 
 
+def ivf_pruned_serve_sink(index_path: str, out_path: str, k: int = TOP_K):
+    """foreachBatch callable implementing st_ivf_served's documented
+    DPP fallback: since dynamic partition pruning does not survive into
+    a stream-static join (the measured negative pinned by
+    test_st_ivf_served_stream_static_dpp_note), the stream carries only
+    QUANTIZED PROBE rows (probe_id, bucket, p_qvec, p_qnorm) and the
+    join runs HERE, per micro-batch, against an index read filtered to
+    the batch's distinct buckets with literal partition values —
+    STATIC partition pruning the file index honors by construction.
+    Price: one tiny per-batch collect (the distinct bucket list). The
+    --st-serve scale probe measures the win over the plain
+    stream-static join."""
+    from pyspark.sql import Window as W
+
+    from sentiflow_spark.functions.vectors import cosine_q, dot_long
+
+    def _serve(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        buckets = sorted(
+            r["bucket"] for r in batch_df.select("bucket").distinct().collect()
+        )
+        if not buckets:
+            return
+        index = spark.read.parquet(index_path).filter(
+            F.col("label").isin(buckets)
+        )
+        c = index.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("bucket"),
+            F.col("qvec").alias("c_qvec"),
+            F.col("qnorm").alias("c_qnorm"),
+        )
+        scored = (
+            batch_df.join(c, "bucket")
+            .filter(F.col("cand_id") != F.col("probe_id"))
+            .select(
+                "probe_id",
+                "cand_id",
+                cosine_q(
+                    dot_long(F.col("p_qvec"), F.col("c_qvec")),
+                    F.col("p_qnorm"),
+                    F.col("c_qnorm"),
+                ).alias("cosine"),
+            )
+        )
+        w = W.partitionBy("probe_id").orderBy(
+            F.desc("cosine"), F.asc("cand_id")
+        )
+        (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return _serve
+
+
 @register(
     "sim_ivf_upsert",
     oracle=f"""

@@ -1233,3 +1233,54 @@ def test_curation_manifest_two_run_drip(spark, sf_dir):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(os.path.dirname(manifest), ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_ivf_pruned_serve_sink_equals_plain_serve(spark, sf_dir):
+    """The DPP-fallback serve (ivf_pruned_serve_sink: probe rows in the
+    stream, per-batch join against an index read filtered to the
+    batch's buckets with literal partition values) returns EXACTLY the
+    registered st_ivf_served plain stream-static serve — the
+    correctness half of the --st-serve probe's measurement."""
+    import shutil
+    import tempfile
+
+    from sentiflow_spark.operators.similarity import with_quantized
+    from sentiflow_spark.queries.registry import load_all
+    from sentiflow_spark.queries.similarity_queries import (
+        N_PROBES,
+        _ensure_ivf_index,
+        ivf_pruned_serve_sink,
+    )
+    from sentiflow_spark.streaming.dag import load_stream
+
+    idx_path = _ensure_ivf_index(spark, sf_dir)
+    scratch = tempfile.mkdtemp(prefix="sf_pruned_serve_")
+    out, ckpt = f"{scratch}/topk", f"{scratch}/ckpt"
+    try:
+        probes = with_quantized(
+            load_stream(spark, sf_dir, "embeddings")
+        ).filter(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("label").alias("bucket"),
+            F.col("qvec").alias("p_qvec"),
+            F.col("qnorm").alias("p_qnorm"),
+        )
+        q = (
+            probes.writeStream.foreachBatch(
+                ivf_pruned_serve_sink(idx_path, out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        pruned = sorted(
+            tuple(r) for r in spark.read.parquet(out).collect()
+        )
+        plain = sorted(
+            tuple(r)
+            for r in load_all()["st_ivf_served"].fn(spark, sf_dir).collect()
+        )
+        assert pruned == plain and len(pruned) > 0
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

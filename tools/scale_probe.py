@@ -9,6 +9,7 @@ are recorded in BASELINE.md's scale-headroom sections.
 
 Run: python tools/scale_probe.py [N] [--overlap] [--tpch] [--hotkey]
      [--manifest] [--merge] [--zorder] [--bloom] [--curate-delta]
+     [--st-serve]
      [query ...]
 Defaults: N=20, the corpus-family headline queries. The probe modes
 (--hotkey/--manifest/--merge) take only an optional leading numeric
@@ -622,6 +623,132 @@ def run_curate_delta_probe(spark, data_dir: str, label: str) -> None:
           f"{time.perf_counter() - t0:.1f} s", flush=True)
 
 
+def run_st_serve_probe(spark, data_dir: str, label: str) -> None:
+    """Measures st_ivf_served's documented DPP negative and its
+    fallback on a 64-coarse-bucket index (the testdata label column
+    has only 10 distinct values, which caps the best possible pruning
+    win at n_partitions/n_probed ~ 2x; a production IVF runs
+    nlist >> nprobe, so the probe relabels vec_id % 64): (A) the plain
+    stream-static join — NO dynamic pruning per micro-batch, every
+    batch scans all 64 partitions; (B) ivf_pruned_serve_sink — the
+    stream carries quantized probe rows and foreachBatch joins against
+    an index read filtered to the batch's buckets with LITERAL
+    partition values (static pruning, <= 5 of 64 partitions read).
+    Outputs asserted row-identical; each variant runs twice."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.functions.vectors import cosine_q, dot_long
+    from sentiflow_spark.operators.similarity import with_quantized
+    from sentiflow_spark.queries.similarity_queries import (
+        N_PROBES,
+        TOP_K,
+        ivf_pruned_serve_sink,
+    )
+    from sentiflow_spark.streaming.dag import load_stream
+
+    idx_path = f"{data_dir}/ivf64_index"
+    if not os.path.isfile(os.path.join(idx_path, "_SUCCESS")):
+        emb = with_quantized(spark.read.parquet(f"{data_dir}/embeddings.parquet"))
+        (
+            emb.select(
+                "vec_id", "qvec", "qnorm",
+                F.pmod(F.col("vec_id"), F.lit(64)).cast("int").alias("label"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("label")
+            .parquet(idx_path)
+        )
+    n_vec = spark.read.parquet(idx_path).count()
+    print(f"st-serve {label}: index {n_vec} vectors / 64 partitions, "
+          f"{N_PROBES} probes", flush=True)
+
+    def _probe_stream():
+        return with_quantized(
+            load_stream(spark, data_dir, "embeddings")
+        ).filter(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("probe_id"),
+            F.pmod(F.col("vec_id"), F.lit(64)).cast("int").alias("bucket"),
+            F.col("qvec").alias("p_qvec"),
+            F.col("qnorm").alias("p_qnorm"),
+        )
+
+    def _run(pruned: bool) -> str:
+        scratch = tempfile.mkdtemp(prefix="sf_st_serve_")
+        out, ckpt = f"{scratch}/topk", f"{scratch}/ckpt"
+        if pruned:
+            stream = _probe_stream()
+            sink = ivf_pruned_serve_sink(idx_path, out, k=TOP_K)
+        else:
+            # the registered query's plain stream-static shape against
+            # the same 64-bucket index: join in-stream, rank per batch
+            index = spark.read.parquet(idx_path)
+            c = index.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("label").alias("bucket"),
+                F.col("qvec").alias("c_qvec"),
+                F.col("qnorm").alias("c_qnorm"),
+            )
+            stream = (
+                _probe_stream()
+                .join(c, "bucket")
+                .filter(F.col("cand_id") != F.col("probe_id"))
+                .select(
+                    "probe_id",
+                    "cand_id",
+                    cosine_q(
+                        dot_long(F.col("p_qvec"), F.col("c_qvec")),
+                        F.col("p_qnorm"),
+                        F.col("c_qnorm"),
+                    ).alias("cosine"),
+                )
+            )
+
+            def sink(batch_df, batch_id):
+                w = W.partitionBy("probe_id").orderBy(
+                    F.desc("cosine"), F.asc("cand_id")
+                )
+                (
+                    batch_df.withColumn("rank", F.row_number().over(w))
+                    .filter(F.col("rank") <= TOP_K)
+                    .write.mode("append").parquet(out)
+                )
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return scratch
+
+    outs = {}
+    for name, pruned in (("plain", False), ("pruned", True)):
+        last = None
+        for i in (1, 2):
+            t0 = time.perf_counter()
+            scratch = _run(pruned)
+            wall = time.perf_counter() - t0
+            if last:
+                shutil.rmtree(last, ignore_errors=True)
+            last = scratch
+            print(f"st-serve {label} {name} run {i}: {wall:.1f} s",
+                  flush=True)
+        outs[name] = last
+    a = sorted(tuple(r) for r in
+               spark.read.parquet(f"{outs['plain']}/topk").collect())
+    b = sorted(tuple(r) for r in
+               spark.read.parquet(f"{outs['pruned']}/topk").collect())
+    for s in outs.values():
+        shutil.rmtree(s, ignore_errors=True)
+    print(f"st-serve {label}: outputs identical = {a == b} ({len(b)} rows)",
+          flush=True)
+
+
 def _probe_n(args: list[str], default: int) -> int:
     """Probe modes take ONE optional leading integer; a trailing query
     name would previously hit int(args[0]) and raise a bare
@@ -663,6 +790,18 @@ def main() -> None:
         n = _probe_n(args, 20)
         spark = get_spark("scale-probe")
         run_zorder_probe(spark, n)
+        return
+    stserve = "--st-serve" in args
+    if stserve:
+        args.remove("--st-serve")
+        n = _probe_n(args, 100)
+        out_dir = os.path.abspath(
+            os.path.join(os.path.dirname(__file__), "..", ".tmp", f"scale{n}")
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        spark = get_spark("scale-probe")
+        build(spark, n, out_dir)
+        run_st_serve_probe(spark, out_dir, f"{n}x")
         return
     cdelta = "--curate-delta" in args
     if cdelta:
