@@ -72,6 +72,31 @@ def test_stale_recompute_on_late_threshold_cross(spark, tmp_path):
     assert _canon(publish(spark, sf, state)) == _canon(oneshot)
 
 
+def test_delta_result_is_batch_count_invariant(spark, tmp_path):
+    """The disposition is a pure function of the FINAL manifests, so
+    the batch partitioning must not matter: the crafted corpus pushed
+    through as 1, 2, and 3 delta batches publishes identical rows —
+    the property that makes 'how often does the crawl deliver' an
+    operational knob instead of a correctness parameter."""
+    rows = [
+        (i, f"x{i:02d}body " * 8 if i % 3 else "Q" * 16 + f"q{i:02d}tail " * 6,
+         "en", "t", 0)
+        for i in range(9)
+    ]
+    rows = [(i, t, lg, s, len(t)) for (i, t, lg, s, _) in rows]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+
+    results = []
+    for n in (1, 2, 3):
+        state = f"{tmp_path}/state{n}"
+        run_delta_batches(spark, sf, state, n_batches=n)
+        results.append(_canon(publish(spark, sf, state)))
+    assert results[0] == results[1] == results[2]
+
+
 def test_registered_query_state_is_fresh_per_run(spark, sf_dir):
     """The registered query owns its state lifecycle: running it twice
     must converge to the same result (state reset, not accumulated) —

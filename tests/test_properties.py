@@ -1904,6 +1904,49 @@ def test_mm_gate_malformed_blobs_never_silently_admit(spark):
             assert (mc, m3) in expected_hex
 
 
+def test_mm_gate_polyglot_magic_is_deterministic(spark):
+    """A POLYGLOT head: bytes 0-3 'RIFF', 4-7 'ftyp', 8-11 'WAVE'
+    satisfy BOTH the audio detector (RIFF..WAVE) and the video
+    detector (ftyp at offset 4) simultaneously — a crafted blob, but
+    byte-legal for both containers (the 'ftyp' dword is a legal RIFF
+    size; the 'RIFF' dword is a legal 1.38 GB box size). The gate's
+    dispatch order is FIXED (image → audio → video), so the row lands
+    deterministically in 'audio', and the WAV chunk walk then fails on
+    the garbage body → 'malformed_header', never a silent admit and
+    never a nondeterministic modality."""
+    from sentiflow_spark.queries.multimodal_queries import parse_image_dims
+
+    # doc_id must NOT collide with the fixture's malformed slot; use a
+    # direct frame through the parsers + the gate's reason path via
+    # mm_gate_flow is fixture-driven, so drive the dispatch directly
+    hx = "52494646" + "66747970" + "57415645" + "0000"
+    df = spark.createDataFrame([(1, hx)], "doc_id long, hin string")
+    payload = F.to_binary(F.col("hin"), F.lit("hex"))
+    from sentiflow_spark.queries.multimodal_queries import (
+        _RIFF_HEX,
+        _WAVE_HEX,
+        parse_wav_header,
+    )
+
+    hxc = F.hex(payload)
+    is_audio = hxc.startswith(_RIFF_HEX) & (
+        F.substring(hxc, 17, 8) == _WAVE_HEX
+    )
+    is_video = F.substring(hxc, 9, 8) == F.hex(F.lit("ftyp"))
+    sr, ch, _, adur = parse_wav_header(payload)
+    _, w, h = parse_image_dims(payload)
+    row = df.select(
+        is_audio.alias("a"), is_video.alias("v"),
+        sr.alias("sr"), ch.alias("ch"), adur.alias("adur"),
+        w.alias("w"), h.alias("h"),
+    ).collect()[0]
+    assert row["a"] and row["v"]          # genuinely ambiguous magic
+    # the winning (audio) parser yields NULLs on the garbage body, so
+    # the gate's null-first check lands it in 'malformed_header'
+    assert row["sr"] is None and row["ch"] is None and row["adur"] is None
+    assert row["w"] is None and row["h"] is None
+
+
 def test_exif_strip_skips_xmp_app1(spark):
     """An XMP (non-EXIF) APP1 sitting AHEAD of the EXIF APP1 — a
     layout that exists in the wild — must be stepped over like any
