@@ -35,11 +35,20 @@ therefore provable against the same DuckDB oracle):
 
 Cost shape at 100 TB: per-batch work is O(delta + stale) corpus text
 (normalize/segment/hash/sign/winnow only the affected docs) plus
-bucket-scoped manifest MERGEs (merge_upsert: touched partitions only);
-publish touches raw text ONLY for span-cut docs and otherwise runs on
-manifest-resident metadata (fingerprints, signatures, token counts).
-The one-shot DAG by contrast re-hashes the entire corpus every run.
-The ``--curate-delta`` scale probe measures both claims.
+bucket-scoped merges for the METADATA manifests (segment counts,
+bench hashes — rows of hashes, tiny per entry) and a pure APPEND for
+the corpus-scale per-doc FEATURE store (generation-partitioned,
+latest-wins at publish): a keyed bucket-merge there would be
+O(manifest) per batch because uniformly-hashed doc_ids touch every
+bucket — measured by the probe's steady-state leg under the v1
+layout, and the reason Delta/Iceberg deployments run merge-on-read
+for exactly this table. Publish touches raw text ONLY for span-cut
+docs and otherwise runs on manifest-resident metadata (fingerprints,
+signatures, token counts); the latest-wins resolution is a
+narrow-column aggregate + semi-join (stale recomputes are the only
+superseded rows). The one-shot DAG by contrast re-hashes the entire
+corpus every run. The ``--curate-delta`` scale probe measures all of
+it, including the fixed-size steady-state delta leg.
 
 Convergence is proved the way ``sim_ivf_upsert`` proved index upserts:
 ``txt_curation_delta`` pushes the whole corpus through as
@@ -101,7 +110,9 @@ N_STATE_BUCKETS = 16
 # Bump when manifest CONTENT changes for the same corpus (stored
 # columns, bucket layout): the state root carries it, so a code change
 # can never silently serve manifests written by old code.
-_STATE_VERSION = 1
+# v2: the features store became APPEND-ONLY generation-partitioned
+# (latest-wins at publish) instead of bucket-merged.
+_STATE_VERSION = 2
 
 _SIG_COLS = [f"sig_{i}" for i in range(NUM_PERM)]
 
@@ -187,6 +198,31 @@ def _merge_seg_counts(
         .parquet(path)
     )
     return crossers
+
+
+def _next_gen(features_path: str) -> int:
+    """Next admission-generation id = count of existing _gen partition
+    dirs (a driver-side listing — the append-only store's only
+    metadata read)."""
+    if not os.path.isdir(features_path):
+        return 0
+    return len(
+        [d for d in os.listdir(features_path) if d.startswith("_gen=")]
+    )
+
+
+def _latest_features(spark: SparkSession, features_path: str) -> DataFrame:
+    """Latest-wins view over the append-only generation-partitioned
+    feature store: a doc has >1 row only if a later batch recomputed it
+    as boilerplate-stale, and the winner is the highest generation.
+    Resolution is a NARROW-column aggregate (doc_id, _gen) plus a
+    semi-join — the wide text column is filtered in place, never
+    shuffled by the resolution itself."""
+    feat = spark.read.parquet(features_path)
+    winners = feat.select("doc_id", "_gen").groupBy("doc_id").agg(
+        F.max("_gen").alias("_gen")
+    )
+    return feat.join(winners, ["doc_id", "_gen"], "left_semi").drop("_gen")
 
 
 def _stale_docs(
@@ -305,70 +341,101 @@ def run_delta_batches(
     jobs — the job/probe path wants them, the registered query skips
     them). Idempotent per whole run only (state must start empty for
     the one-shot-equivalence claim; callers own the lifecycle)."""
-    p = _paths(state_root)
     docs = load(spark, sf_dir, "documents")
     hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     bounds = [hi * i // n_batches for i in range(n_batches + 1)]
     stats: list[dict] = []
     for b in range(n_batches):
-        t_batch = time.perf_counter()
         lo, up = bounds[b], bounds[b + 1]
         delta = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < up))
-        delta_n = delta.select(
-            "doc_id", "lang", nfc_norm_expr(F.col("text")).alias("text")
-        ).localCheckpoint(eager=False)
-        is_bench = F.col("doc_id") % DECON_SPAN_MOD == 0
-        _merge_bench_hashes(
-            spark, delta_n.filter(is_bench).select("doc_id", "text"),
-            p["bench_hashes"],
-        )
-        nonbench = delta_n.filter(~is_bench)
-        pairs = (
-            boiler_segments(nonbench)
-            .select("seg", "doc_id")
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
-        crossers = _merge_seg_counts(spark, pairs, p["seg_counts"])
-        stale_ids = _stale_docs(spark, crossers, p["segdocs"]).localCheckpoint(
-            eager=False
-        )
-        (
-            pairs.withColumn("_bucket", _seg_bucket())
-            .write.mode("append")
-            .partitionBy("_bucket")
-            .parquet(p["segdocs"])
-        )
-        # the stale branch is always unioned: when nothing crossed it is
-        # an empty semi-join (one cheap plan beats a driver count gate)
-        stale_n = docs.join(stale_ids, "doc_id", "left_semi").select(
-            "doc_id", "lang", nfc_norm_expr(F.col("text")).alias("text")
-        )
-        aff_n = (
-            nonbench.select("doc_id", "lang", "text")
-            .unionByName(stale_n)
-            .localCheckpoint(eager=False)
-        )
-        # pinned for the same reason as _merge_bench_hashes' hs: the
-        # merge takes two actions over the incoming feature rows
-        feat = _recompute_features(spark, aff_n, p["seg_counts"]).localCheckpoint(
-            eager=False
-        )
-        merge_upsert(
-            spark, feat, p["features"], "doc_id", n_buckets=N_STATE_BUCKETS
+        s = admit_batch(
+            spark, delta, docs, state_root, collect_stats=collect_stats
         )
         if collect_stats:
-            wall = round(time.perf_counter() - t_batch, 2)
-            stats.append(
-                {
-                    "batch": b,
-                    "wall_s": wall,
-                    "delta_docs": delta_n.count(),
-                    "stale_recomputed": stale_ids.count(),
-                    "boiler_crossers": crossers.count(),
-                }
-            )
+            stats.append({"batch": b, **s})
     return stats
+
+
+def admit_batch(
+    spark: SparkSession,
+    delta: DataFrame,
+    raw: DataFrame,
+    state_root: str,
+    collect_stats: bool = False,
+) -> dict | None:
+    """Admit ONE arriving batch against the standing state — the
+    production API (run_delta_batches and the curate-delta job are
+    loops over it; a deployment calls it once per crawl drop).
+    ``delta``: the batch's raw (doc_id, lang, text, ...) rows; ``raw``:
+    the raw/content store covering every doc admitted so far plus the
+    delta — only boilerplate-stale doc_ids are re-read from it. Cost is
+    O(delta + stale) text work + bucket-scoped manifest merges,
+    independent of standing-state size (measured by the --curate-delta
+    probe's steady-state leg)."""
+    p = _paths(state_root)
+    t_batch = time.perf_counter()
+    delta_n = delta.select(
+        "doc_id", "lang", nfc_norm_expr(F.col("text")).alias("text")
+    ).localCheckpoint(eager=False)
+    is_bench = F.col("doc_id") % DECON_SPAN_MOD == 0
+    _merge_bench_hashes(
+        spark, delta_n.filter(is_bench).select("doc_id", "text"),
+        p["bench_hashes"],
+    )
+    nonbench = delta_n.filter(~is_bench)
+    pairs = (
+        boiler_segments(nonbench)
+        .select("seg", "doc_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    crossers = _merge_seg_counts(spark, pairs, p["seg_counts"])
+    stale_ids = _stale_docs(spark, crossers, p["segdocs"]).localCheckpoint(
+        eager=False
+    )
+    (
+        pairs.withColumn("_bucket", _seg_bucket())
+        .write.mode("append")
+        .partitionBy("_bucket")
+        .parquet(p["segdocs"])
+    )
+    # the stale branch is always unioned: when nothing crossed it is
+    # an empty semi-join (one cheap plan beats a driver count gate)
+    stale_n = raw.join(stale_ids, "doc_id", "left_semi").select(
+        "doc_id", "lang", nfc_norm_expr(F.col("text")).alias("text")
+    )
+    aff_n = (
+        nonbench.select("doc_id", "lang", "text")
+        .unionByName(stale_n)
+        .localCheckpoint(eager=False)
+    )
+    # The features store is APPEND-ONLY and partitioned by admission
+    # GENERATION, resolved latest-wins at publish. A keyed bucket-MERGE
+    # here would be O(manifest) per batch: doc_ids hash uniformly, so
+    # any real delta touches EVERY bucket and dynamic partition
+    # overwrite rewrites the whole table (measured: the steady-state
+    # probe leg grew with standing-state size under the v1 merge
+    # layout). Appending a new _gen partition costs O(delta + stale)
+    # regardless of manifest size — the LSM/merge-on-read shape; stale
+    # recomputes are the ONLY superseded rows, so the publish-side
+    # resolution set stays tiny. job_compact is the compaction story.
+    feat = _recompute_features(spark, aff_n, p["seg_counts"])
+    gen = _next_gen(p["features"])
+    (
+        feat.withColumn("_gen", F.lit(gen))
+        .write.mode("append")
+        .partitionBy("_gen")
+        .parquet(p["features"])
+    )
+    if not collect_stats:
+        return None
+    wall = round(time.perf_counter() - t_batch, 2)
+    return {
+        "wall_s": wall,
+        "delta_docs": delta_n.count(),
+        "stale_recomputed": stale_ids.count(),
+        "boiler_crossers": crossers.count(),
+    }
 
 
 def publish(spark: SparkSession, sf_dir: str, state_root: str) -> DataFrame:
@@ -377,7 +444,7 @@ def publish(spark: SparkSession, sf_dir: str, state_root: str) -> DataFrame:
     NO document; touches stored post-boilerplate text only for docs
     with contamination spans to cut."""
     p = _paths(state_root)
-    feat = spark.read.parquet(p["features"]).localCheckpoint(eager=False)
+    feat = _latest_features(spark, p["features"]).localCheckpoint(eager=False)
     bench_h = spark.read.parquet(p["bench_hashes"]).select("h")
 
     quality = feat.filter(F.col("bp_kept") & F.col("passes_all"))
@@ -534,9 +601,10 @@ def publish(spark: SparkSession, sf_dir: str, state_root: str) -> DataFrame:
     doc="The ten-stage curation DAG run INCREMENTALLY: the corpus "
     "arrives as three ascending-doc_id delta batches, each admitted "
     "against standing manifest-backed state (additive segment-count "
-    "MERGE, bench winnow-hash set union, per-doc feature MERGE for "
-    "delta ∪ boilerplate-stale docs — merge_upsert bucket-scoped "
-    "partition rewrites throughout), then a publish pass derives the "
+    "MERGE, bench winnow-hash set union — bucket-scoped metadata "
+    "merges — and an APPEND-ONLY generation-partitioned per-doc "
+    "feature store for delta ∪ boilerplate-stale docs, resolved "
+    "latest-wins at publish), then a publish pass derives the "
     "per-doc disposition from the manifests WITHOUT re-touching "
     "corpus text (only span-cut docs' stored post-boilerplate text is "
     "re-read). Convergence is proved sim_ivf_upsert-style: the result "

@@ -616,6 +616,25 @@ def run_curate_delta_probe(spark, data_dir: str, label: str) -> None:
     t_pub = time.perf_counter() - t0
     print(f"curate-delta {label}: publish {t_pub:.1f} s, {rows} rows; "
           f"8 batches total {t_batches:.1f} s", flush=True)
+    # STEADY-STATE leg: admit one FIXED-SIZE delta (the base corpus,
+    # ids shifted past every replica) against the now-full standing
+    # state — compare this wall ACROSS probe scales (20x vs 100x): the
+    # O(delta) claim is that it does not grow with state size.
+    from sentiflow_spark.queries.curation_delta import admit_batch
+
+    base = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    extra = base.withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000 * ID_STRIDE)
+    )
+    corpus = spark.read.parquet(f"{data_dir}/documents.parquet")
+    raw = corpus.unionByName(extra)
+    s = admit_batch(spark, extra, raw, root, collect_stats=True)
+    print(
+        f"curate-delta {label} STEADY-STATE extra batch: {s['wall_s']} s, "
+        f"{s['delta_docs']} delta docs, {s['stale_recomputed']} stale, "
+        f"{s['boiler_crossers']} crossing segs (state = {label} corpus)",
+        flush=True,
+    )
     registry = load_all()
     t0 = time.perf_counter()
     rows1 = registry["txt_curation_dag"].fn(spark, data_dir).rdd.count()
