@@ -35,20 +35,24 @@ therefore provable against the same DuckDB oracle):
 
 Cost shape at 100 TB: per-batch work is O(delta + stale) corpus text
 (normalize/segment/hash/sign/winnow only the affected docs) plus
-bucket-scoped merges for the METADATA manifests (segment counts,
-bench hashes — rows of hashes, tiny per entry) and a pure APPEND for
-the corpus-scale per-doc FEATURE store (generation-partitioned,
-latest-wins at publish): a keyed bucket-merge there would be
-O(manifest) per batch because uniformly-hashed doc_ids touch every
-bucket — measured by the probe's steady-state leg under the v1
-layout, and the reason Delta/Iceberg deployments run merge-on-read
-for exactly this table. Publish touches raw text ONLY for span-cut
-docs and otherwise runs on manifest-resident metadata (fingerprints,
-signatures, token counts); the latest-wins resolution is a
-narrow-column aggregate + semi-join (stale recomputes are the only
-superseded rows). The one-shot DAG by contrast re-hashes the entire
-corpus every run. The ``--curate-delta`` scale probe measures all of
-it, including the fixed-size steady-state delta leg.
+O(delta) APPENDS to every store — all state is generation-partitioned
+LSM/merge-on-read (v3): the per-doc FEATURE store resolves latest-wins
+at publish (a keyed bucket-merge there would be O(manifest) per batch
+because uniformly-hashed doc_ids touch every bucket — measured by the
+probe's steady-state leg under the v1 layout, and the reason
+Delta/Iceberg deployments run merge-on-read for exactly this table);
+segment COUNTS sum-aggregate across generations at read; bench hashes
+are a distinct-at-read set. Publish touches raw text ONLY for
+span-cut docs and otherwise runs on manifest-resident metadata
+(fingerprints, signatures, token counts); the latest-wins resolution
+is a narrow-column aggregate + semi-join (stale recomputes are the
+only superseded rows). Because every store is append-only and
+generation-addressed, ``publish(as_of_gen=G)`` reconstructs the exact
+release after batch G — reproducible dataset releases with
+partition-pruned time travel, no snapshot copies. The one-shot DAG by
+contrast re-hashes the entire corpus every run. The ``--curate-delta``
+scale probe measures all of it, including the fixed-size steady-state
+delta leg; ``jobs.py compact`` is the compaction story.
 
 Convergence is proved the way ``sim_ivf_upsert`` proved index upserts:
 ``txt_curation_delta`` pushes the whole corpus through as
@@ -100,19 +104,22 @@ from sentiflow_spark.queries.curation_queries import (
 from sentiflow_spark.queries.dedup_queries import DECON_SPAN_MOD
 from sentiflow_spark.queries.registry import register
 from sentiflow_spark.queries.text_queries import SEQ_BUDGET
-from sentiflow_spark.streaming.sinks import merge_upsert
 from sentiflow_spark.tables import load
 
 DELTA_BATCHES = 3
-# Manifest bucket count: sized for the test SFs; at 100 TB pick so one
-# bucket's feature rows fit an executor (merge_upsert's contract).
+# segdocs hash-bucket count (the only remaining bucket-clustered
+# store; its reads prune to the crossing segments' buckets)
 N_STATE_BUCKETS = 16
 # Bump when manifest CONTENT changes for the same corpus (stored
 # columns, bucket layout): the state root carries it, so a code change
 # can never silently serve manifests written by old code.
 # v2: the features store became APPEND-ONLY generation-partitioned
 # (latest-wins at publish) instead of bucket-merged.
-_STATE_VERSION = 2
+# v3: ALL stores are generation-partitioned appends (LSM/merge-on-read
+# throughout: counts sum-aggregate at read, bench hashes distinct at
+# read) — per-batch writes are O(delta) everywhere, and publish gains
+# as-of-generation time travel.
+_STATE_VERSION = 3
 
 _SIG_COLS = [f"sig_{i}" for i in range(NUM_PERM)]
 
@@ -146,58 +153,70 @@ def _seg_bucket():
     return F.pmod(F.hash(F.col("seg")), F.lit(N_STATE_BUCKETS))
 
 
-def _merge_seg_counts(
-    spark: SparkSession, delta_pairs: DataFrame, path: str
+def _append_seg_counts(
+    spark: SparkSession, delta_pairs: DataFrame, path: str, gen: int
 ) -> DataFrame:
-    """Additive MERGE of this batch's distinct (seg, doc) counts into
-    the standing segment-count manifest; returns the segments that
-    CROSSED the boilerplate threshold in this merge (old < MIN <= new)
-    — the invalidation events that drive stale-doc recompute. Additive
-    is exact because batches partition docs (a doc is counted by
-    exactly one batch; stale feature recompute never re-counts).
-    Bucket-scoped like merge_upsert: only partitions holding this
-    batch's segments are read or rewritten."""
+    """Append this batch's distinct (seg, doc) counts to the standing
+    segment-count store as a new generation (LSM shape: totals are
+    SUM-aggregated at read, never rewritten in place); returns the
+    segments that CROSSED the boilerplate threshold with this delta
+    (old < MIN <= old + delta) — the invalidation events that drive
+    stale-doc recompute. Additive is exact because batches partition
+    docs (a doc is counted by exactly one batch; stale feature
+    recompute never re-counts). Per-batch WRITE cost is O(delta
+    segments) regardless of store size; the crosser check is a
+    read-only narrow-column semi-join + sum over prior generations."""
     delta_counts = (
         delta_pairs.groupBy("seg")
         .agg(F.count_distinct("doc_id").alias("nd"))
-        .withColumn("_bucket", _seg_bucket())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     if os.path.isdir(path):
-        touched = sorted(
-            r["_bucket"]
-            for r in delta_counts.select("_bucket").distinct().collect()
-        )
-        cur = spark.read.parquet(path).filter(F.col("_bucket").isin(touched))
-        merged = (
-            delta_counts.unionByName(cur)
-            .groupBy("seg", "_bucket")
-            .agg(F.sum("nd").cast("long").alias("nd"))
+        cur = spark.read.parquet(path)
+        old = (
+            cur.join(delta_counts.select("seg"), "seg", "left_semi")
+            .groupBy("seg")
+            .agg(F.sum("nd").cast("long").alias("nd_old"))
         )
         crossers = (
-            merged.join(
-                cur.select("seg", F.col("nd").alias("nd_old")), "seg", "left"
-            )
+            delta_counts.join(old, "seg", "left")
             .filter(
                 (F.coalesce("nd_old", F.lit(0)) < BP_MIN_DOCS)
-                & (F.col("nd") >= BP_MIN_DOCS)
+                & (
+                    F.coalesce("nd_old", F.lit(0)) + F.col("nd")
+                    >= BP_MIN_DOCS
+                )
             )
             .select("seg")
         )
     else:
-        merged = delta_counts
-        crossers = merged.filter(F.col("nd") >= BP_MIN_DOCS).select("seg")
-    # materialize BEFORE the overwrite: both frames read the partition
-    # files the write replaces (merge_upsert's rule)
-    merged = merged.localCheckpoint(eager=True)
+        crossers = delta_counts.filter(
+            F.col("nd") >= BP_MIN_DOCS
+        ).select("seg")
+    # EAGER before the append: crossers reads the store's prior
+    # generations, and a lazy plan evaluated after the append could
+    # relist the directory and see the new files (old would then
+    # include the delta and crossings would be missed)
     crossers = crossers.localCheckpoint(eager=True)
     (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_bucket")
+        delta_counts.withColumn("_gen", F.lit(gen))
+        .write.mode("append")
+        .partitionBy("_gen")
         .parquet(path)
     )
     return crossers
+
+
+def _boiler_set(spark: SparkSession, path: str) -> DataFrame:
+    """The current boilerplate segment set: totals aggregated across
+    the count store's generations (narrow columns), thresholded."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("seg")
+        .agg(F.sum("nd").alias("nd"))
+        .filter(F.col("nd") >= BP_MIN_DOCS)
+        .select("seg")
+    )
 
 
 def _next_gen(features_path: str) -> int:
@@ -211,14 +230,20 @@ def _next_gen(features_path: str) -> int:
     )
 
 
-def _latest_features(spark: SparkSession, features_path: str) -> DataFrame:
+def _latest_features(
+    spark: SparkSession, features_path: str, as_of_gen: int | None = None
+) -> DataFrame:
     """Latest-wins view over the append-only generation-partitioned
     feature store: a doc has >1 row only if a later batch recomputed it
     as boilerplate-stale, and the winner is the highest generation.
     Resolution is a NARROW-column aggregate (doc_id, _gen) plus a
     semi-join — the wide text column is filtered in place, never
-    shuffled by the resolution itself."""
+    shuffled by the resolution itself. ``as_of_gen`` restricts the view
+    to generations <= G (partition-pruned) — the time-travel read
+    behind reproducible releases."""
     feat = spark.read.parquet(features_path)
+    if as_of_gen is not None:
+        feat = feat.filter(F.col("_gen") <= as_of_gen)
     winners = feat.select("doc_id", "_gen").groupBy("doc_id").agg(
         F.max("_gen").alias("_gen")
     )
@@ -250,23 +275,27 @@ def _unpack_h(key):
     return F.expr(f"({key} + {b - 1}) DIV {b}")
 
 
-def _merge_bench_hashes(
-    spark: SparkSession, bench_n: DataFrame, path: str
+def _append_bench_hashes(
+    spark: SparkSession, bench_n: DataFrame, path: str, gen: int
 ) -> None:
-    """Union this batch's benchmark winnow-hash set into the standing
-    manifest (keyed MERGE = set union). Bench docs winnow their RAW
-    normalized text (one-shot parity: wsrc's bench side is docs_n)."""
+    """Append this batch's benchmark winnow-hash set to the standing
+    store (set semantics restored by DISTINCT at read — the hash rows
+    are tiny, and append-only keeps the write O(delta) and the store
+    generation-addressable for as-of reads). Bench docs winnow their
+    RAW normalized text (one-shot parity: wsrc's bench side is
+    docs_n)."""
     fps = winnow_fingerprints(bench_n, "text", "doc_id")
     hs = (
         fps.select(F.explode("fps").alias("_key"))
         .select(_unpack_h("_key").alias("h"))
         .distinct()
-        # pinned: merge_upsert takes two actions over its incoming rows
-        # (touched-bucket collect + merged checkpoint) — without the pin
-        # the NFC+winnow extraction runs twice per batch
-        .localCheckpoint(eager=False)
     )
-    merge_upsert(spark, hs, path, "h", n_buckets=N_STATE_BUCKETS)
+    (
+        hs.withColumn("_gen", F.lit(gen))
+        .write.mode("append")
+        .partitionBy("_gen")
+        .parquet(path)
+    )
 
 
 def _recompute_features(
@@ -278,11 +307,7 @@ def _recompute_features(
     (doc_id, lang, bp_kept, passes_all, fp, sig_0..15, wfps,
     text_bp, len_bp, n_tokens_bp)."""
     segs = boiler_segments(aff_n)
-    boiler = (
-        spark.read.parquet(seg_counts_path)
-        .filter(F.col("nd") >= BP_MIN_DOCS)
-        .select("seg")
-    )
+    boiler = _boiler_set(spark, seg_counts_path)
     bp = strip_with_boiler(segs, boiler).localCheckpoint(eager=False)
     kept = (
         bp.filter(F.col("doc_kept"))
@@ -374,13 +399,14 @@ def admit_batch(
     probe's steady-state leg)."""
     p = _paths(state_root)
     t_batch = time.perf_counter()
+    gen = _next_gen(p["features"])
     delta_n = delta.select(
         "doc_id", "lang", nfc_norm_expr(F.col("text")).alias("text")
     ).localCheckpoint(eager=False)
     is_bench = F.col("doc_id") % DECON_SPAN_MOD == 0
-    _merge_bench_hashes(
+    _append_bench_hashes(
         spark, delta_n.filter(is_bench).select("doc_id", "text"),
-        p["bench_hashes"],
+        p["bench_hashes"], gen,
     )
     nonbench = delta_n.filter(~is_bench)
     pairs = (
@@ -389,7 +415,7 @@ def admit_batch(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    crossers = _merge_seg_counts(spark, pairs, p["seg_counts"])
+    crossers = _append_seg_counts(spark, pairs, p["seg_counts"], gen)
     stale_ids = _stale_docs(spark, crossers, p["segdocs"]).localCheckpoint(
         eager=False
     )
@@ -420,7 +446,6 @@ def admit_batch(
     # recomputes are the ONLY superseded rows, so the publish-side
     # resolution set stays tiny. job_compact is the compaction story.
     feat = _recompute_features(spark, aff_n, p["seg_counts"])
-    gen = _next_gen(p["features"])
     (
         feat.withColumn("_gen", F.lit(gen))
         .write.mode("append")
@@ -438,14 +463,31 @@ def admit_batch(
     }
 
 
-def publish(spark: SparkSession, sf_dir: str, state_root: str) -> DataFrame:
+def publish(
+    spark: SparkSession,
+    sf_dir: str,
+    state_root: str,
+    as_of_gen: int | None = None,
+) -> DataFrame:
     """Derive the release: per-doc disposition (same schema as
     txt_curation_dag) from the standing manifests. Touches raw text for
     NO document; touches stored post-boilerplate text only for docs
-    with contamination spans to cut."""
+    with contamination spans to cut.
+
+    ``as_of_gen`` publishes the release AS OF admission generation G:
+    every store is generation-partitioned and append-only, so
+    filtering _gen <= G reconstructs the exact state after batch G —
+    reproducible dataset releases ('release R = publish(state at G)')
+    with partition-pruned time travel, no snapshot copies. Proved by
+    tests/test_curation_delta.py::test_publish_as_of_generation."""
     p = _paths(state_root)
-    feat = _latest_features(spark, p["features"]).localCheckpoint(eager=False)
-    bench_h = spark.read.parquet(p["bench_hashes"]).select("h")
+    feat = _latest_features(
+        spark, p["features"], as_of_gen=as_of_gen
+    ).localCheckpoint(eager=False)
+    bench_h = spark.read.parquet(p["bench_hashes"])
+    if as_of_gen is not None:
+        bench_h = bench_h.filter(F.col("_gen") <= as_of_gen)
+    bench_h = bench_h.select("h")
 
     quality = feat.filter(F.col("bp_kept") & F.col("passes_all"))
     w_fp = W.partitionBy("fp").orderBy("doc_id")

@@ -97,6 +97,50 @@ def test_delta_result_is_batch_count_invariant(spark, tmp_path):
     assert results[0] == results[1] == results[2]
 
 
+def test_publish_as_of_generation(spark, tmp_path):
+    """Time travel: publish(as_of_gen=G) over a state that received
+    MORE batches equals a publish over a state stopped at batch G —
+    every store is generation-partitioned and append-only, so the
+    as-of filter reconstructs the exact post-batch-G state (the
+    reproducible-release property)."""
+    from sentiflow_spark.queries.curation_delta import admit_batch
+
+    rows = [
+        (i, ("Z" * 16 + f"h{i:02d}tail " * 6) if i in (1, 4, 7)
+         else f"d{i:02d}word " * 8, "en", "t", 0)
+        for i in range(9)
+    ]
+    rows = [(i, t, lg, s, len(t)) for (i, t, lg, s, _) in rows]
+    docs_df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs_df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    sf = str(tmp_path)
+    docs = spark.read.parquet(f"{tmp_path}/documents.parquet")
+    batches = [
+        docs.filter((docs.doc_id >= lo) & (docs.doc_id < hi))
+        for lo, hi in ((0, 3), (3, 6), (6, 9))
+    ]
+
+    full = f"{tmp_path}/state_full"
+    for b in batches:
+        admit_batch(spark, b, docs, full)
+    partial = f"{tmp_path}/state_partial"
+    for b in batches[:2]:
+        admit_batch(spark, b, docs, partial)
+
+    assert _canon(publish(spark, sf, full, as_of_gen=1)) == _canon(
+        publish(spark, sf, partial)
+    )
+    # and the full-state publish differs (batch 2 crossed the Z-seg
+    # threshold and recomputed docs 1 and 4), so as-of is a real filter
+    assert _canon(publish(spark, sf, full)) != _canon(
+        publish(spark, sf, full, as_of_gen=1)
+    )
+
+
 def test_registered_query_state_is_fresh_per_run(spark, sf_dir):
     """The registered query owns its state lifecycle: running it twice
     must converge to the same result (state reset, not accumulated) —
