@@ -270,24 +270,38 @@ def job_curate_delta(args: argparse.Namespace) -> dict:
     from pyspark.sql import functions as F
 
     from sentiflow_spark.queries.curation_delta import (
+        compact_state,
         publish,
         run_delta_batches,
     )
 
+    if args.compact and args.as_of_gen is not None:
+        raise SystemExit(
+            "curate-delta: --compact discards as-of history; it cannot "
+            "be combined with --as-of-gen"
+        )
     spark = _spark("sentiflow-curate-delta")
     state = f"{args.out}/state"
     shutil.rmtree(state, ignore_errors=True)
     stats = run_delta_batches(
         spark, args.sf_dir, state, n_batches=args.batches, collect_stats=True
     )
-    disp = publish(spark, args.sf_dir, state).localCheckpoint()
+    compacted = compact_state(spark, state) if args.compact else None
+    disp = publish(
+        spark, args.sf_dir, state, as_of_gen=args.as_of_gen
+    ).localCheckpoint()
     disp.write.mode("overwrite").parquet(f"{args.out}/disposition")
     funnel = {
         r["stage"]: r["n"]
         for r in disp.groupBy("stage").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    return {"job": "curate-delta", "batches": stats, "funnel": funnel,
-            "rows_out": funnel.get("kept", 0), "sink": args.out}
+    out = {"job": "curate-delta", "batches": stats, "funnel": funnel,
+           "rows_out": funnel.get("kept", 0), "sink": args.out}
+    if compacted is not None:
+        out["compacted"] = compacted
+    if args.as_of_gen is not None:
+        out["as_of_gen"] = args.as_of_gen
+    return out
 
 
 def job_gate_media(args: argparse.Namespace) -> dict:
@@ -423,6 +437,13 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--jaccard", type=float, default=0.9, help="near-dup threshold (dedup job)")
     ap.add_argument("--batches", type=int, default=3,
                     help="delta batches (curate-delta job)")
+    ap.add_argument("--as-of-gen", type=int, default=None,
+                    help="publish the release as of admission "
+                         "generation G (curate-delta job)")
+    ap.add_argument("--compact", action="store_true",
+                    help="LSM-compact the standing state before "
+                         "publish (curate-delta job; discards as-of "
+                         "history)")
     ap.add_argument("--src", default=None, help="input directory (compact job)")
     ap.add_argument("--sort-by", default=None, help="comma-separated sort keys (compact job)")
     ap.add_argument("--target-file-mb", type=int, default=128)

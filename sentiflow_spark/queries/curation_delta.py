@@ -220,14 +220,60 @@ def _boiler_set(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _next_gen(features_path: str) -> int:
-    """Next admission-generation id = count of existing _gen partition
-    dirs (a driver-side listing — the append-only store's only
-    metadata read)."""
+    """Next admission-generation id = max existing _gen partition + 1
+    (a driver-side listing — the append-only store's only metadata
+    read). Max+1 rather than dir count so compaction (which collapses
+    earlier generations into the latest) never re-issues an id."""
     if not os.path.isdir(features_path):
         return 0
-    return len(
-        [d for d in os.listdir(features_path) if d.startswith("_gen=")]
+    gens = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(features_path)
+        if d.startswith("_gen=")
+    ]
+    return max(gens) + 1 if gens else 0
+
+
+def compact_state(spark: SparkSession, state_root: str) -> dict[str, int]:
+    """LSM compaction closing the append-only loop: materialize each
+    store's resolved view (features latest-wins, segment counts
+    sum-aggregated, bench hashes distinct) and rewrite it as ONE
+    generation carrying the current max id — subsequent admissions
+    continue the sequence (_next_gen is max+1), publish results are
+    unchanged, and as-of history BEFORE the compaction point is
+    deliberately discarded (the usual retention trade; run it on a
+    schedule like any table-maintenance job). Returns per-store row
+    counts. Proved by test_compact_state_preserves_publish."""
+    import shutil
+
+    p = _paths(state_root)
+    keep = _next_gen(p["features"]) - 1
+    counts: dict[str, int] = {}
+
+    def _rewrite(path: str, resolved: DataFrame) -> int:
+        # eager: the resolved view reads the very files removed below
+        out = resolved.withColumn("_gen", F.lit(keep)).localCheckpoint(
+            eager=True
+        )
+        n = out.count()
+        shutil.rmtree(path, ignore_errors=True)
+        out.write.mode("append").partitionBy("_gen").parquet(path)
+        return n
+
+    counts["features"] = _rewrite(
+        p["features"], _latest_features(spark, p["features"])
     )
+    counts["seg_counts"] = _rewrite(
+        p["seg_counts"],
+        spark.read.parquet(p["seg_counts"])
+        .groupBy("seg")
+        .agg(F.sum("nd").cast("long").alias("nd")),
+    )
+    counts["bench_hashes"] = _rewrite(
+        p["bench_hashes"],
+        spark.read.parquet(p["bench_hashes"]).select("h").distinct(),
+    )
+    return counts
 
 
 def _latest_features(
