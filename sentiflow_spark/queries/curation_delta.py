@@ -440,12 +440,27 @@ def admit_batch(
     ``delta``: the batch's raw (doc_id, lang, text, ...) rows; ``raw``:
     the raw/content store covering every doc admitted so far plus the
     delta — only boilerplate-stale doc_ids are re-read from it. Cost is
-    O(delta + stale) text work + bucket-scoped manifest merges,
+    O(delta + stale) text work + O(delta) generation appends,
     independent of standing-state size (measured by the --curate-delta
-    probe's steady-state leg)."""
+    probe's steady-state leg).
+
+    CRASH RECOVERY / idempotence-per-generation: the FEATURES append
+    is written LAST and plays the commit marker — _next_gen reads only
+    the features store, so a batch that died mid-admission hands the
+    SAME generation id to the retry, and the retry first purges any
+    partial _gen=K dirs the crashed attempt left in the other stores
+    (a double-append there would double the segment counts and corrupt
+    the boilerplate threshold). segdocs appends are not
+    generation-tracked but are consumed through DISTINCT doc_ids, so a
+    duplicated pair is harmless. Proved by
+    test_admit_batch_retry_after_crash_converges."""
     p = _paths(state_root)
     t_batch = time.perf_counter()
     gen = _next_gen(p["features"])
+    for store in ("seg_counts", "bench_hashes"):
+        shutil.rmtree(
+            os.path.join(p[store], f"_gen={gen}"), ignore_errors=True
+        )
     delta_n = delta.select(
         "doc_id", "lang", nfc_norm_expr(F.col("text")).alias("text")
     ).localCheckpoint(eager=False)

@@ -200,6 +200,78 @@ def test_compact_state_preserves_publish(spark, tmp_path):
     )
 
 
+def test_admit_batch_retry_after_crash_converges(spark, tmp_path):
+    """A batch that died mid-admission (bench hashes and segment
+    counts appended, features — the commit marker — not yet written)
+    must be retryable: the retry purges the partial generation dirs
+    and the final state equals a never-crashed run. Without the purge
+    the retry double-appends the counts and corrupts the boilerplate
+    threshold."""
+    from sentiflow_spark.queries.curation_delta import (
+        _paths,
+        admit_batch,
+    )
+
+    rows = [
+        (i, ("Z" * 16 + f"h{i:02d}tail " * 6) if i in (1, 4, 7)
+         else f"d{i:02d}word " * 8, "en", "t", 0)
+        for i in range(9)
+    ]
+    rows = [(i, t, lg, s, len(t)) for (i, t, lg, s, _) in rows]
+    docs_df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs_df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    sf = str(tmp_path)
+    docs = spark.read.parquet(f"{tmp_path}/documents.parquet")
+    batches = [
+        docs.filter((docs.doc_id >= lo) & (docs.doc_id < hi))
+        for lo, hi in ((0, 3), (3, 6), (6, 9))
+    ]
+
+    crashed = f"{tmp_path}/state_crashed"
+    admit_batch(spark, batches[0], docs, crashed)
+    # simulate batch 1 dying AFTER the bench+counts appends but BEFORE
+    # the features append: run the two leading appends by hand
+    import pyspark.sql.functions as SF
+
+    from sentiflow_spark.operators.dedup import boiler_segments
+    from sentiflow_spark.queries.curation_delta import (
+        _append_bench_hashes,
+        _append_seg_counts,
+    )
+    from sentiflow_spark.queries.curation_queries import nfc_norm_expr
+    from sentiflow_spark.queries.dedup_queries import DECON_SPAN_MOD
+
+    p = _paths(crashed)
+    delta_n = batches[1].select(
+        "doc_id", "lang", nfc_norm_expr(SF.col("text")).alias("text")
+    )
+    is_bench = SF.col("doc_id") % DECON_SPAN_MOD == 0
+    _append_bench_hashes(
+        spark, delta_n.filter(is_bench).select("doc_id", "text"),
+        p["bench_hashes"], 1,
+    )
+    _append_seg_counts(
+        spark,
+        boiler_segments(delta_n.filter(~is_bench))
+        .select("seg", "doc_id").distinct(),
+        p["seg_counts"], 1,
+    )
+    # retry batch 1 for real, then batch 2
+    admit_batch(spark, batches[1], docs, crashed)
+    admit_batch(spark, batches[2], docs, crashed)
+
+    clean = f"{tmp_path}/state_clean"
+    for b in batches:
+        admit_batch(spark, b, docs, clean)
+    assert _canon(publish(spark, sf, crashed)) == _canon(
+        publish(spark, sf, clean)
+    )
+
+
 def test_registered_query_state_is_fresh_per_run(spark, sf_dir):
     """The registered query owns its state lifecycle: running it twice
     must converge to the same result (state reset, not accumulated) —
