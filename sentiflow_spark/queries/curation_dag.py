@@ -260,18 +260,21 @@ def curation_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     }
 
 
-def _duck_dag_oracle() -> str:
+def _duck_dag_oracle(source: str = "documents") -> str:
     # The multiply-referenced CTEs are marked MATERIALIZED: DuckDB
     # inlines CTEs by default, and in a chain this deep every
     # re-reference re-expands its whole upstream (bands is read 3x,
     # s5 4x, pos 2x — the un-materialized form never finished at
     # sf0.001; materialized it runs in seconds).
+    # ``source`` parameterizes the document universe (default output
+    # byte-identical to the original): txt_curation_asof states the
+    # one-shot truth over the first two delta batches' doc subset.
     b, k = WINNOW_POS_BASE, WINNOW_K
     frac = _duck_match_frac()
     return f"""
     WITH RECURSIVE
     docs_n AS MATERIALIZED (
-      SELECT doc_id, lang, {duck_norm_sql('text')} AS text FROM documents
+      SELECT doc_id, lang, {duck_norm_sql('text')} AS text FROM {source}
     ),
     cand0 AS MATERIALIZED (
       SELECT * FROM docs_n WHERE doc_id % {DECON_SPAN_MOD} <> 0
@@ -477,7 +480,7 @@ def _duck_dag_oracle() -> str:
            p.seq_id,
            CASE WHEN p.doc_id IS NOT NULL THEN p.n_tokens END AS n_tokens,
            CASE WHEN p.doc_id IS NOT NULL THEN p.cut_chars END AS cut_chars
-    FROM documents d
+    FROM {source} d
     LEFT JOIN bstat bs ON bs.doc_id = d.doc_id
     LEFT JOIN gq ON gq.doc_id = d.doc_id
     LEFT JOIN exr ON exr.doc_id = d.doc_id

@@ -529,6 +529,7 @@ def publish(
     sf_dir: str,
     state_root: str,
     as_of_gen: int | None = None,
+    universe: DataFrame | None = None,
 ) -> DataFrame:
     """Derive the release: per-doc disposition (same schema as
     txt_curation_dag) from the standing manifests. Touches raw text for
@@ -660,7 +661,14 @@ def publish(
         F.expr(f"(cum - n_tokens) div {SEQ_BUDGET}").alias("seq_id"),
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    # ``universe``: the doc set the release enumerates — defaults to
+    # the full raw table (correct once every batch is admitted). An
+    # as-of publish should pass the batches-<=-G doc set (the batch
+    # manifest the publisher owns): a raw doc OUTSIDE the admitted set
+    # has no feature row and cannot be dispositioned.
+    docs = (universe if universe is not None else load(
+        spark, sf_dir, "documents"
+    )).select("doc_id")
     out = (
         docs.join(
             feat.select("doc_id", "bp_kept", "passes_all"), "doc_id", "left"
@@ -696,6 +704,25 @@ def publish(
     )
 
 
+def _ensure_delta_state(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the DELTA_BATCHES-generation standing state for
+    ``sf_dir`` under the managed root. State is a deterministic
+    function of (code version, corpus): the root carries
+    _STATE_VERSION and the sf key, and a _COMPLETE marker gates reuse,
+    so a prior run's state — this session's or a previous one's — is
+    byte-equivalent to a rebuild. Shared by txt_curation_delta and
+    txt_curation_asof so a sweep pays the admission once."""
+    root = _state_root(sf_dir)
+    marker = os.path.join(root, "_COMPLETE")
+    if os.path.isfile(marker):
+        return root
+    shutil.rmtree(root, ignore_errors=True)
+    run_delta_batches(spark, sf_dir, root, n_batches=DELTA_BATCHES)
+    with open(marker, "w") as fh:
+        fh.write(f"batches={DELTA_BATCHES}\n")
+    return root
+
+
 @register(
     "txt_curation_delta",
     oracle=_duck_dag_oracle(),
@@ -703,21 +730,61 @@ def publish(
           "arrow-udf", "incremental"),
     doc="The ten-stage curation DAG run INCREMENTALLY: the corpus "
     "arrives as three ascending-doc_id delta batches, each admitted "
-    "against standing manifest-backed state (additive segment-count "
-    "MERGE, bench winnow-hash set union — bucket-scoped metadata "
-    "merges — and an APPEND-ONLY generation-partitioned per-doc "
-    "feature store for delta ∪ boilerplate-stale docs, resolved "
-    "latest-wins at publish), then a publish pass derives the "
-    "per-doc disposition from the manifests WITHOUT re-touching "
-    "corpus text (only span-cut docs' stored post-boilerplate text is "
-    "re-read). Convergence is proved sim_ivf_upsert-style: the result "
-    "must hash-match the ONE-SHOT txt_curation_dag oracle exactly — "
-    "valid because both cross-doc state sets are monotone unions, so "
-    "recompute-on-invalidation reaches the one-shot fixpoint with no "
-    "cascade. See module docstring for the 100 TB cost shape.",
+    "against standing state that is append-only and "
+    "generation-partitioned THROUGHOUT (segment counts sum-aggregate "
+    "at read, bench hashes distinct-at-read, per-doc features "
+    "latest-wins — the LSM/merge-on-read shape, with per-generation "
+    "crash recovery and a compaction job), then a publish pass "
+    "derives the per-doc disposition from the manifests WITHOUT "
+    "re-touching corpus text (only span-cut docs' stored "
+    "post-boilerplate text is re-read). Convergence is proved "
+    "sim_ivf_upsert-style: the result must hash-match the ONE-SHOT "
+    "txt_curation_dag oracle exactly — valid because both cross-doc "
+    "state sets are monotone unions, so recompute-on-invalidation "
+    "reaches the one-shot fixpoint with no cascade. See module "
+    "docstring for the 100 TB cost shape.",
 )
 def txt_curation_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    root = _state_root(sf_dir)
-    shutil.rmtree(root, ignore_errors=True)
-    run_delta_batches(spark, sf_dir, root, n_batches=DELTA_BATCHES)
-    return publish(spark, sf_dir, root)
+    return publish(spark, sf_dir, _ensure_delta_state(spark, sf_dir))
+
+
+_ASOF_BOUND = (
+    "(SELECT CAST((MAX(doc_id) + 1) * 2 // "
+    f"{DELTA_BATCHES} AS BIGINT) FROM documents)"
+)
+_ASOF_ORACLE = _duck_dag_oracle(source="docs_asof").replace(
+    "WITH RECURSIVE",
+    "WITH RECURSIVE\n    docs_asof AS MATERIALIZED (\n"
+    f"      SELECT * FROM documents WHERE doc_id < {_ASOF_BOUND}\n    ),",
+    1,
+)
+
+
+@register(
+    "txt_curation_asof",
+    oracle=_ASOF_ORACLE,
+    tags=("text", "curation", "M5", "iterative", "arrow-udf",
+          "incremental"),
+    doc="REPRODUCIBLE RELEASE from the incremental curation state: "
+    "publish(as_of_gen=1) over the fully-admitted 3-batch state must "
+    "equal the one-shot curation DAG run over ONLY the first two "
+    "batches' documents — the oracle is the parameterized one-shot "
+    "DAG statement with the document universe restricted to doc_id < "
+    "ceil-bound of batch 1 (exactly run_delta_batches' range "
+    "arithmetic, stated in SQL so it holds at every SF). Every state "
+    "store is generation-partitioned and append-only, so the as-of "
+    "filter is partition-pruned time travel — no snapshot copies, no "
+    "state rebuild; this is how a dataset release is re-cut months "
+    "later for an audit. Shares the standing state with "
+    "txt_curation_delta (deterministic by _STATE_VERSION + corpus "
+    "key), so the sweep pays admission once.",
+)
+def txt_curation_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _ensure_delta_state(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    bound = hi * 2 // DELTA_BATCHES
+    return publish(
+        spark, sf_dir, root, as_of_gen=1,
+        universe=docs.filter(F.col("doc_id") < bound),
+    )

@@ -272,15 +272,18 @@ def test_admit_batch_retry_after_crash_converges(spark, tmp_path):
     )
 
 
-def test_registered_query_state_is_fresh_per_run(spark, sf_dir):
-    """The registered query owns its state lifecycle: running it twice
-    must converge to the same result (state reset, not accumulated) —
-    the idempotence the sweep/driver re-runs rely on."""
+def test_registered_query_state_reuse_is_sound(spark, sf_dir):
+    """The registered queries share the managed standing state
+    (_ensure_delta_state, gated by a _COMPLETE marker): a reusing run
+    must equal a from-scratch rebuild — state is a deterministic
+    function of (code version, corpus), which is what makes the reuse
+    safe across a sweep."""
     reg = load_all()
     fn = reg["txt_curation_delta"].fn
-    first = _canon(fn(spark, sf_dir))
-    second = _canon(fn(spark, sf_dir))
+    first = _canon(fn(spark, sf_dir))    # builds (or reuses) the state
+    second = _canon(fn(spark, sf_dir))   # must hit the marker path
     assert first == second
-    # the managed state root exists after a run (debuggability) and is
-    # rebuilt from empty on the next — clean it to keep .tmp bounded
+    shutil.rmtree(_state_root(sf_dir), ignore_errors=True)
+    rebuilt = _canon(fn(spark, sf_dir))  # full rebuild from empty
+    assert rebuilt == first
     shutil.rmtree(_state_root(sf_dir), ignore_errors=True)

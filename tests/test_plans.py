@@ -653,9 +653,12 @@ ORACLE_CAPTURE_ALLOWLIST = {
     ("txt_curation_dag", ("ks",)),
     ("txt_curation_dag", ("t",)),
     # same oracle STRING as txt_curation_dag (the convergence proof is
-    # hash-matching the one-shot oracle), so the same vetted lambdas
+    # hash-matching the one-shot oracle), so the same vetted lambdas;
+    # the asof variant is that string with the universe parameterized
     ("txt_curation_delta", ("ks",)),
     ("txt_curation_delta", ("t",)),
+    ("txt_curation_asof", ("ks",)),
+    ("txt_curation_asof", ("t",)),
     ("txt_dsir_weights", ("t",)),
     ("txt_grouped_split", ("t",)),
     ("txt_ngram_counts", ("t",)),
