@@ -433,6 +433,7 @@ def admit_batch(
     raw: DataFrame,
     state_root: str,
     collect_stats: bool = False,
+    gen: int | None = None,
 ) -> dict | None:
     """Admit ONE arriving batch against the standing state — the
     production API (run_delta_batches and the curate-delta job are
@@ -453,11 +454,22 @@ def admit_batch(
     the boilerplate threshold). segdocs appends are not
     generation-tracked but are consumed through DISTINCT doc_ids, so a
     duplicated pair is harmless. Proved by
-    test_admit_batch_retry_after_crash_converges."""
+    test_admit_batch_retry_after_crash_converges.
+
+    ``gen``: pass an EXTERNAL generation id (st_curation_delta pins it
+    to the streaming batchId) for full replay idempotence — a batch
+    whose features COMMITTED but whose source checkpoint did not (the
+    streaming replay case) is then re-admitted under the SAME id, and
+    the purge below also clears the committed features partition so
+    the replay converges instead of double-counting."""
     p = _paths(state_root)
     t_batch = time.perf_counter()
-    gen = _next_gen(p["features"])
-    for store in ("seg_counts", "bench_hashes"):
+    if gen is None:
+        gen = _next_gen(p["features"])
+        purge = ("seg_counts", "bench_hashes")
+    else:
+        purge = ("seg_counts", "bench_hashes", "features")
+    for store in purge:
         shutil.rmtree(
             os.path.join(p[store], f"_gen={gen}"), ignore_errors=True
         )
@@ -788,3 +800,75 @@ def txt_curation_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, root, as_of_gen=1,
         universe=docs.filter(F.col("doc_id") < bound),
     )
+
+
+@register(
+    "st_curation_delta",
+    oracle=_duck_dag_oracle(),
+    tags=("streaming", "text", "curation", "M5", "incremental",
+          "arrow-udf", "sink"),
+    doc="The incremental curation DAG under the STREAMING engine — "
+    "the reference's fetch loop (cmd/producer/main.go:43-49) at "
+    "curation-DAG fidelity, executed as a real checkpointed stream: "
+    "the corpus arrives as a file-source drip (one delta batch per "
+    "micro-batch), foreachBatch calls admit_batch with the generation "
+    "PINNED TO THE STREAMING batchId — so a replayed micro-batch "
+    "(committed state, uncommitted source checkpoint: the standard "
+    "streaming failure) re-admits under the SAME generation and the "
+    "per-generation purge makes the replay convergent instead of "
+    "double-counting segment thresholds (exactly-once state "
+    "maintenance from at-least-once delivery, the same contract as "
+    "the K2 MERGE sink). The publish over the stream-built state must "
+    "hash-match the ONE-SHOT DAG oracle — the streaming twin of "
+    "txt_curation_delta's convergence proof.",
+)
+def st_curation_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    scratch = tempfile.mkdtemp(prefix="sf_stcd_")
+    src, root, ckpt = f"{scratch}/src", f"{scratch}/state", f"{scratch}/ckpt"
+    os.makedirs(src)
+    try:
+        # one range file per delta batch so the file stream delivers
+        # one admission batch per micro-batch
+        for b in range(DELTA_BATCHES):
+            lo = hi * b // DELTA_BATCHES
+            up = hi * (b + 1) // DELTA_BATCHES
+            part_dir = f"{scratch}/part{b}"
+            (
+                docs.filter(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < up)
+                )
+                .coalesce(1)
+                .write.parquet(part_dir)
+            )
+            os.rename(
+                glob.glob(f"{part_dir}/part-*.parquet")[0],
+                f"{src}/batch{b:04d}.parquet",
+            )
+        schema = spark.read.parquet(src).schema
+
+        def _admit(batch_df: DataFrame, batch_id: int) -> None:
+            admit_batch(
+                spark, batch_df, docs, root, gen=int(batch_id)
+            )
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(_admit)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # eager: the scratch state is removed below (round-8 leak rule)
+        return publish(spark, sf_dir, root).localCheckpoint(eager=True)
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(scratch, ignore_errors=True)

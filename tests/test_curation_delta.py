@@ -272,6 +272,47 @@ def test_admit_batch_retry_after_crash_converges(spark, tmp_path):
     )
 
 
+def test_admit_batch_replay_same_generation_converges(spark, tmp_path):
+    """The streaming replay case (st_curation_delta pins gen to the
+    batchId): a batch whose state COMMITTED but whose source
+    checkpoint did not is re-delivered and re-admitted under the SAME
+    generation — the purge must make that convergent, never a
+    double-count of segment thresholds."""
+    from sentiflow_spark.queries.curation_delta import admit_batch
+
+    rows = [
+        (i, ("Z" * 16 + f"h{i:02d}tail " * 6) if i in (1, 4, 7)
+         else f"d{i:02d}word " * 8, "en", "t", 0)
+        for i in range(9)
+    ]
+    rows = [(i, t, lg, s, len(t)) for (i, t, lg, s, _) in rows]
+    docs_df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs_df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    sf = str(tmp_path)
+    docs = spark.read.parquet(f"{tmp_path}/documents.parquet")
+    batches = [
+        docs.filter((docs.doc_id >= lo) & (docs.doc_id < hi))
+        for lo, hi in ((0, 3), (3, 6), (6, 9))
+    ]
+
+    replayed = f"{tmp_path}/state_replayed"
+    admit_batch(spark, batches[0], docs, replayed, gen=0)
+    admit_batch(spark, batches[1], docs, replayed, gen=1)
+    admit_batch(spark, batches[1], docs, replayed, gen=1)  # full replay
+    admit_batch(spark, batches[2], docs, replayed, gen=2)
+
+    clean = f"{tmp_path}/state_clean"
+    for g, b in enumerate(batches):
+        admit_batch(spark, b, docs, clean, gen=g)
+    assert _canon(publish(spark, sf, replayed)) == _canon(
+        publish(spark, sf, clean)
+    )
+
+
 def test_registered_query_state_reuse_is_sound(spark, sf_dir):
     """The registered queries share the managed standing state
     (_ensure_delta_state, gated by a _COMPLETE marker): a reusing run

@@ -659,6 +659,8 @@ ORACLE_CAPTURE_ALLOWLIST = {
     ("txt_curation_delta", ("t",)),
     ("txt_curation_asof", ("ks",)),
     ("txt_curation_asof", ("t",)),
+    ("st_curation_delta", ("ks",)),
+    ("st_curation_delta", ("t",)),
     ("txt_dsir_weights", ("t",)),
     ("txt_grouped_split", ("t",)),
     ("txt_ngram_counts", ("t",)),
