@@ -287,8 +287,22 @@ def job_curate_delta(args: argparse.Namespace) -> dict:
         spark, args.sf_dir, state, n_batches=args.batches, collect_stats=True
     )
     compacted = compact_state(spark, state) if args.compact else None
+    # An as-of publish must restrict the document universe to the
+    # batches <= G (publish()'s contract): docs admitted in later
+    # batches have no feature row as of G and would fall through the
+    # stage when-chain to a bogus 'exact_dup'. The bound is
+    # run_delta_batches' own range arithmetic for batch G's upper edge.
+    universe = None
+    if args.as_of_gen is not None:
+        from sentiflow_spark.tables import load
+
+        docs = load(spark, args.sf_dir, "documents")
+        hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+        bound = hi * (args.as_of_gen + 1) // args.batches
+        universe = docs.filter(F.col("doc_id") < bound)
     disp = publish(
-        spark, args.sf_dir, state, as_of_gen=args.as_of_gen
+        spark, args.sf_dir, state, as_of_gen=args.as_of_gen,
+        universe=universe,
     ).localCheckpoint()
     disp.write.mode("overwrite").parquet(f"{args.out}/disposition")
     funnel = {

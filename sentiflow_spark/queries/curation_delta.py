@@ -452,9 +452,12 @@ def admit_batch(
     partial _gen=K dirs the crashed attempt left in the other stores
     (a double-append there would double the segment counts and corrupt
     the boilerplate threshold). segdocs appends are not
-    generation-tracked but are consumed through DISTINCT doc_ids, so a
-    duplicated pair is harmless. Proved by
-    test_admit_batch_retry_after_crash_converges.
+    generation-tracked but are consumed through DISTINCT doc_ids AND
+    the stale set anti-joins the batch's own docs out — so a prior
+    attempt's duplicated pairs are harmless even when the batch itself
+    causes a threshold crossing. Proved by
+    test_admit_batch_retry_after_crash_converges and
+    test_admit_batch_replay_with_own_crossing_converges.
 
     ``gen``: pass an EXTERNAL generation id (st_curation_delta pins it
     to the streaming batchId) for full replay idempotence — a batch
@@ -489,8 +492,21 @@ def admit_batch(
         .localCheckpoint(eager=False)
     )
     crossers = _append_seg_counts(spark, pairs, p["seg_counts"], gen)
-    stale_ids = _stale_docs(spark, crossers, p["segdocs"]).localCheckpoint(
-        eager=False
+    # Anti-join the batch's OWN docs out of the stale set: a
+    # same-generation replay (or a retry after a crash that landed
+    # AFTER the segdocs append) sees the prior attempt's (seg, doc)
+    # pairs in segdocs — segdocs is bucket-partitioned, not
+    # generation-purged — so a crossing caused by the batch itself
+    # would return the batch's own delta docs as "stale", they'd
+    # appear twice in aff_n, and strip_with_boiler's collect_list
+    # reassembly would DOUBLE their text in the committed features.
+    # Excluding them is semantically correct always: delta docs are
+    # recomputed against the post-merge boiler set regardless. Pinned
+    # by test_admit_batch_replay_with_own_crossing_converges.
+    stale_ids = (
+        _stale_docs(spark, crossers, p["segdocs"])
+        .join(delta_n.select("doc_id"), "doc_id", "left_anti")
+        .localCheckpoint(eager=False)
     )
     (
         pairs.withColumn("_bucket", _seg_bucket())

@@ -313,6 +313,123 @@ def test_admit_batch_replay_same_generation_converges(spark, tmp_path):
     )
 
 
+def _cross_in_batch1_docs(spark, tmp_path):
+    """Fixture where the Z-seg's holders are docs 1, 4, 5: batch 1
+    ([3,6)) carries TWO holders, so the threshold crossing (1 -> 3
+    distinct docs) is caused by batch 1 ITSELF — the adversarial case
+    for same-generation replay, where the prior attempt's segdocs
+    pairs would hand the batch's own docs back as 'stale'."""
+    rows = [
+        (i, ("Z" * 16 + f"h{i:02d}tail " * 6) if i in (1, 4, 5)
+         else f"d{i:02d}word " * 8, "en", "t", 0)
+        for i in range(9)
+    ]
+    rows = [(i, t, lg, s, len(t)) for (i, t, lg, s, _) in rows]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    docs = spark.read.parquet(f"{tmp_path}/documents.parquet")
+    batches = [
+        docs.filter((docs.doc_id >= lo) & (docs.doc_id < hi))
+        for lo, hi in ((0, 3), (3, 6), (6, 9))
+    ]
+    return docs, batches
+
+
+def test_admit_batch_replay_with_own_crossing_converges(spark, tmp_path):
+    """Same-generation replay of a batch whose OWN docs make a segment
+    cross BP_MIN_DOCS: the prior attempt's segdocs pairs (segdocs is
+    bucket-partitioned, never generation-purged) would otherwise
+    return the batch's own delta docs as stale, double them in aff_n,
+    and strip_with_boiler's collect_list reassembly would double their
+    text in the committed features. The anti-join of the delta's
+    doc_ids out of the stale set makes the replay exact."""
+    from sentiflow_spark.queries.curation_delta import admit_batch
+
+    docs, batches = _cross_in_batch1_docs(spark, tmp_path)
+    sf = str(tmp_path)
+
+    replayed = f"{tmp_path}/state_replayed"
+    admit_batch(spark, batches[0], docs, replayed, gen=0)
+    admit_batch(spark, batches[1], docs, replayed, gen=1)
+    # full replay of the crossing batch under the SAME generation
+    s = admit_batch(
+        spark, batches[1], docs, replayed, gen=1, collect_stats=True
+    )
+    # the replay re-detects the crossing (its own _gen=1 counts were
+    # purged) but must NOT hand its own docs 4/5 back as stale — only
+    # prior-batch holder doc 1
+    assert s["boiler_crossers"] >= 1
+    assert s["stale_recomputed"] == 1
+    admit_batch(spark, batches[2], docs, replayed, gen=2)
+
+    clean = f"{tmp_path}/state_clean"
+    for g, b in enumerate(batches):
+        admit_batch(spark, b, docs, clean, gen=g)
+    assert _canon(publish(spark, sf, replayed)) == _canon(
+        publish(spark, sf, clean)
+    )
+
+
+def test_admit_batch_retry_after_segdocs_crash_converges(spark, tmp_path):
+    """Crash-retry twin of the replay case: the batch died AFTER the
+    segdocs append but BEFORE the features commit marker, and the
+    batch itself causes the crossing — the retry sees its own pairs in
+    segdocs and must not double-admit its docs via the stale branch."""
+    import pyspark.sql.functions as SF
+
+    from sentiflow_spark.operators.dedup import boiler_segments
+    from sentiflow_spark.queries.curation_delta import (
+        _append_bench_hashes,
+        _append_seg_counts,
+        _paths,
+        _seg_bucket,
+        admit_batch,
+    )
+    from sentiflow_spark.queries.curation_queries import nfc_norm_expr
+    from sentiflow_spark.queries.dedup_queries import DECON_SPAN_MOD
+
+    docs, batches = _cross_in_batch1_docs(spark, tmp_path)
+    sf = str(tmp_path)
+
+    crashed = f"{tmp_path}/state_crashed"
+    admit_batch(spark, batches[0], docs, crashed)
+    # simulate batch 1 dying after ALL pre-commit appends (bench
+    # hashes, segment counts, segdocs) but before the features append
+    p = _paths(crashed)
+    delta_n = batches[1].select(
+        "doc_id", "lang", nfc_norm_expr(SF.col("text")).alias("text")
+    )
+    is_bench = SF.col("doc_id") % DECON_SPAN_MOD == 0
+    _append_bench_hashes(
+        spark, delta_n.filter(is_bench).select("doc_id", "text"),
+        p["bench_hashes"], 1,
+    )
+    pairs = (
+        boiler_segments(delta_n.filter(~is_bench))
+        .select("seg", "doc_id").distinct()
+    )
+    _append_seg_counts(spark, pairs, p["seg_counts"], 1)
+    (
+        pairs.withColumn("_bucket", _seg_bucket())
+        .write.mode("append")
+        .partitionBy("_bucket")
+        .parquet(p["segdocs"])
+    )
+    # retry batch 1 for real, then batch 2
+    admit_batch(spark, batches[1], docs, crashed)
+    admit_batch(spark, batches[2], docs, crashed)
+
+    clean = f"{tmp_path}/state_clean"
+    for b in batches:
+        admit_batch(spark, b, docs, clean)
+    assert _canon(publish(spark, sf, crashed)) == _canon(
+        publish(spark, sf, clean)
+    )
+
+
 def test_registered_query_state_reuse_is_sound(spark, sf_dir):
     """The registered queries share the managed standing state
     (_ensure_delta_state, gated by a _COMPLETE marker): a reusing run

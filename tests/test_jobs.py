@@ -771,3 +771,34 @@ def test_gate_media_job_artifacts_equal_query(spark, sf_dir):
         assert len(_g.glob(f"{d}/gm/manifest/modality=*")) == 4
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_curate_delta_job_as_of_gen_restricts_universe(spark, sf_dir):
+    """curate-delta --as-of-gen G must disposition ONLY the docs of
+    batches <= G (publish()'s as-of contract): a later-batch doc has
+    no feature row as of G and would otherwise fall through the stage
+    when-chain to a bogus 'exact_dup' in the written parquet and the
+    reported funnel. The job now derives the batch-G doc bound with
+    run_delta_batches' range arithmetic and passes it as the publish
+    universe — the disposition must cover exactly doc_id < bound and
+    equal the full run's disposition restricted to those docs (the
+    as-of release over a prefix-admitted state IS that prefix's
+    release; batch 2 here adds no threshold crossings at sf0.001)."""
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="sf_jobs_")
+    try:
+        r = _run([
+            "curate-delta", "--sf-dir", sf_dir, "--out", f"{d}/cd",
+            "--batches", "3", "--as-of-gen", "1",
+        ])
+        assert r["as_of_gen"] == 1
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+        bound = hi * 2 // 3
+        disp = spark.read.parquet(f"{d}/cd/disposition")
+        assert disp.count() == bound
+        assert disp.filter(F.col("doc_id") >= bound).count() == 0
+        assert sum(r["funnel"].values()) == bound
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
