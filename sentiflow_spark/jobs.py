@@ -275,10 +275,13 @@ def job_curate_delta(args: argparse.Namespace) -> dict:
         run_delta_batches,
     )
 
-    if args.compact and args.as_of_gen is not None:
+    if args.compact and args.as_of_gen is not None and (
+        args.horizon is None or args.as_of_gen < args.horizon
+    ):
         raise SystemExit(
-            "curate-delta: --compact discards as-of history; it cannot "
-            "be combined with --as-of-gen"
+            "curate-delta: --compact vacuums generations below the "
+            "retention horizon; pass --horizon H <= --as-of-gen to keep "
+            "the release addressable (full --compact keeps no history)"
         )
     spark = _spark("sentiflow-curate-delta")
     state = f"{args.out}/state"
@@ -286,7 +289,11 @@ def job_curate_delta(args: argparse.Namespace) -> dict:
     stats = run_delta_batches(
         spark, args.sf_dir, state, n_batches=args.batches, collect_stats=True
     )
-    compacted = compact_state(spark, state) if args.compact else None
+    compacted = (
+        compact_state(spark, state, horizon=args.horizon)
+        if args.compact
+        else None
+    )
     # An as-of publish must restrict the document universe to the
     # batches <= G (publish()'s contract): docs admitted in later
     # batches have no feature row as of G and would fall through the
@@ -456,8 +463,12 @@ def main(argv: list[str] | None = None) -> dict:
                          "generation G (curate-delta job)")
     ap.add_argument("--compact", action="store_true",
                     help="LSM-compact the standing state before "
-                         "publish (curate-delta job; discards as-of "
-                         "history)")
+                         "publish (curate-delta job; without "
+                         "--horizon, discards all as-of history)")
+    ap.add_argument("--horizon", type=int, default=None,
+                    help="retention horizon for --compact: collapse "
+                         "generations <= H into the base, keep later "
+                         "ones as-of addressable (curate-delta job)")
     ap.add_argument("--src", default=None, help="input directory (compact job)")
     ap.add_argument("--sort-by", default=None, help="comma-separated sort keys (compact job)")
     ap.add_argument("--target-file-mb", type=int, default=128)

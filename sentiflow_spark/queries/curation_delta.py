@@ -119,7 +119,11 @@ N_STATE_BUCKETS = 16
 # throughout: counts sum-aggregate at read, bench hashes distinct at
 # read) — per-batch writes are O(delta) everywhere, and publish gains
 # as-of-generation time travel.
-_STATE_VERSION = 3
+# v4: retention-horizon compaction (compact_state(horizon=H)) — the
+# managed sweep state is horizon-compacted at H=1, so the registered
+# queries prove publishes survive it; layout differs from v3 for the
+# same corpus.
+_STATE_VERSION = 4
 
 _SIG_COLS = [f"sig_{i}" for i in range(NUM_PERM)]
 
@@ -234,20 +238,60 @@ def _next_gen(features_path: str) -> int:
     return max(gens) + 1 if gens else 0
 
 
-def compact_state(spark: SparkSession, state_root: str) -> dict[str, int]:
+class VacuumedGenerationError(ValueError):
+    """publish(as_of_gen=G) (or a re-compaction) addressed a generation
+    BELOW the compaction horizon: those generations were collapsed into
+    the base and are no longer reconstructable — the retention trade a
+    horizon makes explicit (Delta VACUUM's retention window applied to
+    the LSM state; reference TTL semantics: internal/db/dynamodb.go:34,
+    201)."""
+
+
+_HORIZON_FILE = "_horizon"
+
+
+def _read_horizon(state_root: str) -> int | None:
+    """The state's compaction horizon: the OLDEST generation still
+    addressable by publish(as_of_gen=...); None if never compacted."""
+    path = os.path.join(state_root, _HORIZON_FILE)
+    if not os.path.isfile(path):
+        return None
+    with open(path) as fh:
+        return int(fh.read().strip())
+
+
+def compact_state(
+    spark: SparkSession, state_root: str, horizon: int | None = None
+) -> dict[str, int]:
     """LSM compaction closing the append-only loop: materialize each
     store's resolved view (features latest-wins, segment counts
-    sum-aggregated, bench hashes distinct) and rewrite it as ONE
-    generation carrying the current max id — subsequent admissions
-    continue the sequence (_next_gen is max+1), publish results are
-    unchanged, and as-of history BEFORE the compaction point is
-    deliberately discarded (the usual retention trade; run it on a
-    schedule like any table-maintenance job). Returns per-store row
-    counts. Proved by test_compact_state_preserves_publish."""
+    sum-aggregated, bench hashes distinct) over generations <= the
+    retention HORIZON and rewrite them as ONE base generation carrying
+    id = horizon; generations ABOVE the horizon are untouched and stay
+    as-of addressable. ``horizon=None`` compacts everything (the
+    horizon becomes the latest generation — no as-of history survives,
+    the pre-r11 behavior). Either way the horizon is recorded in the
+    state root and publish(as_of_gen=G) keeps working for every
+    retained G >= horizon and refuses (VacuumedGenerationError) below
+    it; subsequent admissions continue the id sequence (_next_gen is
+    max+1). This is how bounded state and reproducible releases
+    coexist: run it on a schedule with the horizon at the audit
+    window's edge. Returns per-store row counts. Proved by
+    test_compact_state_preserves_publish and
+    test_horizon_compaction_retains_asof_history."""
     import shutil
 
     p = _paths(state_root)
-    keep = _next_gen(p["features"]) - 1
+    max_gen = _next_gen(p["features"]) - 1
+    if max_gen < 0:
+        raise ValueError(f"no generations to compact under {state_root}")
+    keep = max_gen if horizon is None else min(horizon, max_gen)
+    prior = _read_horizon(state_root)
+    if prior is not None and keep < prior:
+        raise VacuumedGenerationError(
+            f"compaction horizon {keep} is below the existing horizon "
+            f"{prior}: generations < {prior} are already vacuumed"
+        )
     counts: dict[str, int] = {}
 
     def _rewrite(path: str, resolved: DataFrame) -> int:
@@ -256,23 +300,33 @@ def compact_state(spark: SparkSession, state_root: str) -> dict[str, int]:
             eager=True
         )
         n = out.count()
-        shutil.rmtree(path, ignore_errors=True)
+        for d in os.listdir(path):
+            if d.startswith("_gen=") and int(d.split("=", 1)[1]) <= keep:
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
         out.write.mode("append").partitionBy("_gen").parquet(path)
         return n
 
+    upto = F.col("_gen") <= keep
     counts["features"] = _rewrite(
-        p["features"], _latest_features(spark, p["features"])
+        p["features"],
+        _latest_features(spark, p["features"], as_of_gen=keep),
     )
     counts["seg_counts"] = _rewrite(
         p["seg_counts"],
         spark.read.parquet(p["seg_counts"])
+        .filter(upto)
         .groupBy("seg")
         .agg(F.sum("nd").cast("long").alias("nd")),
     )
     counts["bench_hashes"] = _rewrite(
         p["bench_hashes"],
-        spark.read.parquet(p["bench_hashes"]).select("h").distinct(),
+        spark.read.parquet(p["bench_hashes"])
+        .filter(upto)
+        .select("h")
+        .distinct(),
     )
+    with open(os.path.join(state_root, _HORIZON_FILE), "w") as fh:
+        fh.write(f"{keep}\n")
     return counts
 
 
@@ -569,8 +623,18 @@ def publish(
     filtering _gen <= G reconstructs the exact state after batch G —
     reproducible dataset releases ('release R = publish(state at G)')
     with partition-pruned time travel, no snapshot copies. Proved by
-    tests/test_curation_delta.py::test_publish_as_of_generation."""
+    tests/test_curation_delta.py::test_publish_as_of_generation.
+    Generations below the state's compaction horizon are no longer
+    reconstructable and refuse with VacuumedGenerationError."""
     p = _paths(state_root)
+    if as_of_gen is not None:
+        h = _read_horizon(state_root)
+        if h is not None and as_of_gen < h:
+            raise VacuumedGenerationError(
+                f"as_of_gen={as_of_gen} predates the compaction horizon "
+                f"{h}: earlier generations were vacuumed and are no "
+                "longer addressable"
+            )
     feat = _latest_features(
         spark, p["features"], as_of_gen=as_of_gen
     ).localCheckpoint(eager=False)
@@ -739,15 +803,21 @@ def _ensure_delta_state(spark: SparkSession, sf_dir: str) -> str:
     _STATE_VERSION and the sf key, and a _COMPLETE marker gates reuse,
     so a prior run's state — this session's or a previous one's — is
     byte-equivalent to a rebuild. Shared by txt_curation_delta and
-    txt_curation_asof so a sweep pays the admission once."""
+    txt_curation_asof so a sweep pays the admission once. The state is
+    HORIZON-COMPACTED at H=1 after admission (v4): generations 0-1
+    collapse into the base, generation 2 stays addressable — so both
+    registered queries' driver hash-checks run against retention-
+    compacted state, and txt_curation_asof's as_of_gen=1 read sits
+    exactly ON the horizon boundary."""
     root = _state_root(sf_dir)
     marker = os.path.join(root, "_COMPLETE")
     if os.path.isfile(marker):
         return root
     shutil.rmtree(root, ignore_errors=True)
     run_delta_batches(spark, sf_dir, root, n_batches=DELTA_BATCHES)
+    compact_state(spark, root, horizon=1)
     with open(marker, "w") as fh:
-        fh.write(f"batches={DELTA_BATCHES}\n")
+        fh.write(f"batches={DELTA_BATCHES} horizon=1\n")
     return root
 
 
@@ -762,7 +832,9 @@ def _ensure_delta_state(spark: SparkSession, sf_dir: str) -> str:
     "generation-partitioned THROUGHOUT (segment counts sum-aggregate "
     "at read, bench hashes distinct-at-read, per-doc features "
     "latest-wins — the LSM/merge-on-read shape, with per-generation "
-    "crash recovery and a compaction job), then a publish pass "
+    "crash recovery and retention-horizon compaction: the standing "
+    "state here is compacted at horizon=1 before publish, proving the "
+    "release survives vacuuming), then a publish pass "
     "derives the per-doc disposition from the manifests WITHOUT "
     "re-touching corpus text (only span-cut docs' stored "
     "post-boilerplate text is re-read). Convergence is proved "
@@ -803,9 +875,12 @@ _ASOF_ORACLE = _duck_dag_oracle(source="docs_asof").replace(
     "store is generation-partitioned and append-only, so the as-of "
     "filter is partition-pruned time travel — no snapshot copies, no "
     "state rebuild; this is how a dataset release is re-cut months "
-    "later for an audit. Shares the standing state with "
-    "txt_curation_delta (deterministic by _STATE_VERSION + corpus "
-    "key), so the sweep pays admission once.",
+    "later for an audit. The standing state is HORIZON-COMPACTED at "
+    "H=1, so this as_of_gen=1 read sits exactly on the retention "
+    "boundary — the release must survive vacuuming of the history "
+    "below it. Shares the standing state with txt_curation_delta "
+    "(deterministic by _STATE_VERSION + corpus key), so the sweep "
+    "pays admission once.",
 )
 def txt_curation_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _ensure_delta_state(spark, sf_dir)

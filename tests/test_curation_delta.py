@@ -445,3 +445,78 @@ def test_registered_query_state_reuse_is_sound(spark, sf_dir):
     rebuilt = _canon(fn(spark, sf_dir))  # full rebuild from empty
     assert rebuilt == first
     shutil.rmtree(_state_root(sf_dir), ignore_errors=True)
+
+
+def test_horizon_compaction_retains_asof_history(spark, tmp_path):
+    """Retention-horizon compaction (the Delta-VACUUM retention window
+    applied to the LSM state): compact_state(horizon=1) collapses
+    generations <= 1 into one base generation carrying id 1 and keeps
+    later ones addressable — the full publish AND every as-of publish
+    for retained G >= 1 are byte-unchanged, vacuumed generations
+    refuse with the named error (from publish and from a lower
+    re-compaction), and the generation sequence continues."""
+    import os
+
+    import pytest
+
+    from sentiflow_spark.queries.curation_delta import (
+        VacuumedGenerationError,
+        _next_gen,
+        _paths,
+        admit_batch,
+        compact_state,
+    )
+
+    rows = [
+        (i, ("Z" * 16 + f"h{i:02d}tail " * 6) if i in (1, 4, 7)
+         else f"d{i:02d}word " * 8, "en", "t", 0)
+        for i in range(12)
+    ]
+    rows = [(i, t, lg, s, len(t)) for (i, t, lg, s, _) in rows]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    sf = str(tmp_path)
+    docs = spark.read.parquet(f"{tmp_path}/documents.parquet")
+
+    state = f"{tmp_path}/state"
+    # gens 0,1,2 — the Z-seg crosses at gen 2 (holders 1,4,7), so the
+    # retained history includes a stale-recompute supersede
+    for lo, hi in ((0, 3), (3, 6), (6, 9)):
+        admit_batch(
+            spark, docs.filter((docs.doc_id >= lo) & (docs.doc_id < hi)),
+            docs, state,
+        )
+    before_full = _canon(publish(spark, sf, state))
+    before_a1 = _canon(publish(spark, sf, state, as_of_gen=1))
+    before_a2 = _canon(publish(spark, sf, state, as_of_gen=2))
+
+    counts = compact_state(spark, state, horizon=1)
+    assert counts["features"] > 0 and counts["seg_counts"] > 0
+    gens = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(_paths(state)["features"])
+        if d.startswith("_gen=")
+    )
+    assert gens == [1, 2]  # 0+1 merged into the base, 2 retained
+
+    assert _canon(publish(spark, sf, state)) == before_full
+    assert _canon(publish(spark, sf, state, as_of_gen=1)) == before_a1
+    assert _canon(publish(spark, sf, state, as_of_gen=2)) == before_a2
+    with pytest.raises(VacuumedGenerationError):
+        publish(spark, sf, state, as_of_gen=0)
+    with pytest.raises(VacuumedGenerationError):
+        compact_state(spark, state, horizon=0)
+
+    # the sequence continues: a post-compaction batch admits at gen 3
+    # and is immediately as-of addressable
+    admit_batch(
+        spark, docs.filter((docs.doc_id >= 9) & (docs.doc_id < 12)),
+        docs, state,
+    )
+    assert _next_gen(_paths(state)["features"]) == 4
+    assert _canon(publish(spark, sf, state, as_of_gen=3)) == _canon(
+        publish(spark, sf, state)
+    )

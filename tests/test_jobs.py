@@ -802,3 +802,37 @@ def test_curate_delta_job_as_of_gen_restricts_universe(spark, sf_dir):
         assert sum(r["funnel"].values()) == bound
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_curate_delta_job_horizon_compact_with_asof(spark, sf_dir):
+    """--compact and --as-of-gen coexist through --horizon: a compact
+    at horizon 1 keeps generation-1 releases addressable (the funnel
+    covers exactly the first two batches' docs), while the same
+    combination without a horizon — or with the release below it — is
+    refused up front."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="sf_jobs_")
+    try:
+        with pytest.raises(SystemExit):
+            _run([
+                "curate-delta", "--sf-dir", sf_dir, "--out", f"{d}/x",
+                "--compact", "--as-of-gen", "1",
+            ])
+        with pytest.raises(SystemExit):
+            _run([
+                "curate-delta", "--sf-dir", sf_dir, "--out", f"{d}/x",
+                "--compact", "--horizon", "2", "--as-of-gen", "1",
+            ])
+        r = _run([
+            "curate-delta", "--sf-dir", sf_dir, "--out", f"{d}/cd",
+            "--batches", "3", "--compact", "--horizon", "1",
+            "--as-of-gen", "1",
+        ])
+        assert r["compacted"]["features"] > 0
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+        assert sum(r["funnel"].values()) == hi * 2 // 3
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
