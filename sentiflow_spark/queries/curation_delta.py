@@ -58,6 +58,13 @@ Convergence is proved the way ``sim_ivf_upsert`` proved index upserts:
 ``txt_curation_delta`` pushes the whole corpus through as
 DELTA_BATCHES ascending-doc_id batches against initially-empty state
 and must hash-match the ONE-SHOT DAG oracle row-for-row.
+
+SINGLE-WRITER PER STATE ROOT: generation allocation is a driver-side
+max+1 listing, so admissions and compactions take an O_EXCL writer
+fence on the root (stale locks from crashed attempts are stolen by
+PID liveness; a LIVE concurrent writer gets ConcurrentWriterError).
+Run one admitting process per state root — the batch job and the
+streaming twin must not share one.
 """
 
 from __future__ import annotations
@@ -65,6 +72,7 @@ from __future__ import annotations
 import os
 import shutil
 import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
@@ -223,6 +231,75 @@ def _boiler_set(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+class ConcurrentWriterError(RuntimeError):
+    """A second writer tried to admit (or compact) against a state
+    root that another LIVE process currently holds. The state is
+    SINGLE-WRITER by contract: two concurrent admits — an orchestrator
+    retry racing the next scheduled batch, or the batch job racing the
+    streaming twin on shared state — would allocate the same
+    generation (_next_gen is max+1 over a directory listing) and
+    interleave appends that the per-generation purge-on-retry could
+    then mix. Serialize writers externally, or point them at separate
+    state roots."""
+
+
+_LOCK_FILE = "_writer.lock"
+
+
+@contextmanager
+def _writer_fence(state_root: str):
+    """Single-writer fence for a state root: an O_EXCL lockfile
+    carrying the holder's PID, held for the duration of one admission
+    or compaction. A lock whose holder process is no longer alive is
+    STALE (the crashed-attempt case) and is stolen, so the
+    per-generation crash-recovery path never needs a manual unlock;
+    a lock held by a live process raises ConcurrentWriterError.
+    Driver-side like the generation allocator it protects — the
+    contract is one writer PROCESS per state root, not a distributed
+    lock. Pinned by test_admit_batch_concurrent_writer_fence."""
+    os.makedirs(state_root, exist_ok=True)
+    path = os.path.join(state_root, _LOCK_FILE)
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                with open(path) as fh:
+                    holder = int(fh.read().strip() or "0")
+            except (OSError, ValueError):
+                holder = 0
+            alive = False
+            if holder > 0:
+                try:
+                    os.kill(holder, 0)
+                    alive = True
+                except ProcessLookupError:
+                    alive = False
+                except PermissionError:
+                    alive = True  # pid exists under another user
+            if alive:
+                raise ConcurrentWriterError(
+                    f"state root {state_root} is held by live writer "
+                    f"pid {holder}; the curation state is single-writer"
+                ) from None
+            # stale lock from a crashed attempt: steal it (losing the
+            # unlink race to another stealer just loops back to O_EXCL)
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
+    try:
+        os.write(fd, f"{os.getpid()}\n".encode())
+        os.close(fd)
+        yield
+    finally:
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
+
+
 def _next_gen(features_path: str) -> int:
     """Next admission-generation id = max existing _gen partition + 1
     (a driver-side listing — the append-only store's only metadata
@@ -276,9 +353,18 @@ def compact_state(
     it; subsequent admissions continue the id sequence (_next_gen is
     max+1). This is how bounded state and reproducible releases
     coexist: run it on a schedule with the horizon at the audit
-    window's edge. Returns per-store row counts. Proved by
+    window's edge. Returns per-store row counts. Runs under the state
+    root's single-writer fence (a live concurrent admit raises
+    ConcurrentWriterError). Proved by
     test_compact_state_preserves_publish and
     test_horizon_compaction_retains_asof_history."""
+    with _writer_fence(state_root):
+        return _compact_state_locked(spark, state_root, horizon)
+
+
+def _compact_state_locked(
+    spark: SparkSession, state_root: str, horizon: int | None
+) -> dict[str, int]:
     import shutil
 
     p = _paths(state_root)
@@ -518,7 +604,25 @@ def admit_batch(
     whose features COMMITTED but whose source checkpoint did not (the
     streaming replay case) is then re-admitted under the SAME id, and
     the purge below also clears the committed features partition so
-    the replay converges instead of double-counting."""
+    the replay converges instead of double-counting.
+
+    SINGLE-WRITER: the whole admission runs under the state root's
+    writer fence — a second live writer raises ConcurrentWriterError
+    instead of allocating the same generation (see _writer_fence)."""
+    with _writer_fence(state_root):
+        return _admit_batch_locked(
+            spark, delta, raw, state_root, collect_stats, gen
+        )
+
+
+def _admit_batch_locked(
+    spark: SparkSession,
+    delta: DataFrame,
+    raw: DataFrame,
+    state_root: str,
+    collect_stats: bool,
+    gen: int | None,
+) -> dict | None:
     p = _paths(state_root)
     t_batch = time.perf_counter()
     if gen is None:

@@ -520,3 +520,56 @@ def test_horizon_compaction_retains_asof_history(spark, tmp_path):
     assert _canon(publish(spark, sf, state, as_of_gen=3)) == _canon(
         publish(spark, sf, state)
     )
+
+
+def test_admit_batch_concurrent_writer_fence(spark, tmp_path):
+    """The generation allocator is a driver-side max+1 listing, so the
+    state root is single-writer by fence: a second admit while a LIVE
+    process holds the lock raises ConcurrentWriterError (instead of
+    allocating the same generation and interleaving appends the
+    purge-on-retry could mix); a lock left by a DEAD process (the
+    crashed-attempt case) is stolen so crash recovery never needs a
+    manual unlock; and the fence is released after a successful admit."""
+    import os
+    import subprocess
+
+    import pytest
+
+    from sentiflow_spark.queries.curation_delta import (
+        _LOCK_FILE,
+        ConcurrentWriterError,
+        admit_batch,
+        compact_state,
+    )
+
+    docs, batches = _cross_in_batch1_docs(spark, tmp_path)
+    state = f"{tmp_path}/state"
+    admit_batch(spark, batches[0], docs, state)
+    lock = os.path.join(state, _LOCK_FILE)
+    assert not os.path.exists(lock)  # released after success
+
+    # a LIVE holder (this very process) blocks both writers
+    with open(lock, "w") as fh:
+        fh.write(f"{os.getpid()}\n")
+    with pytest.raises(ConcurrentWriterError):
+        admit_batch(spark, batches[1], docs, state)
+    with pytest.raises(ConcurrentWriterError):
+        compact_state(spark, state)
+
+    # a DEAD holder's lock is stale and gets stolen: use a subprocess
+    # that has already exited as the provably-dead pid
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    with open(lock, "w") as fh:
+        fh.write(f"{proc.pid}\n")
+    admit_batch(spark, batches[1], docs, state)
+    assert not os.path.exists(lock)
+
+    # the fenced runs still converge to a clean two-batch state
+    clean = f"{tmp_path}/state_clean"
+    for b in batches[:2]:
+        admit_batch(spark, b, docs, clean)
+    sf = str(tmp_path)
+    assert _canon(publish(spark, sf, state)) == _canon(
+        publish(spark, sf, clean)
+    )
