@@ -16,6 +16,15 @@ two sweep-timing files directly. Committed per round as
 SWEEP_TIMINGS_r{N}.json, this catches plan regressions in the ~190
 queries the headline bench never times.
 
+The timings header carries a ``host`` contention sentinel (loadavg +
+the single-core cpu probe, sampled at sweep start AND end — bench.py's
+r10 design): r10's final sweeps read a phantom 1.27x under
+hypervisor-level contention that guest loadavg could NOT see (probe
+0.217 s at load1 0.05 vs the 0.09-0.12 quiet band), so the artifact
+itself must prove which side of a comparison was contended.
+tools/regress.py reads the block and suppresses per-query flag chasing
+when either side's probe is >= 0.15 s.
+
 This is deliberately NOT built on sentiflow_spark.oracle — that module
 is code under test; the comparison lives in tools/pandas_canon.py so a
 bug there cannot mask itself.  Round 3 shipped 5 red driver rows from
@@ -77,6 +86,13 @@ def main() -> int:
     from sentiflow_spark.streaming.dag import warm_streaming_engine
 
     warm_streaming_engine(spark)
+    # host-contention sentinel, sampled at both ends of the sweep
+    from bench import _cpu_probe_s
+
+    host = {
+        "load1_start": round(os.getloadavg()[0], 2),
+        "cpu_probe_start_s": _cpu_probe_s(),
+    }
     t0 = time.perf_counter()
     npass, fails = 0, []
     per_query: dict[str, float] = {}
@@ -92,7 +108,10 @@ def main() -> int:
         else:
             fails.append((name, detail))
     total = time.perf_counter() - t0
+    host["load1_end"] = round(os.getloadavg()[0], 2)
+    host["cpu_probe_end_s"] = _cpu_probe_s()
     print(f"{npass}/{len(qs)} pass at {sf} in {total:.0f} s")
+    print(f"host sentinel: {host}")
     for f in fails:
         print("FAIL:", f)
     if timings_out:
@@ -105,6 +124,7 @@ def main() -> int:
                     "total": round(total, 1),
                     "n_pass": npass,
                     "n_queries": len(qs),
+                    "host": host,
                     "queries": per_query,
                 },
                 fh,

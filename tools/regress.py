@@ -10,6 +10,17 @@ if any query regresses past the threshold.
 Both files may use either the round-1 schema (queries = single-pass
 times) or the round-2+ schema (best-of-2 with raw passes alongside);
 the headline `queries` map is compared in both cases.
+
+CONTENTION GATE (r11, from the r10 finding): when either file carries
+a ``host`` sentinel block whose single-core cpu probe reads >=
+CONTENTION_PROBE_S (0.15 s; quiet band on this host 0.09-0.12), the
+comparison is CONTENDED — r10's final sweeps read a phantom 1.27x
+under hypervisor-level contention invisible to guest loadavg. A loud
+banner is printed, per-query flag chasing is SUPPRESSED (the flags
+would be position/contention noise, not code), and the exit code is 3
+so callers can distinguish "re-run on a quiet host" from "regressed"
+(1) and "clean" (0). Files without a host block (pre-r11 artifacts)
+are compared ungated, as before.
 """
 
 from __future__ import annotations
@@ -42,28 +53,51 @@ def _from_tail(tail: str) -> dict[str, float]:
     return out
 
 
+CONTENTION_PROBE_S = 0.15
+
+
+def _probe_max(host: dict | None) -> float | None:
+    """Worst single-core cpu-probe reading in a host sentinel block
+    (bench.py emits cpu_probe_s; oracle_sweep emits start/end)."""
+    if not host:
+        return None
+    vals = [
+        v for k, v in host.items()
+        if k.startswith("cpu_probe") and isinstance(v, (int, float))
+    ]
+    return max(vals) if vals else None
+
+
 def main() -> int:
     if len(sys.argv) < 3:
         print(__doc__)
         return 2
-    def queries_of(path: str) -> dict[str, float]:
+    def queries_of(path: str) -> tuple[dict[str, float], dict | None]:
         d = json.load(open(path))
         # the driver wraps bench.py's JSON line under "parsed"; fall
         # back to the raw tail fragment when parsing failed driver-side
         p = d.get("parsed") or (d if "queries" in d else None)
         if p is not None:
-            return p["queries"]
+            return p["queries"], p.get("host")
         q = _from_tail(d.get("tail", ""))
         if not q:
             raise SystemExit(f"{path}: no parsed queries and no "
                              f"recoverable tail fragment")
         print(f"note: {path} parsed=null — recovered "
               f"{len(q)} queries from its tail fragment")
-        return q
+        return q, None
 
-    old = queries_of(sys.argv[1])
-    new = queries_of(sys.argv[2])
+    old, host_old = queries_of(sys.argv[1])
+    new, host_new = queries_of(sys.argv[2])
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+
+    contended = []
+    for side, path, host in (
+        ("OLD", sys.argv[1], host_old), ("NEW", sys.argv[2], host_new)
+    ):
+        probe = _probe_max(host)
+        if probe is not None and probe >= CONTENTION_PROBE_S:
+            contended.append((side, path, probe))
 
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
@@ -82,6 +116,19 @@ def main() -> int:
         print(f"added ({len(added)}):", ", ".join(added))
     if removed:
         print(f"removed ({len(removed)}):", ", ".join(removed))
+    if contended:
+        print("!" * 66)
+        for side, path, probe in contended:
+            print(f"!!! CONTENDED: {side} ({path}) cpu probe "
+                  f"{probe:.3f}s >= {CONTENTION_PROBE_S}s gate "
+                  f"(quiet band ~0.09-0.12s)")
+        print("!!! per-query flags SUPPRESSED — the totals above are "
+              "host noise,")
+        print("!!! not code. Re-run the contended side on a quiet host "
+              "before")
+        print("!!! chasing any regression.")
+        print("!" * 66)
+        return 3
     for name, o, n, r in flagged:
         print(f"REGRESSED {name}: {o:.2f}s -> {n:.2f}s ({r:.1f}x)")
     if not flagged:
