@@ -781,7 +781,25 @@ def _probe_n(args: list[str], default: int) -> int:
     return default
 
 
+def _print_host_sentinel(tag: str) -> None:
+    """Contention sentinel around every probe run (the r10 finding:
+    hypervisor-level contention can read 2x+ on the single-core probe
+    while guest loadavg looks idle) — printed at start AND end so a
+    BASELINE.md row can quote in-band machine evidence, not vibes."""
+    from bench import _cpu_probe_s
+
+    print(
+        f"host sentinel ({tag}): load1={os.getloadavg()[0]:.2f} "
+        f"cpu_probe_s={_cpu_probe_s()} (quiet band ~0.09-0.12)",
+        flush=True,
+    )
+
+
 def main() -> None:
+    _print_host_sentinel("probe start")
+    import atexit
+
+    atexit.register(_print_host_sentinel, "probe end")
     args = sys.argv[1:]
     overlap = "--overlap" in args
     if overlap:
