@@ -635,6 +635,44 @@ def run_curate_delta_probe(spark, data_dir: str, label: str) -> None:
         f"{s['boiler_crossers']} crossing segs (state = {label} corpus)",
         flush=True,
     )
+    # RETENTION-HORIZON COMPACTION leg (r11): collapse the first half
+    # of the generations into the base, keep the rest addressable —
+    # measure the compaction wall (manifest-bound: it rewrites resolved
+    # narrow/latest-wins views, never re-touching corpus text beyond
+    # the stored feature rows) and prove the publish is byte-identical
+    # and a post-compaction steady-state batch admits at the same cost.
+    from sentiflow_spark.queries.curation_delta import compact_state
+
+    before = sorted(
+        tuple(r) for r in publish(spark, data_dir, root).collect()
+    )
+    t0 = time.perf_counter()
+    cc = compact_state(spark, root, horizon=4)
+    t_cmp = time.perf_counter() - t0
+    print(
+        f"curate-delta {label} HORIZON COMPACTION (gens<=4 -> base): "
+        f"{t_cmp:.1f} s; resolved rows {cc}",
+        flush=True,
+    )
+    after = sorted(
+        tuple(r) for r in publish(spark, data_dir, root).collect()
+    )
+    print(
+        f"curate-delta {label} publish preserved by compaction: "
+        f"{before == after}",
+        flush=True,
+    )
+    extra2 = base.withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1001 * ID_STRIDE)
+    )
+    raw2 = raw.unionByName(extra2)
+    s2 = admit_batch(spark, extra2, raw2, root, collect_stats=True)
+    print(
+        f"curate-delta {label} STEADY-STATE batch AFTER compaction: "
+        f"{s2['wall_s']} s, {s2['delta_docs']} delta docs, "
+        f"{s2['stale_recomputed']} stale",
+        flush=True,
+    )
     registry = load_all()
     t0 = time.perf_counter()
     rows1 = registry["txt_curation_dag"].fn(spark, data_dir).rdd.count()
