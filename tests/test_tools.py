@@ -86,3 +86,15 @@ def test_regress_reads_host_block_under_driver_parsed_wrapper(tmp_path):
     r = _regress(tmp_path, old, new)
     assert r.returncode == 3
     assert "CONTENDED" in r.stdout and "OLD" in r.stdout
+
+
+def test_regress_skips_non_numeric_detail_pointer(tmp_path):
+    """bench.py's stdout line may carry {"_detail": "BENCH_DETAIL.json"}
+    instead of inline numbers: regress must skip non-numeric entries
+    rather than crash, and still compare whatever numeric names remain."""
+    old = {"sf": "x", "queries": {"_detail": "BENCH_DETAIL.json",
+                                  "q_a": 1.0}}
+    new = {"sf": "x", "queries": {"q_a": 1.1}}
+    r = _regress(tmp_path, old, new)
+    assert r.returncode == 0
+    assert "shared 1 queries" in r.stdout

@@ -99,6 +99,12 @@ def main() -> int:
         if probe is not None and probe >= CONTENTION_PROBE_S:
             contended.append((side, path, probe))
 
+    # drop non-numeric entries (bench.py's stdout line may carry a
+    # "_detail" pointer instead of inline per-query numbers — compare
+    # BENCH_DETAIL.json files in that case)
+    old = {k: v for k, v in old.items() if isinstance(v, (int, float))}
+    new = {k: v for k, v in new.items() if isinstance(v, (int, float))}
+
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
     flagged = []
