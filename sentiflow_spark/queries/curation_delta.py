@@ -997,6 +997,89 @@ def txt_curation_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DIFF_COLS = ("stage", "split", "seq_id", "n_tokens", "cut_chars")
+_DIFF_PRED_SQL = " OR ".join(
+    f"r1.{c} IS DISTINCT FROM r2.{c}" for c in _DIFF_COLS
+)
+_DIFF_ORACLE = f"""
+SELECT
+  COALESCE(r1.doc_id, r2.doc_id) AS doc_id,
+  r1.stage AS stage_from,
+  r2.stage AS stage_to,
+  CASE WHEN r1.doc_id IS NULL THEN 'added'
+       WHEN r2.doc_id IS NULL THEN 'removed'
+       ELSE 'changed' END AS change
+FROM ({_ASOF_ORACLE}) r1
+FULL JOIN ({_duck_dag_oracle()}) r2 ON r1.doc_id = r2.doc_id
+WHERE r1.doc_id IS NULL OR r2.doc_id IS NULL OR {_DIFF_PRED_SQL}
+"""
+
+
+@register(
+    "txt_release_diff",
+    oracle=_DIFF_ORACLE,
+    tags=("text", "curation", "M5", "iterative", "arrow-udf",
+          "incremental"),
+    doc="RELEASE AUDIT DIFF between two reproducible releases of the "
+    "incremental curation state: publish(as_of_gen=1) vs the full "
+    "publish, full-outer-joined on doc_id and reduced to the actual "
+    "delta — docs 'added' (no disposition as of G1), 'removed' "
+    "(structurally possible, empty here since the universe grows "
+    "monotonically), and 'changed' (same doc, different stage: "
+    "later-batch boilerplate crossings re-stripping old docs, new "
+    "bench docs contaminating old spans, new docs displacing old ones "
+    "from the per-domain cap). This is the governance question a "
+    "dataset steward asks after a release re-cut — 'which documents "
+    "changed disposition between G1 and G2, and to what' — answered "
+    "from generation-partitioned manifests without re-curating "
+    "either release from raw text. 'Changed' compares the WHOLE "
+    "disposition tuple null-safely (stage, split, seq_id, n_tokens, "
+    "cut_chars): a doc re-stripped by a later boilerplate crossing "
+    "usually keeps its stage but loses tokens, and packing shifts "
+    "seq_ids — all release-visible. The oracle runs BOTH parameterized "
+    "one-shot DAG chains as derived tables (DuckDB CTEs-in-subquery) "
+    "full-joined — each side is the same statement already proved by "
+    "txt_curation_asof / txt_curation_delta. Cost shape at 100 TB: "
+    "two manifest-bound publishes + a narrow (doc_id, stage) "
+    "full-outer join; no corpus text beyond the publishes' span-cut "
+    "re-reads.",
+)
+def txt_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _ensure_delta_state(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    bound = hi * 2 // DELTA_BATCHES
+    r1 = publish(
+        spark, sf_dir, root, as_of_gen=1,
+        universe=docs.filter(F.col("doc_id") < bound),
+    ).select(
+        "doc_id", F.lit(True).alias("_in1"),
+        *[F.col(c).alias(f"{c}_1") for c in _DIFF_COLS],
+    )
+    r2 = publish(spark, sf_dir, root).select(
+        "doc_id", F.lit(True).alias("_in2"),
+        *[F.col(c).alias(f"{c}_2") for c in _DIFF_COLS],
+    )
+    out = r1.join(r2, "doc_id", "full_outer")
+    differs = None
+    for c in _DIFF_COLS:
+        d = ~F.col(f"{c}_1").eqNullSafe(F.col(f"{c}_2"))
+        differs = d if differs is None else (differs | d)
+    change = (
+        F.when(F.col("_in1").isNull(), "added")
+        .when(F.col("_in2").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return out.filter(
+        F.col("_in1").isNull() | F.col("_in2").isNull() | differs
+    ).select(
+        "doc_id",
+        F.col("stage_1").alias("stage_from"),
+        F.col("stage_2").alias("stage_to"),
+        change.alias("change"),
+    )
+
+
 @register(
     "st_curation_delta",
     oracle=_duck_dag_oracle(),

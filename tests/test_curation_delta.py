@@ -573,3 +573,43 @@ def test_admit_batch_concurrent_writer_fence(spark, tmp_path):
     assert _canon(publish(spark, sf, state)) == _canon(
         publish(spark, sf, clean)
     )
+
+def test_release_diff_matches_definition(spark, sf_dir):
+    """txt_release_diff equals its definition, Spark-vs-Spark on the
+    standard corpus: 'added' is exactly the docs outside G1's batch
+    universe, 'removed' is empty (the universe grows monotonically),
+    and 'changed' is exactly the docs whose FULL disposition tuple
+    (stage, split, seq_id, n_tokens, cut_chars — null-safe) differs
+    between publish(as_of_gen=1) and the full publish; docs with
+    identical tuples are not emitted."""
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.queries.curation_delta import (
+        _DIFF_COLS,
+        _ensure_delta_state,
+    )
+
+    reg = load_all()
+    diff = {r["doc_id"]: r for r in reg["txt_release_diff"].fn(
+        spark, sf_dir).collect()}
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    bound = hi * 2 // 3
+    added = {d for d, r in diff.items() if r["change"] == "added"}
+    changed = {d for d, r in diff.items() if r["change"] == "changed"}
+    assert added == set(range(bound, hi))
+    assert all(r["stage_from"] is None for d, r in diff.items()
+               if d in added)
+    assert not any(r["change"] == "removed" for r in diff.values())
+    assert changed and all(d < bound for d in changed)
+
+    # recompute the definition directly from the two publishes
+    root = _ensure_delta_state(spark, sf_dir)
+    r1 = publish(spark, sf_dir, root, as_of_gen=1,
+                 universe=docs.filter(F.col("doc_id") < bound))
+    r2 = publish(spark, sf_dir, root)
+    t1 = {r["doc_id"]: tuple(r[c] for c in _DIFF_COLS) for r in r1.collect()}
+    t2 = {r["doc_id"]: tuple(r[c] for c in _DIFF_COLS) for r in r2.collect()}
+    want_changed = {d for d in t1 if t1[d] != t2[d]}
+    assert changed == want_changed

@@ -659,6 +659,10 @@ ORACLE_CAPTURE_ALLOWLIST = {
     ("txt_curation_delta", ("t",)),
     ("txt_curation_asof", ("ks",)),
     ("txt_curation_asof", ("t",)),
+    # the release-diff oracle embeds BOTH parameterized DAG statements
+    # as derived tables — same frozen lambdas, twice
+    ("txt_release_diff", ("ks",)),
+    ("txt_release_diff", ("t",)),
     ("st_curation_delta", ("ks",)),
     ("st_curation_delta", ("t",)),
     ("txt_dsir_weights", ("t",)),
