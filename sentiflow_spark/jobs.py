@@ -287,7 +287,8 @@ def job_curate_delta(args: argparse.Namespace) -> dict:
     state = f"{args.out}/state"
     shutil.rmtree(state, ignore_errors=True)
     stats = run_delta_batches(
-        spark, args.sf_dir, state, n_batches=args.batches, collect_stats=True
+        spark, args.sf_dir, state, n_batches=args.batches,
+        collect_stats=True, auto_compact_gens=args.auto_compact_gens,
     )
     compacted = (
         compact_state(spark, state, horizon=args.horizon)
@@ -469,6 +470,11 @@ def main(argv: list[str] | None = None) -> dict:
                     help="retention horizon for --compact: collapse "
                          "generations <= H into the base, keep later "
                          "ones as-of addressable (curate-delta job)")
+    ap.add_argument("--auto-compact-gens", type=int, default=None,
+                    help="rolling LSM compaction during ingestion: "
+                         "whenever the state exceeds K+1 generation "
+                         "partitions, compact all but the newest K "
+                         "into the base (curate-delta job)")
     ap.add_argument("--src", default=None, help="input directory (compact job)")
     ap.add_argument("--sort-by", default=None, help="comma-separated sort keys (compact job)")
     ap.add_argument("--target-file-mb", type=int, default=128)

@@ -613,3 +613,54 @@ def test_release_diff_matches_definition(spark, sf_dir):
     t2 = {r["doc_id"]: tuple(r[c] for c in _DIFF_COLS) for r in r2.collect()}
     want_changed = {d for d in t1 if t1[d] != t2[d]}
     assert changed == want_changed
+
+
+def test_auto_compact_rolling_window(spark, tmp_path):
+    """The rolling LSM L0-trigger policy (auto_compact_gens=K): during
+    ingestion the state never exceeds K+1 generation partitions, the
+    final publish equals a never-compacted run (compaction is
+    publish-preserving by construction — including when the trigger
+    fires on the very batch that causes a threshold crossing), the
+    newest K generations stay as-of addressable, and history below the
+    rolling horizon refuses with the named error."""
+    import os
+
+    import pytest
+
+    from sentiflow_spark.queries.curation_delta import (
+        VacuumedGenerationError,
+        _paths,
+    )
+
+    rows = [
+        (i, ("Z" * 16 + f"h{i:02d}tail " * 6) if i in (1, 4, 7)
+         else f"d{i:02d}word " * 8, "en", "t", 0)
+        for i in range(9)
+    ]
+    rows = [(i, t, lg, s, len(t)) for (i, t, lg, s, _) in rows]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    sf = str(tmp_path)
+
+    auto = f"{tmp_path}/state_auto"
+    run_delta_batches(spark, sf, auto, n_batches=3, auto_compact_gens=1)
+    plain = f"{tmp_path}/state_plain"
+    run_delta_batches(spark, sf, plain, n_batches=3)
+
+    gens = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(_paths(auto)["features"])
+        if d.startswith("_gen=")
+    )
+    assert gens == [1, 2]  # base at the rolling horizon + newest K=1
+    assert _canon(publish(spark, sf, auto)) == _canon(
+        publish(spark, sf, plain)
+    )
+    assert _canon(publish(spark, sf, auto, as_of_gen=1)) == _canon(
+        publish(spark, sf, plain, as_of_gen=1)
+    )
+    with pytest.raises(VacuumedGenerationError):
+        publish(spark, sf, auto, as_of_gen=0)

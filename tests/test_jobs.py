@@ -836,3 +836,28 @@ def test_curate_delta_job_horizon_compact_with_asof(spark, sf_dir):
         assert sum(r["funnel"].values()) == hi * 2 // 3
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_curate_delta_job_auto_compact_flag(spark, sf_dir):
+    """--auto-compact-gens K wires through to the ingestion loop: the
+    written state ends bounded at K+1 generation partitions and the
+    funnel matches an uncompacted run (rolling compaction is
+    publish-preserving)."""
+    import glob
+
+    d = tempfile.mkdtemp(prefix="sf_jobs_")
+    try:
+        r1 = _run([
+            "curate-delta", "--sf-dir", sf_dir, "--out", f"{d}/a",
+            "--batches", "4", "--auto-compact-gens", "1",
+        ])
+        r2 = _run([
+            "curate-delta", "--sf-dir", sf_dir, "--out", f"{d}/b",
+            "--batches", "4",
+        ])
+        assert r1["funnel"] == r2["funnel"]
+        gens = glob.glob(f"{d}/a/state/features/_gen=*")
+        assert len(gens) == 2  # base + newest K=1
+        assert len(glob.glob(f"{d}/b/state/features/_gen=*")) == 4
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
