@@ -283,6 +283,22 @@ def job_curate_delta(args: argparse.Namespace) -> dict:
             "retention horizon; pass --horizon H <= --as-of-gen to keep "
             "the release addressable (full --compact keeps no history)"
         )
+    if (
+        args.auto_compact_gens is not None
+        and args.as_of_gen is not None
+        and args.as_of_gen < args.batches - 1 - args.auto_compact_gens
+    ):
+        # fail BEFORE the ingestion, not with VacuumedGenerationError
+        # after it: rolling compaction's final horizon is
+        # (batches-1) - K, so any as-of read below that is vacuumed by
+        # the time publish runs
+        raise SystemExit(
+            "curate-delta: --auto-compact-gens "
+            f"{args.auto_compact_gens} leaves a final rolling horizon "
+            f"of {args.batches - 1 - args.auto_compact_gens}; "
+            f"--as-of-gen {args.as_of_gen} would be vacuumed before "
+            "publish — raise --as-of-gen or --auto-compact-gens"
+        )
     spark = _spark("sentiflow-curate-delta")
     state = f"{args.out}/state"
     shutil.rmtree(state, ignore_errors=True)

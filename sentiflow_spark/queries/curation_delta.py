@@ -246,56 +246,112 @@ class ConcurrentWriterError(RuntimeError):
 _LOCK_FILE = "_writer.lock"
 
 
+def _proc_start(pid: int) -> str | None:
+    """The process's kernel start time (clock ticks since boot,
+    /proc/<pid>/stat field 22) — the token that distinguishes a pid
+    from its later reuse by an unrelated process. None when unreadable
+    (non-Linux, or the process vanished between checks)."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as fh:
+            stat = fh.read().decode("ascii", "replace")
+        # comm (field 2) may itself contain spaces/parens: split after
+        # the LAST ')' — field 3 (state) is then index 0, field 22
+        # (starttime) index 19
+        return stat.rsplit(")", 1)[1].split()[19]
+    except (OSError, IndexError):
+        return None
+
+
 @contextmanager
 def _writer_fence(state_root: str):
-    """Single-writer fence for a state root: an O_EXCL lockfile
-    carrying the holder's PID, held for the duration of one admission
-    or compaction. A lock whose holder process is no longer alive is
-    STALE (the crashed-attempt case) and is stolen, so the
-    per-generation crash-recovery path never needs a manual unlock;
-    a lock held by a live process raises ConcurrentWriterError.
-    Driver-side like the generation allocator it protects — the
-    contract is one writer PROCESS per state root, not a distributed
-    lock. Pinned by test_admit_batch_concurrent_writer_fence."""
+    """Single-writer fence for a state root: a lockfile carrying the
+    holder's identity (pid + kernel start time), held for the duration
+    of one admission or compaction. Creation is ATOMIC WITH CONTENT —
+    the identity is written to a private temp file and os.link()ed to
+    the lock name — so the lock is never observable empty (the prior
+    O_EXCL-then-write shape had a window where a contender read an
+    empty file, parsed holder=0, and stole a LIVE lock). A lock whose
+    holder is no longer alive — or whose pid is alive but carries a
+    DIFFERENT start time, i.e. the pid was recycled by an unrelated
+    long-lived process — is STALE (the crashed-attempt case) and is
+    stolen, so the per-generation crash-recovery path never needs a
+    manual unlock; a lock held by a live process raises
+    ConcurrentWriterError, whose message names the lock path as the
+    manual escape hatch for liveness the fence cannot judge.
+    SINGLE-HOST scope by contract: pid liveness does not cross hosts
+    on shared storage (a second host always reads ProcessLookupError
+    and would steal a live remote lock) — one writer process per state
+    root means one process on ONE host; serialize cross-host writers
+    externally. Driver-side like the generation allocator it protects
+    — not a distributed lock. Pinned by
+    test_admit_batch_concurrent_writer_fence,
+    test_writer_fence_never_observable_empty and
+    test_writer_fence_pid_reuse_is_stale."""
     os.makedirs(state_root, exist_ok=True)
     path = os.path.join(state_root, _LOCK_FILE)
-    while True:
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
-        except FileExistsError:
+    tmp = os.path.join(state_root, f"{_LOCK_FILE}.{os.getpid()}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(f"{os.getpid()} {_proc_start(os.getpid()) or '-'}\n")
+    try:
+        while True:
             try:
-                with open(path) as fh:
-                    holder = int(fh.read().strip() or "0")
-            except (OSError, ValueError):
-                holder = 0
-            alive = False
-            if holder > 0:
+                os.link(tmp, path)  # atomic create-with-content
+                break
+            except FileExistsError:
+                holder, token = 0, None
+                # bounded re-read: an empty/torn lock can only be a
+                # mid-write from a pre-atomic writer build — give it a
+                # few beats before ruling it stale, never steal on the
+                # first empty read
+                for _ in range(5):
+                    try:
+                        with open(path) as fh:
+                            fields = fh.read().split()
+                        holder = int(fields[0]) if fields else 0
+                        token = fields[1] if len(fields) > 1 else None
+                    except (OSError, ValueError):
+                        holder = 0
+                    if holder > 0:
+                        break
+                    time.sleep(0.01)
+                alive = False
+                if holder > 0:
+                    try:
+                        os.kill(holder, 0)
+                        alive = True
+                    except ProcessLookupError:
+                        alive = False
+                    except PermissionError:
+                        alive = True  # pid exists under another user
+                if alive and token not in (None, "-"):
+                    now = _proc_start(holder)
+                    if now is not None and now != token:
+                        alive = False  # pid recycled since lock taken
+                if alive:
+                    raise ConcurrentWriterError(
+                        f"state root {state_root} is held by live "
+                        f"writer pid {holder}; the curation state is "
+                        "single-writer (one process, one host). If the "
+                        "holder is known dead — e.g. it ran on another "
+                        f"host — manually remove {path}"
+                    ) from None
+                # stale lock (crashed attempt, or recycled pid): steal
+                # it — losing the unlink race to another stealer just
+                # loops back to the atomic link
                 try:
-                    os.kill(holder, 0)
-                    alive = True
-                except ProcessLookupError:
-                    alive = False
-                except PermissionError:
-                    alive = True  # pid exists under another user
-            if alive:
-                raise ConcurrentWriterError(
-                    f"state root {state_root} is held by live writer "
-                    f"pid {holder}; the curation state is single-writer"
-                ) from None
-            # stale lock from a crashed attempt: steal it (losing the
-            # unlink race to another stealer just loops back to O_EXCL)
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
+        try:
+            yield
+        finally:
             try:
                 os.unlink(path)
             except FileNotFoundError:
                 pass
-    try:
-        os.write(fd, f"{os.getpid()}\n".encode())
-        os.close(fd)
-        yield
     finally:
         try:
-            os.unlink(path)
+            os.unlink(tmp)
         except FileNotFoundError:
             pass
 
@@ -626,7 +682,12 @@ def admit_batch(
     whose features COMMITTED but whose source checkpoint did not (the
     streaming replay case) is then re-admitted under the SAME id, and
     the purge below also clears the committed features partition so
-    the replay converges instead of double-counting.
+    the replay converges instead of double-counting. An external gen
+    at or below the state's compaction horizon refuses with
+    VacuumedGenerationError BEFORE touching any store (the purge would
+    otherwise delete the collapsed base when gen == horizon, or
+    double-count under sum-at-read when gen < horizon) — never compact
+    past the stream's committed offset.
 
     SINGLE-WRITER: the whole admission runs under the state root's
     writer fence — a second live writer raises ConcurrentWriterError
@@ -651,6 +712,35 @@ def _admit_batch_locked(
         gen = _next_gen(p["features"])
         purge = ("seg_counts", "bench_hashes")
     else:
+        # An EXTERNAL generation id (the streaming twin pins gen to
+        # the batchId) must refuse at-or-below the compaction horizon,
+        # mirroring publish()'s guard: after compact_state(horizon=H)
+        # the collapsed history lives in ONE base partition carrying
+        # id = H, so the purge below would DELETE the entire base when
+        # gen == H, and a gen < H append would double-count its
+        # segments under sum-at-read. This is the replay×compaction
+        # interaction: a streaming batch that committed features but
+        # not its source checkpoint gets re-delivered after an
+        # operator compacted past it — surface it as the named
+        # retention refusal (st_curation_delta's foreachBatch
+        # propagates it and fails the stream) instead of corrupting
+        # state. Same commit-after-durable discipline as the
+        # reference's offset handler
+        # (internal/clients/kafka_client/commit_handler.go:25-75):
+        # never vacuum past the stream's committed offset. Pinned by
+        # test_admit_external_gen_refuses_below_horizon.
+        h = _read_horizon(state_root)
+        if h is not None and gen <= h:
+            raise VacuumedGenerationError(
+                f"external gen={gen} is at or below the compaction "
+                f"horizon {h}: generations <= {h} were collapsed into "
+                f"the base partition _gen={h}, so replaying this batch "
+                "would purge collapsed history (gen == horizon) or "
+                "double-count its segments (gen < horizon). Never "
+                "compact past the stream's committed offset; restart "
+                "the stream from a checkpoint at a batchId above the "
+                "horizon"
+            )
         purge = ("seg_counts", "bench_hashes", "features")
     for store in purge:
         shutil.rmtree(

@@ -664,3 +664,145 @@ def test_auto_compact_rolling_window(spark, tmp_path):
     )
     with pytest.raises(VacuumedGenerationError):
         publish(spark, sf, auto, as_of_gen=0)
+
+
+def _state_snapshot(root):
+    """Recursive (relpath, size) listing — byte-level 'state unchanged'
+    evidence for refusal paths."""
+    import os
+
+    out = []
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            out.append((os.path.relpath(p, root), os.path.getsize(p)))
+    return sorted(out)
+
+
+def test_admit_external_gen_refuses_below_horizon(spark, tmp_path):
+    """The replay×compaction interaction (r11 verdict top item): a
+    streaming batch K commits its features but not its source
+    checkpoint, an operator compacts the state at a horizon >= K while
+    the stream is down, and the restarted stream replays batch K. The
+    external-gen purge would then DELETE the collapsed base partition
+    (gen == horizon) or double-count segments under sum-at-read
+    (gen < horizon) — admission must refuse with the named retention
+    error BEFORE touching any store, leaving the state byte-identical,
+    and generations above the horizon must keep admitting normally."""
+    import pytest
+
+    from sentiflow_spark.queries.curation_delta import (
+        VacuumedGenerationError,
+        admit_batch,
+        compact_state,
+    )
+
+    docs, batches = _cross_in_batch1_docs(spark, tmp_path)
+    sf = str(tmp_path)
+
+    state = f"{tmp_path}/state"
+    # streaming-style: gens pinned to batchIds 0 and 1; batch 1's
+    # features COMMITTED (admit ran) but its checkpoint did not
+    admit_batch(spark, batches[0], docs, state, gen=0)
+    admit_batch(spark, batches[1], docs, state, gen=1)
+    # operator compacts while the stream is down: horizon = 1 == K
+    compact_state(spark, state, horizon=1)
+    before_files = _state_snapshot(state)
+    before_pub = _canon(publish(spark, sf, state))
+
+    # replay of batch K == horizon would purge the collapsed base
+    with pytest.raises(VacuumedGenerationError):
+        admit_batch(spark, batches[1], docs, state, gen=1)
+    # replay below the horizon would double-count under sum-at-read
+    with pytest.raises(VacuumedGenerationError):
+        admit_batch(spark, batches[0], docs, state, gen=0)
+    assert _state_snapshot(state) == before_files  # byte-unchanged
+    assert _canon(publish(spark, sf, state)) == before_pub
+
+    # the stream restarted above the horizon continues normally and
+    # converges to the never-compacted run
+    admit_batch(spark, batches[2], docs, state, gen=2)
+    clean = f"{tmp_path}/state_clean"
+    for g, b in enumerate(batches):
+        admit_batch(spark, b, docs, clean, gen=g)
+    assert _canon(publish(spark, sf, state)) == _canon(
+        publish(spark, sf, clean)
+    )
+
+
+def test_writer_fence_never_observable_empty(spark, tmp_path):
+    """TOCTOU regression (r11 ADVICE): lock creation is atomic with
+    its content — while any writer holds the fence the lock file
+    parses to (pid, start-token), never empty, so a contender can
+    never read holder=0 and steal a LIVE lock. An empty lock file
+    (a pre-atomic writer build's mid-write window, or corruption) is
+    tolerated: the fence retries the read a few beats, then rules it
+    stale and acquires — bounded, no hang, no error. The private temp
+    file is cleaned up on exit."""
+    import os
+
+    from sentiflow_spark.queries.curation_delta import (
+        _LOCK_FILE,
+        _proc_start,
+        _writer_fence,
+    )
+
+    root = f"{tmp_path}/state"
+    lock = os.path.join(root, _LOCK_FILE)
+
+    with _writer_fence(root):
+        with open(lock) as fh:
+            fields = fh.read().split()
+        assert int(fields[0]) == os.getpid()
+        assert fields[1] == (_proc_start(os.getpid()) or "-")
+    assert not os.path.exists(lock)
+    assert not any(
+        f.startswith(_LOCK_FILE) for f in os.listdir(root)
+    )  # temp cleaned up too
+
+    # empty lock file: stolen after the bounded re-read, not an error
+    with open(lock, "w"):
+        pass
+    with _writer_fence(root):
+        assert os.path.getsize(lock) > 0
+    assert not os.path.exists(lock)
+
+
+def test_writer_fence_pid_reuse_is_stale(spark, tmp_path):
+    """PID-reuse hardening (r11 ADVICE): a lock whose pid is ALIVE but
+    whose recorded kernel start time differs from the pid's current
+    one belongs to a crashed writer whose pid was recycled — stale,
+    stolen, no manual unlink. A live pid with the MATCHING token still
+    refuses, and the refusal message names the lock path as the
+    manual escape hatch."""
+    import os
+
+    import pytest
+
+    from sentiflow_spark.queries.curation_delta import (
+        _LOCK_FILE,
+        ConcurrentWriterError,
+        _proc_start,
+        _writer_fence,
+    )
+
+    root = f"{tmp_path}/state"
+    os.makedirs(root)
+    lock = os.path.join(root, _LOCK_FILE)
+
+    # live pid (ours), WRONG start token -> recycled pid -> stale
+    with open(lock, "w") as fh:
+        fh.write(f"{os.getpid()} 999999999999999\n")
+    with _writer_fence(root):
+        pass
+    assert not os.path.exists(lock)
+
+    # live pid, CORRECT token -> genuinely held -> named refusal with
+    # the documented escape hatch
+    with open(lock, "w") as fh:
+        fh.write(f"{os.getpid()} {_proc_start(os.getpid()) or '-'}\n")
+    with pytest.raises(ConcurrentWriterError) as exc:
+        with _writer_fence(root):
+            pass
+    assert lock in str(exc.value)
+    os.unlink(lock)

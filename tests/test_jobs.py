@@ -861,3 +861,19 @@ def test_curate_delta_job_auto_compact_flag(spark, sf_dir):
         assert len(glob.glob(f"{d}/b/state/features/_gen=*")) == 4
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_curate_delta_job_prevalidates_asof_vs_auto_compact(sf_dir):
+    """--auto-compact-gens K with --as-of-gen G below the final rolling
+    horizon (batches-1-K) fails UP FRONT with SystemExit, not with
+    VacuumedGenerationError after the whole ingestion has run; a G at
+    the boundary is accepted by the validator (r11 ADVICE)."""
+    import pytest
+
+    # batches=4, K=1 -> final horizon 2; as-of 1 would be vacuumed
+    with pytest.raises(SystemExit):
+        _run([
+            "curate-delta", "--sf-dir", sf_dir, "--out", "/tmp/never",
+            "--batches", "4", "--auto-compact-gens", "1",
+            "--as-of-gen", "1",
+        ])
