@@ -9,7 +9,7 @@ are recorded in BASELINE.md's scale-headroom sections.
 
 Run: python tools/scale_probe.py [N] [--overlap] [--tpch] [--hotkey]
      [--manifest] [--merge] [--zorder] [--bloom] [--curate-delta]
-     [--st-serve]
+     [--autocompact-policy] [--st-serve]
      [query ...]
 Defaults: N=20, the corpus-family headline queries. The probe modes
 (--hotkey/--manifest/--merge) take only an optional leading numeric
@@ -680,6 +680,91 @@ def run_curate_delta_probe(spark, data_dir: str, label: str) -> None:
           f"{time.perf_counter() - t0:.1f} s", flush=True)
 
 
+def run_autocompact_policy_probe(spark, data_dir: str, label: str) -> None:
+    """The rolling-compaction POLICY curve the r11 cost law demands
+    (steady-state admission cost grows with GENERATION COUNT, not
+    corpus size: 17.5 s at 6 gens vs 9.8 s freshly compacted at the
+    same 1M-doc state — BASELINE.md): ingest the replica corpus as 8
+    delta batches under auto_compact_gens=K for K in {2, 4, inf} and
+    report, per policy, the TOTAL ingestion wall (admissions + every
+    in-loop compaction — the amortized figure an operator actually
+    pays), the per-batch walls, the end-state generation count, a
+    fixed-size steady-state admission against the final state (the
+    cost the NEXT crawl drop pays under that policy), and the publish
+    wall. Publishes must be identical across policies (rolling
+    compaction is publish-preserving). Policies run coldest-first
+    (K=2, the expected winner, pays any residual cache warming) in one
+    session over one fixture so the OS page cache is comparable."""
+    import shutil
+
+    from sentiflow_spark.queries.curation_delta import (
+        _paths,
+        _state_root,
+        admit_batch,
+        publish,
+        run_delta_batches,
+    )
+
+    base = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    corpus = spark.read.parquet(f"{data_dir}/documents.parquet")
+    pubs: dict[str, list] = {}
+    for K in (2, 4, None):
+        tag = "inf" if K is None else str(K)
+        root = _state_root(data_dir) + f"_policy{tag}"
+        shutil.rmtree(root, ignore_errors=True)
+        _print_host_sentinel(f"policy K={tag} start")
+        t0 = time.perf_counter()
+        stats = run_delta_batches(
+            spark, data_dir, root, n_batches=8,
+            collect_stats=True, auto_compact_gens=K,
+        )
+        total = time.perf_counter() - t0
+        admit_sum = sum(s["wall_s"] for s in stats)
+        gens = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(_paths(root)["features"])
+            if d.startswith("_gen=")
+        )
+        walls = ", ".join(f"{s['wall_s']:.1f}" for s in stats)
+        print(
+            f"autocompact {label} K={tag}: total {total:.1f} s "
+            f"(amortized {total / len(stats):.1f} s/batch; admit-only "
+            f"sum {admit_sum:.1f} s, in-loop compaction "
+            f"{total - admit_sum:.1f} s); per-batch [{walls}] s; "
+            f"end gens={len(gens)} {gens}",
+            flush=True,
+        )
+        t0 = time.perf_counter()
+        pub = sorted(
+            tuple(r) for r in publish(spark, data_dir, root).collect()
+        )
+        print(
+            f"autocompact {label} K={tag}: publish "
+            f"{time.perf_counter() - t0:.1f} s, {len(pub)} rows",
+            flush=True,
+        )
+        pubs[tag] = pub
+        extra = base.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1000 * ID_STRIDE)
+        )
+        raw = corpus.unionByName(extra)
+        s = admit_batch(spark, extra, raw, root, collect_stats=True)
+        print(
+            f"autocompact {label} K={tag} STEADY-STATE extra batch "
+            f"(against {len(gens)} gens): {s['wall_s']} s, "
+            f"{s['delta_docs']} delta docs, "
+            f"{s['stale_recomputed']} stale",
+            flush=True,
+        )
+        shutil.rmtree(root, ignore_errors=True)
+    vals = list(pubs.values())
+    print(
+        f"autocompact {label}: publishes identical across policies: "
+        f"{all(v == vals[0] for v in vals[1:])}",
+        flush=True,
+    )
+
+
 def run_st_serve_probe(spark, data_dir: str, label: str) -> None:
     """Measures st_ivf_served's documented DPP negative and its
     fallback on a 64-coarse-bucket index (the testdata label column
@@ -877,6 +962,18 @@ def main() -> None:
         spark = get_spark("scale-probe")
         build(spark, n, out_dir)
         run_st_serve_probe(spark, out_dir, f"{n}x")
+        return
+    acp = "--autocompact-policy" in args
+    if acp:
+        args.remove("--autocompact-policy")
+        n = _probe_n(args, 200)
+        out_dir = os.path.abspath(
+            os.path.join(os.path.dirname(__file__), "..", ".tmp", f"scale{n}")
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        spark = get_spark("scale-probe")
+        build(spark, n, out_dir)
+        run_autocompact_policy_probe(spark, out_dir, f"{n}x")
         return
     cdelta = "--curate-delta" in args
     if cdelta:
