@@ -9,7 +9,7 @@ are recorded in BASELINE.md's scale-headroom sections.
 
 Run: python tools/scale_probe.py [N] [--overlap] [--tpch] [--hotkey]
      [--manifest] [--merge] [--zorder] [--bloom] [--curate-delta]
-     [--autocompact-policy] [--st-serve]
+     [--autocompact-policy] [--gen-count-ab] [--st-serve]
      [query ...]
 Defaults: N=20, the corpus-family headline queries. The probe modes
 (--hotkey/--manifest/--merge) take only an optional leading numeric
@@ -765,6 +765,80 @@ def run_autocompact_policy_probe(spark, data_dir: str, label: str) -> None:
     )
 
 
+def run_gen_count_ab_probe(spark, data_dir: str, label: str) -> None:
+    """Warmth-BALANCED A/B for the r11 generation-count cost law. The
+    r12 --autocompact-policy probe read the steady-state 5k-doc
+    admission FLAT (~9.2-9.5 s) at 3, 5 AND 8 generations, where r11
+    had measured 17.5 s at 6 gens vs 9.8 s compacted — but in both
+    r11 readings the multi-generation measurement came EARLIER in its
+    session (warmth confound), while the policy probe's 8-gen reading
+    came last (warmest). This probe removes ordering from the
+    comparison: build the 8-generation state once, copy it and compact
+    the copy to ONE generation, take one throwaway warm-up admission
+    on a third copy, then INTERLEAVE steady-state admissions
+    A(multi-gen), B(compacted), A, B, A, B — same fixture, same
+    session, alternating positions, sentinel before each pair. If the
+    gen-count slope is real, every A reads above every B; if the
+    pairs straddle, the r11 law was a warmth artifact and BASELINE.md
+    gets corrected."""
+    import shutil
+
+    from sentiflow_spark.queries.curation_delta import (
+        _state_root,
+        admit_batch,
+        compact_state,
+        run_delta_batches,
+    )
+
+    root_a = _state_root(data_dir) + "_ab_multi"
+    root_b = _state_root(data_dir) + "_ab_compact"
+    root_w = _state_root(data_dir) + "_ab_warmup"
+    for r in (root_a, root_b, root_w):
+        shutil.rmtree(r, ignore_errors=True)
+    t0 = time.perf_counter()
+    run_delta_batches(spark, data_dir, root_a, n_batches=8)
+    print(
+        f"gen-ab {label}: 8-batch ingest {time.perf_counter() - t0:.1f} s",
+        flush=True,
+    )
+    shutil.copytree(root_a, root_b)
+    shutil.copytree(root_a, root_w)
+    t0 = time.perf_counter()
+    cc = compact_state(spark, root_b, horizon=None)
+    print(
+        f"gen-ab {label}: full compaction of copy B "
+        f"{time.perf_counter() - t0:.1f} s; resolved rows {cc}",
+        flush=True,
+    )
+    base = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    corpus = spark.read.parquet(f"{data_dir}/documents.parquet")
+
+    def _steady(root, i, tag):
+        extra = base.withColumn(
+            "doc_id", F.col("doc_id") + F.lit((1000 + i) * ID_STRIDE)
+        )
+        raw = corpus.unionByName(extra)
+        s = admit_batch(spark, extra, raw, root, collect_stats=True)
+        return s["wall_s"]
+
+    w = _steady(root_w, 0, "warmup")
+    print(f"gen-ab {label}: warm-up admission (discarded): {w} s",
+          flush=True)
+    shutil.rmtree(root_w, ignore_errors=True)
+    for i in range(1, 4):
+        _print_host_sentinel(f"gen-ab pair {i}")
+        wa = _steady(root_a, i, "A")
+        wb = _steady(root_b, i, "B")
+        # gen counts grow by one per admission: A starts at 8, B at 1
+        print(
+            f"gen-ab {label} pair {i}: A(multi-gen, {7 + i}+1 gens) "
+            f"{wa} s vs B(compacted, {i} gens) {wb} s",
+            flush=True,
+        )
+    for r in (root_a, root_b):
+        shutil.rmtree(r, ignore_errors=True)
+
+
 def run_st_serve_probe(spark, data_dir: str, label: str) -> None:
     """Measures st_ivf_served's documented DPP negative and its
     fallback on a 64-coarse-bucket index (the testdata label column
@@ -974,6 +1048,18 @@ def main() -> None:
         spark = get_spark("scale-probe")
         build(spark, n, out_dir)
         run_autocompact_policy_probe(spark, out_dir, f"{n}x")
+        return
+    gab = "--gen-count-ab" in args
+    if gab:
+        args.remove("--gen-count-ab")
+        n = _probe_n(args, 200)
+        out_dir = os.path.abspath(
+            os.path.join(os.path.dirname(__file__), "..", ".tmp", f"scale{n}")
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        spark = get_spark("scale-probe")
+        build(spark, n, out_dir)
+        run_gen_count_ab_probe(spark, out_dir, f"{n}x")
         return
     cdelta = "--curate-delta" in args
     if cdelta:
