@@ -806,3 +806,56 @@ def test_writer_fence_pid_reuse_is_stale(spark, tmp_path):
             pass
     assert lock in str(exc.value)
     os.unlink(lock)
+
+
+def test_streaming_replay_after_compaction_fails_loudly(spark, tmp_path):
+    """End-to-end surfacing of the replay x compaction refusal through
+    the REAL streaming path: a checkpointed stream whose foreachBatch
+    pins gen=batchId (st_curation_delta's shape) is restarted with a
+    fresh checkpoint — so batchId 0 re-delivers — against a state that
+    was compacted at horizon 0 while the stream was down. The stream
+    must FAIL with the named retention error surfaced through
+    StreamingQueryException, and the state must be byte-unchanged —
+    never silently corrupted."""
+    import glob
+    import os
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from sentiflow_spark.queries.curation_delta import (
+        admit_batch,
+        compact_state,
+    )
+
+    docs, batches = _cross_in_batch1_docs(spark, tmp_path)
+    root = f"{tmp_path}/state"
+    # the stream delivered batch 0 and its state committed...
+    admit_batch(spark, batches[0], docs, root, gen=0)
+    # ...then an operator compacted while the stream was down
+    compact_state(spark, root, horizon=0)
+    before = _state_snapshot(root)
+
+    src = f"{tmp_path}/src"
+    os.makedirs(src)
+    part = f"{tmp_path}/part0"
+    batches[0].coalesce(1).write.parquet(part)
+    os.rename(glob.glob(f"{part}/part-*.parquet")[0], f"{src}/b0.parquet")
+    schema = spark.read.parquet(src).schema
+
+    def _admit(batch_df, batch_id):
+        admit_batch(spark, batch_df, docs, root, gen=int(batch_id))
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", f"{tmp_path}/ckpt_fresh")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException) as exc:
+        q.awaitTermination()
+    assert "VacuumedGenerationError" in str(exc.value)
+    assert _state_snapshot(root) == before
