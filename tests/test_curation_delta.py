@@ -859,3 +859,57 @@ def test_streaming_replay_after_compaction_fails_loudly(spark, tmp_path):
         q.awaitTermination()
     assert "VacuumedGenerationError" in str(exc.value)
     assert _state_snapshot(root) == before
+
+
+def test_writer_fence_multiprocess_race(tmp_path):
+    """The fence raced by REAL processes (the single-process tests
+    above simulate contenders; this one buys the actual interleaving):
+    six processes each take the fence five times, sleeping inside it
+    and logging their (start, end) monotonic interval while holding
+    it. Mutual exclusion means the 30 logged intervals are pairwise
+    non-overlapping (CLOCK_MONOTONIC is system-wide on Linux); every
+    process must finish its five acquisitions (stale-steal + retry
+    liveness — no deadlock, no lost lock), exercising the atomic
+    link-created lock under genuine concurrency."""
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "state")
+    log = str(tmp_path / "intervals.txt")
+    worker = r"""
+import os, sys, time
+root, log, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+from sentiflow_spark.queries.curation_delta import (
+    ConcurrentWriterError, _writer_fence)
+done = 0
+deadline = time.monotonic() + 90
+while done < n and time.monotonic() < deadline:
+    try:
+        with _writer_fence(root):
+            t0 = time.monotonic()
+            time.sleep(0.01)
+            t1 = time.monotonic()
+            with open(log, "a") as fh:
+                fh.write(f"{os.getpid()} {t0} {t1}\n")
+        done += 1
+    except ConcurrentWriterError:
+        time.sleep(0.005)
+sys.exit(0 if done == n else 1)
+"""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker, root, log, "5"],
+            cwd="/root/repo",
+        )
+        for _ in range(6)
+    ]
+    assert [p.wait(timeout=180) for p in procs] == [0] * 6
+    ivals = []
+    with open(log) as fh:
+        for line in fh:
+            pid, a, b = line.split()
+            ivals.append((float(a), float(b), pid))
+    assert len(ivals) == 30
+    ivals.sort()
+    for (a1, b1, p1), (a2, b2, p2) in zip(ivals, ivals[1:]):
+        assert b1 <= a2, f"fence intervals overlap: pids {p1}/{p2}"
