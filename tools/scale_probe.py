@@ -780,7 +780,14 @@ def run_gen_count_ab_probe(spark, data_dir: str, label: str) -> None:
     session, alternating positions, sentinel before each pair. If the
     gen-count slope is real, every A reads above every B; if the
     pairs straddle, the r11 law was a warmth artifact and BASELINE.md
-    gets corrected."""
+    gets corrected.
+
+    SPARK_GRAFT_AB_EXTRA_GENS=E (default 0) widens the generation gap:
+    after the 8-batch ingest, E additional 5k-doc admissions spread the
+    state to 8+E generations BEFORE the copy/compact — and each prints
+    its wall against its own growing gen count, so the sequence itself
+    traces the slope (the r12 question: is ~0.08 s/gen linear past 11
+    generations, where the K≈12 policy recommendation extrapolates?)."""
     import shutil
 
     from sentiflow_spark.queries.curation_delta import (
@@ -801,15 +808,6 @@ def run_gen_count_ab_probe(spark, data_dir: str, label: str) -> None:
         f"gen-ab {label}: 8-batch ingest {time.perf_counter() - t0:.1f} s",
         flush=True,
     )
-    shutil.copytree(root_a, root_b)
-    shutil.copytree(root_a, root_w)
-    t0 = time.perf_counter()
-    cc = compact_state(spark, root_b, horizon=None)
-    print(
-        f"gen-ab {label}: full compaction of copy B "
-        f"{time.perf_counter() - t0:.1f} s; resolved rows {cc}",
-        flush=True,
-    )
     base = spark.read.parquet(f"{BASE_SF}/documents.parquet")
     corpus = spark.read.parquet(f"{data_dir}/documents.parquet")
 
@@ -821,6 +819,23 @@ def run_gen_count_ab_probe(spark, data_dir: str, label: str) -> None:
         s = admit_batch(spark, extra, raw, root, collect_stats=True)
         return s["wall_s"]
 
+    extra_gens = int(os.environ.get("SPARK_GRAFT_AB_EXTRA_GENS", "0"))
+    for j in range(extra_gens):
+        w = _steady(root_a, 100 + j, "spread")
+        print(
+            f"gen-ab {label} spread admission {j}: {w} s "
+            f"(gens {8 + j} -> {9 + j})",
+            flush=True,
+        )
+    shutil.copytree(root_a, root_b)
+    shutil.copytree(root_a, root_w)
+    t0 = time.perf_counter()
+    cc = compact_state(spark, root_b, horizon=None)
+    print(
+        f"gen-ab {label}: full compaction of copy B "
+        f"{time.perf_counter() - t0:.1f} s; resolved rows {cc}",
+        flush=True,
+    )
     w = _steady(root_w, 0, "warmup")
     print(f"gen-ab {label}: warm-up admission (discarded): {w} s",
           flush=True)
@@ -831,7 +846,8 @@ def run_gen_count_ab_probe(spark, data_dir: str, label: str) -> None:
         wb = _steady(root_b, i, "B")
         # gen counts grow by one per admission: A starts at 8, B at 1
         print(
-            f"gen-ab {label} pair {i}: A(multi-gen, {7 + i}+1 gens) "
+            f"gen-ab {label} pair {i}: "
+            f"A(multi-gen, {7 + extra_gens + i}+1 gens) "
             f"{wa} s vs B(compacted, {i} gens) {wb} s",
             flush=True,
         )
