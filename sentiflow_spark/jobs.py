@@ -299,6 +299,24 @@ def job_curate_delta(args: argparse.Namespace) -> dict:
             f"--as-of-gen {args.as_of_gen} would be vacuumed before "
             "publish — raise --as-of-gen or --auto-compact-gens"
         )
+    if (
+        args.auto_compact_gens is not None
+        and args.compact
+        and args.horizon is not None
+        and args.horizon < args.batches - 1 - args.auto_compact_gens
+    ):
+        # same fail-early rule for the post-ingestion compaction: a
+        # re-compaction below the rolling horizon the loop already
+        # advanced to raises VacuumedGenerationError only AFTER the
+        # whole run
+        raise SystemExit(
+            "curate-delta: --horizon "
+            f"{args.horizon} is below the final rolling horizon "
+            f"{args.batches - 1 - args.auto_compact_gens} that "
+            f"--auto-compact-gens {args.auto_compact_gens} reaches "
+            "during ingestion; the closing --compact would refuse — "
+            "raise --horizon (or drop it for a full compact)"
+        )
     spark = _spark("sentiflow-curate-delta")
     state = f"{args.out}/state"
     shutil.rmtree(state, ignore_errors=True)

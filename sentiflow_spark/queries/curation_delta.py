@@ -248,9 +248,11 @@ _LOCK_FILE = "_writer.lock"
 
 def _proc_start(pid: int) -> str | None:
     """The process's kernel start time (clock ticks since boot,
-    /proc/<pid>/stat field 22) — the token that distinguishes a pid
-    from its later reuse by an unrelated process. None when unreadable
-    (non-Linux, or the process vanished between checks)."""
+    /proc/<pid>/stat field 22) — recorded in the lock file purely as
+    DIAGNOSTIC identity for the refusal message (mutual exclusion
+    itself is the kernel flock below, which neither pid liveness nor
+    start times can race). None when unreadable (non-Linux, or the
+    process vanished between checks)."""
     try:
         with open(f"/proc/{pid}/stat", "rb") as fh:
             stat = fh.read().decode("ascii", "replace")
@@ -264,96 +266,72 @@ def _proc_start(pid: int) -> str | None:
 
 @contextmanager
 def _writer_fence(state_root: str):
-    """Single-writer fence for a state root: a lockfile carrying the
-    holder's identity (pid + kernel start time), held for the duration
-    of one admission or compaction. Creation is ATOMIC WITH CONTENT —
-    the identity is written to a private temp file and os.link()ed to
-    the lock name — so the lock is never observable empty (the prior
-    O_EXCL-then-write shape had a window where a contender read an
-    empty file, parsed holder=0, and stole a LIVE lock). A lock whose
-    holder is no longer alive — or whose pid is alive but carries a
-    DIFFERENT start time, i.e. the pid was recycled by an unrelated
-    long-lived process — is STALE (the crashed-attempt case) and is
-    stolen, so the per-generation crash-recovery path never needs a
-    manual unlock; a lock held by a live process raises
-    ConcurrentWriterError, whose message names the lock path as the
-    manual escape hatch for liveness the fence cannot judge.
-    SINGLE-HOST scope by contract: pid liveness does not cross hosts
-    on shared storage (a second host always reads ProcessLookupError
-    and would steal a live remote lock) — one writer process per state
-    root means one process on ONE host; serialize cross-host writers
-    externally. Driver-side like the generation allocator it protects
-    — not a distributed lock. Pinned by
-    test_admit_batch_concurrent_writer_fence,
-    test_writer_fence_never_observable_empty and
-    test_writer_fence_pid_reuse_is_stale."""
+    """Single-writer fence for a state root: an EXCLUSIVE KERNEL LOCK
+    (flock LOCK_EX | LOCK_NB) on a permanent lock file, held for the
+    duration of one admission or compaction. flock is the right
+    altitude for the fence's declared single-host contract — it
+    removes every failure mode the earlier hand-rolled designs had to
+    patch one by one (r11's O_EXCL-then-write empty-read TOCTOU; the
+    r12 review's two-stealers race, where the loser of a stale-steal
+    unlinked the winner's freshly-created LIVE lock; pid-reuse
+    ambiguity; cross-build lock-format skew):
+
+    - CRASH RECOVERY is the kernel's: a holder that dies releases the
+      lock with its last fd — there is no stale-lock state, no
+      staleness heuristic, no steal path, and no manual unlock, ever.
+    - A live concurrent writer raises ConcurrentWriterError naming the
+      recorded holder (pid + kernel start time, written into the file
+      as diagnostics after acquisition — contenders decide by the
+      LOCK, never by parsing content, so torn/empty/legacy content
+      cannot confuse anyone).
+    - Same-process re-entry also refuses: flock locks attach to the
+      open file description, and a second open() of the same file
+      conflicts even within one process.
+
+    SINGLE-HOST scope by contract (unchanged): flock, like the pid
+    liveness it replaces, does not coordinate across hosts on shared
+    storage — one writer process per state root means one process on
+    ONE host; serialize cross-host writers externally. The lock file
+    persists empty-or-stale-content between runs by design; its
+    content is advisory diagnostics only. Driver-side like the
+    generation allocator it protects — not a distributed lock. Pinned
+    by test_admit_batch_concurrent_writer_fence,
+    test_writer_fence_crash_releases_lock,
+    test_writer_fence_content_is_diagnostic and
+    test_writer_fence_multiprocess_race."""
+    import fcntl
+
     os.makedirs(state_root, exist_ok=True)
     path = os.path.join(state_root, _LOCK_FILE)
-    tmp = os.path.join(state_root, f"{_LOCK_FILE}.{os.getpid()}.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(f"{os.getpid()} {_proc_start(os.getpid()) or '-'}\n")
+    fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
     try:
-        while True:
-            try:
-                os.link(tmp, path)  # atomic create-with-content
-                break
-            except FileExistsError:
-                holder, token = 0, None
-                # bounded re-read: an empty/torn lock can only be a
-                # mid-write from a pre-atomic writer build — give it a
-                # few beats before ruling it stale, never steal on the
-                # first empty read
-                for _ in range(5):
-                    try:
-                        with open(path) as fh:
-                            fields = fh.read().split()
-                        holder = int(fields[0]) if fields else 0
-                        token = fields[1] if len(fields) > 1 else None
-                    except (OSError, ValueError):
-                        holder = 0
-                    if holder > 0:
-                        break
-                    time.sleep(0.01)
-                alive = False
-                if holder > 0:
-                    try:
-                        os.kill(holder, 0)
-                        alive = True
-                    except ProcessLookupError:
-                        alive = False
-                    except PermissionError:
-                        alive = True  # pid exists under another user
-                if alive and token not in (None, "-"):
-                    now = _proc_start(holder)
-                    if now is not None and now != token:
-                        alive = False  # pid recycled since lock taken
-                if alive:
-                    raise ConcurrentWriterError(
-                        f"state root {state_root} is held by live "
-                        f"writer pid {holder}; the curation state is "
-                        "single-writer (one process, one host). If the "
-                        "holder is known dead — e.g. it ran on another "
-                        f"host — manually remove {path}"
-                    ) from None
-                # stale lock (crashed attempt, or recycled pid): steal
-                # it — losing the unlink race to another stealer just
-                # loops back to the atomic link
-                try:
-                    os.unlink(path)
-                except FileNotFoundError:
-                    pass
         try:
-            yield
-        finally:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            holder = "unknown"
             try:
-                os.unlink(path)
-            except FileNotFoundError:
+                with open(path) as fh:
+                    holder = fh.read().strip() or "unknown"
+            except OSError:
                 pass
+            raise ConcurrentWriterError(
+                f"state root {state_root} is held by a live writer "
+                f"(recorded holder: {holder}); the curation state is "
+                "single-writer (one process, one host) — wait for the "
+                "holder or point this writer at a separate state root"
+            ) from None
+        # acquired: record identity for the refusal message above
+        os.ftruncate(fd, 0)
+        os.write(
+            fd,
+            f"pid {os.getpid()} start {_proc_start(os.getpid()) or '-'}\n"
+            .encode(),
+        )
+        yield
     finally:
-        try:
-            os.unlink(tmp)
-        except FileNotFoundError:
-            pass
+        # closing the fd releases the flock (the kernel also releases
+        # it if the process dies first); the file itself persists
+        os.close(fd)
 
 
 def _next_gen(features_path: str) -> int:

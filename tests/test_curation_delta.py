@@ -525,13 +525,14 @@ def test_horizon_compaction_retains_asof_history(spark, tmp_path):
 def test_admit_batch_concurrent_writer_fence(spark, tmp_path):
     """The generation allocator is a driver-side max+1 listing, so the
     state root is single-writer by fence: a second admit while a LIVE
-    process holds the lock raises ConcurrentWriterError (instead of
-    allocating the same generation and interleaving appends the
-    purge-on-retry could mix); a lock left by a DEAD process (the
-    crashed-attempt case) is stolen so crash recovery never needs a
-    manual unlock; and the fence is released after a successful admit."""
+    process holds the kernel flock raises ConcurrentWriterError
+    (instead of allocating the same generation and interleaving
+    appends the purge-on-retry could mix); the lock is RELEASED after
+    a successful admit so the next writer proceeds; and the fenced
+    runs converge to a clean state."""
     import os
     import subprocess
+    import sys
 
     import pytest
 
@@ -546,24 +547,31 @@ def test_admit_batch_concurrent_writer_fence(spark, tmp_path):
     state = f"{tmp_path}/state"
     admit_batch(spark, batches[0], docs, state)
     lock = os.path.join(state, _LOCK_FILE)
-    assert not os.path.exists(lock)  # released after success
 
-    # a LIVE holder (this very process) blocks both writers
-    with open(lock, "w") as fh:
-        fh.write(f"{os.getpid()}\n")
-    with pytest.raises(ConcurrentWriterError):
-        admit_batch(spark, batches[1], docs, state)
-    with pytest.raises(ConcurrentWriterError):
-        compact_state(spark, state)
-
-    # a DEAD holder's lock is stale and gets stolen: use a subprocess
-    # that has already exited as the provably-dead pid
-    proc = subprocess.Popen(["true"])
-    proc.wait()
-    with open(lock, "w") as fh:
-        fh.write(f"{proc.pid}\n")
+    # a LIVE holder (a real process holding the flock) blocks both
+    # writer entry points
+    holder = subprocess.Popen(
+        [sys.executable, "-c", (
+            "import fcntl, os, sys, time\n"
+            "fd = os.open(sys.argv[1], os.O_CREAT | os.O_RDWR)\n"
+            "fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)\n"
+            "print('locked', flush=True)\n"
+            "time.sleep(60)\n"
+        ), lock],
+        stdout=subprocess.PIPE,
+    )
+    try:
+        assert holder.stdout.readline().strip() == b"locked"
+        with pytest.raises(ConcurrentWriterError):
+            admit_batch(spark, batches[1], docs, state)
+        with pytest.raises(ConcurrentWriterError):
+            compact_state(spark, state)
+    finally:
+        holder.kill()
+        holder.wait()
+    # the holder's death released the kernel lock: no stale state, no
+    # manual unlock — the next admit just proceeds
     admit_batch(spark, batches[1], docs, state)
-    assert not os.path.exists(lock)
 
     # the fenced runs still converge to a clean two-batch state
     clean = f"{tmp_path}/state_clean"
@@ -730,15 +738,14 @@ def test_admit_external_gen_refuses_below_horizon(spark, tmp_path):
     )
 
 
-def test_writer_fence_never_observable_empty(spark, tmp_path):
-    """TOCTOU regression (r11 ADVICE): lock creation is atomic with
-    its content — while any writer holds the fence the lock file
-    parses to (pid, start-token), never empty, so a contender can
-    never read holder=0 and steal a LIVE lock. An empty lock file
-    (a pre-atomic writer build's mid-write window, or corruption) is
-    tolerated: the fence retries the read a few beats, then rules it
-    stale and acquires — bounded, no hang, no error. The private temp
-    file is cleaned up on exit."""
+def test_writer_fence_content_is_diagnostic(spark, tmp_path):
+    """Mutual exclusion is the kernel flock, never the file content:
+    while the fence is held the lock file records the holder's
+    identity (pid + kernel start time) for the refusal message; a
+    pre-existing EMPTY or GARBAGE lock file neither blocks nor
+    confuses acquisition (the r11 TOCTOU class is structurally gone —
+    contenders decide by the lock, not by parsing); and the lock file
+    deliberately persists after release."""
     import os
 
     from sentiflow_spark.queries.curation_delta import (
@@ -753,36 +760,35 @@ def test_writer_fence_never_observable_empty(spark, tmp_path):
     with _writer_fence(root):
         with open(lock) as fh:
             fields = fh.read().split()
-        assert int(fields[0]) == os.getpid()
-        assert fields[1] == (_proc_start(os.getpid()) or "-")
-    assert not os.path.exists(lock)
-    assert not any(
-        f.startswith(_LOCK_FILE) for f in os.listdir(root)
-    )  # temp cleaned up too
+        assert fields[0] == "pid" and int(fields[1]) == os.getpid()
+        assert fields[3] == (_proc_start(os.getpid()) or "-")
+    assert os.path.exists(lock)  # persists by design (flock target)
 
-    # empty lock file: stolen after the bounded re-read, not an error
-    with open(lock, "w"):
-        pass
-    with _writer_fence(root):
-        assert os.path.getsize(lock) > 0
-    assert not os.path.exists(lock)
+    # empty and garbage content: acquisition is unaffected
+    for junk in ("", "0", "not a pid at all \x00"):
+        with open(lock, "w") as fh:
+            fh.write(junk)
+        with _writer_fence(root):
+            pass
 
 
-def test_writer_fence_pid_reuse_is_stale(spark, tmp_path):
-    """PID-reuse hardening (r11 ADVICE): a lock whose pid is ALIVE but
-    whose recorded kernel start time differs from the pid's current
-    one belongs to a crashed writer whose pid was recycled — stale,
-    stolen, no manual unlink. A live pid with the MATCHING token still
-    refuses, and the refusal message names the lock path as the
-    manual escape hatch."""
+def test_writer_fence_crash_releases_lock(spark, tmp_path):
+    """Crash recovery is the kernel's: a holder that dies without
+    unlocking leaves its identity bytes in the file but NO lock — the
+    next writer acquires immediately, no staleness heuristic, no
+    manual unlink (the pid-reuse and two-stealers races of the
+    hand-rolled designs cannot exist). A live holder's refusal names
+    the recorded holder identity. Same-process re-entry also refuses
+    (flock conflicts across separate opens even within one process)."""
     import os
+    import subprocess
+    import sys
 
     import pytest
 
     from sentiflow_spark.queries.curation_delta import (
         _LOCK_FILE,
         ConcurrentWriterError,
-        _proc_start,
         _writer_fence,
     )
 
@@ -790,22 +796,26 @@ def test_writer_fence_pid_reuse_is_stale(spark, tmp_path):
     os.makedirs(root)
     lock = os.path.join(root, _LOCK_FILE)
 
-    # live pid (ours), WRONG start token -> recycled pid -> stale
-    with open(lock, "w") as fh:
-        fh.write(f"{os.getpid()} 999999999999999\n")
-    with _writer_fence(root):
+    # a holder that flocks, records identity, and DIES (no unlock)
+    crashed = subprocess.run(
+        [sys.executable, "-c", (
+            "import fcntl, os, sys\n"
+            "fd = os.open(sys.argv[1], os.O_CREAT | os.O_RDWR)\n"
+            "fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)\n"
+            "os.write(fd, b'pid 999999 start 42')\n"
+            "os._exit(0)\n"  # no close, no unlock: the crash case
+        ), lock],
+    )
+    assert crashed.returncode == 0
+    with _writer_fence(root):  # acquires immediately over the remains
         pass
-    assert not os.path.exists(lock)
 
-    # live pid, CORRECT token -> genuinely held -> named refusal with
-    # the documented escape hatch
-    with open(lock, "w") as fh:
-        fh.write(f"{os.getpid()} {_proc_start(os.getpid()) or '-'}\n")
-    with pytest.raises(ConcurrentWriterError) as exc:
-        with _writer_fence(root):
-            pass
-    assert lock in str(exc.value)
-    os.unlink(lock)
+    # same-process re-entry refuses with the recorded holder named
+    with _writer_fence(root):
+        with pytest.raises(ConcurrentWriterError) as exc:
+            with _writer_fence(root):
+                pass
+        assert f"pid {os.getpid()}" in str(exc.value)
 
 
 def test_streaming_replay_after_compaction_fails_loudly(spark, tmp_path):
@@ -871,6 +881,7 @@ def test_writer_fence_multiprocess_race(tmp_path):
     process must finish its five acquisitions (stale-steal + retry
     liveness — no deadlock, no lost lock), exercising the atomic
     link-created lock under genuine concurrency."""
+    import os
     import subprocess
     import sys
 
@@ -899,7 +910,7 @@ sys.exit(0 if done == n else 1)
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", worker, root, log, "5"],
-            cwd="/root/repo",
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )
         for _ in range(6)
     ]

@@ -877,3 +877,19 @@ def test_curate_delta_job_prevalidates_asof_vs_auto_compact(sf_dir):
             "--batches", "4", "--auto-compact-gens", "1",
             "--as-of-gen", "1",
         ])
+
+
+def test_curate_delta_job_prevalidates_horizon_vs_auto_compact(sf_dir):
+    """--compact --horizon H below the final rolling horizon that
+    --auto-compact-gens reaches during ingestion fails UP FRONT with
+    SystemExit (the closing compact_state would otherwise refuse with
+    VacuumedGenerationError after the whole run)."""
+    import pytest
+
+    # batches=4, K=1 -> rolling horizon ends at 2; --horizon 1 refuses
+    with pytest.raises(SystemExit):
+        _run([
+            "curate-delta", "--sf-dir", sf_dir, "--out", "/tmp/never",
+            "--batches", "4", "--auto-compact-gens", "1",
+            "--compact", "--horizon", "1",
+        ])

@@ -707,7 +707,8 @@ def run_autocompact_policy_probe(spark, data_dir: str, label: str) -> None:
 
     base = spark.read.parquet(f"{BASE_SF}/documents.parquet")
     corpus = spark.read.parquet(f"{data_dir}/documents.parquet")
-    pubs: dict[str, list] = {}
+    first_pub: list | None = None
+    identical = True
     for K in (2, 4, None):
         tag = "inf" if K is None else str(K)
         root = _state_root(data_dir) + f"_policy{tag}"
@@ -743,7 +744,13 @@ def run_autocompact_policy_probe(spark, data_dir: str, label: str) -> None:
             f"{time.perf_counter() - t0:.1f} s, {len(pub)} rows",
             flush=True,
         )
-        pubs[tag] = pub
+        # compare NOW and drop: retaining all three ~1M-row
+        # publishes in driver memory risks OOM at larger N
+        if first_pub is None:
+            first_pub = pub
+        else:
+            identical = identical and pub == first_pub
+        del pub
         extra = base.withColumn(
             "doc_id", F.col("doc_id") + F.lit(1000 * ID_STRIDE)
         )
@@ -757,10 +764,9 @@ def run_autocompact_policy_probe(spark, data_dir: str, label: str) -> None:
             flush=True,
         )
         shutil.rmtree(root, ignore_errors=True)
-    vals = list(pubs.values())
     print(
         f"autocompact {label}: publishes identical across policies: "
-        f"{all(v == vals[0] for v in vals[1:])}",
+        f"{identical}",
         flush=True,
     )
 
@@ -810,13 +816,17 @@ def run_gen_count_ab_probe(spark, data_dir: str, label: str) -> None:
     )
     base = spark.read.parquet(f"{BASE_SF}/documents.parquet")
     corpus = spark.read.parquet(f"{data_dir}/documents.parquet")
+    # admit_batch's contract: raw must cover EVERY doc admitted so far
+    # plus the delta — so each root's raw view accumulates its extras
+    # (a crossing that stales a prior extra must find its text)
+    raws = {root_a: corpus, root_b: corpus, root_w: corpus}
 
     def _steady(root, i, tag):
         extra = base.withColumn(
             "doc_id", F.col("doc_id") + F.lit((1000 + i) * ID_STRIDE)
         )
-        raw = corpus.unionByName(extra)
-        s = admit_batch(spark, extra, raw, root, collect_stats=True)
+        raws[root] = raws[root].unionByName(extra)
+        s = admit_batch(spark, extra, raws[root], root, collect_stats=True)
         return s["wall_s"]
 
     extra_gens = int(os.environ.get("SPARK_GRAFT_AB_EXTRA_GENS", "0"))
@@ -829,6 +839,8 @@ def run_gen_count_ab_probe(spark, data_dir: str, label: str) -> None:
         )
     shutil.copytree(root_a, root_b)
     shutil.copytree(root_a, root_w)
+    raws[root_b] = raws[root_a]
+    raws[root_w] = raws[root_a]
     t0 = time.perf_counter()
     cc = compact_state(spark, root_b, horizon=None)
     print(
