@@ -60,9 +60,9 @@ DELTA_BATCHES ascending-doc_id batches against initially-empty state
 and must hash-match the ONE-SHOT DAG oracle row-for-row.
 
 SINGLE-WRITER PER STATE ROOT: generation allocation is a driver-side
-max+1 listing, so admissions and compactions take an O_EXCL writer
-fence on the root (stale locks from crashed attempts are stolen by
-PID liveness; a LIVE concurrent writer gets ConcurrentWriterError).
+max+1 listing, so admissions and compactions take a kernel-flock
+writer fence on the root (crash release is the kernel's — no stale
+locks; a LIVE concurrent writer gets ConcurrentWriterError).
 Run one admitting process per state root — the batch job and the
 streaming twin must not share one.
 """
