@@ -98,3 +98,91 @@ def test_regress_skips_non_numeric_detail_pointer(tmp_path):
     r = _regress(tmp_path, old, new)
     assert r.returncode == 0
     assert "shared 1 queries" in r.stdout
+
+
+def test_regress_suppresses_flags_on_in_run_bursts(tmp_path):
+    """r12 bursty gate: both endpoint probes quiet, but the in-run
+    sampler caught interference mid-run (probe >= 0.15 s while the
+    host was not saturated by the workload) — flags suppressed, exit 3,
+    distinct banner."""
+    old = {"sf": "x", "host": {"cpu_probe_start_s": 0.09,
+                               "cpu_probe_end_s": 0.10},
+           "queries": {"q_a": 1.0}}
+    new = {"sf": "x",
+           "host": {"cpu_probe_start_s": 0.097, "cpu_probe_end_s": 0.102,
+                    "in_run_n": 25, "in_run_probe_med_s": 0.11,
+                    "in_run_probe_max_s": 0.31, "in_run_bursts": 3},
+           "queries": {"q_a": 9.0}}
+    r = _regress(tmp_path, old, new)
+    assert r.returncode == 3
+    assert "BURSTY" in r.stdout and "NEW" in r.stdout
+    assert "REGRESSED" not in r.stdout
+    # symmetric: a bursty BASELINE also poisons the comparison
+    r2 = _regress(tmp_path, new, old)
+    assert r2.returncode == 3 and "OLD" in r2.stdout
+
+
+def test_regress_in_run_quiet_sweep_is_ungated(tmp_path):
+    """An in-run summary with zero bursts must NOT gate — elevated
+    samples taken while the workload itself saturated the host are
+    ordinary fair-share scheduling, already excluded by the sampler's
+    runnable-count condition."""
+    old = {"sf": "x", "host": {"cpu_probe_start_s": 0.09},
+           "queries": {"q_a": 1.0}}
+    new = {"sf": "x",
+           "host": {"cpu_probe_start_s": 0.10, "cpu_probe_end_s": 0.09,
+                    "in_run_n": 25, "in_run_probe_med_s": 0.10,
+                    "in_run_probe_max_s": 0.29, "in_run_bursts": 0},
+           "queries": {"q_a": 3.0}}
+    r = _regress(tmp_path, old, new)
+    assert r.returncode == 1
+    assert "REGRESSED q_a" in r.stdout and "BURSTY" not in r.stdout
+
+
+def test_host_sentinel_burst_classification(tmp_path):
+    """InRunSampler.stop() summarization on a planted sample series:
+    contended-probe samples count as bursts ONLY at low runnable;
+    the io-stall cumulative rides along from the last sample."""
+    sys.path.insert(0, TOOLS)
+    try:
+        from host_sentinel import InRunSampler
+    finally:
+        sys.path.pop(0)
+    s = InRunSampler(period_s=999)
+    planted = [
+        {"offset_s": 20.0, "probe_s": 0.10, "runnable": 2,
+         "io_stall_s": 0.5},
+        # elevated probe but host saturated by the workload: NOT a burst
+        {"offset_s": 40.0, "probe_s": 0.22, "runnable": 33,
+         "io_stall_s": 1.0},
+        # elevated probe at low runnable: burst
+        {"offset_s": 60.0, "probe_s": 0.18, "runnable": 3,
+         "io_stall_s": 2.5},
+    ]
+    with open(s._path, "w") as fh:
+        for rec in planted:
+            fh.write(json.dumps(rec) + "\n")
+    out = s.stop(ncpus=32)
+    assert out["in_run_n"] == 3
+    assert out["in_run_bursts"] == 1
+    assert out["in_run_burst_offsets_s"] == [60.0]
+    assert out["in_run_probe_max_s"] == 0.22
+    assert out["in_run_io_stall_s"] == 2.5
+
+
+def test_host_sentinel_live_smoke():
+    """The real child subprocess produces samples with the expected
+    keys on this host (fast period, ~1 s window)."""
+    import time as _time
+
+    sys.path.insert(0, TOOLS)
+    try:
+        from host_sentinel import InRunSampler
+    finally:
+        sys.path.pop(0)
+    s = InRunSampler(period_s=0.2)
+    s.start()
+    _time.sleep(1.2)
+    out = s.stop(ncpus=32)
+    assert out["in_run_n"] >= 1
+    assert 0 < out["in_run_probe_med_s"] < 5

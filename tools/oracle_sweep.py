@@ -23,7 +23,14 @@ hypervisor-level contention that guest loadavg could NOT see (probe
 0.217 s at load1 0.05 vs the 0.09-0.12 quiet band), so the artifact
 itself must prove which side of a comparison was contended.
 tools/regress.py reads the block and suppresses per-query flag chasing
-when either side's probe is >= 0.15 s.
+when either side's probe is >= 0.15 s.  Since r12 the block also
+carries an IN-RUN summary (tools/host_sentinel.py: a detached child
+samples probe + runnable count + IO PSI every ~20 s) because the
+endpoint pair can STRADDLE bursty interference — r12's worst same-code
+re-run read 1.9x total, streaming queries 10-19x, with BOTH endpoint
+probes in the quiet band; regress.py gates on `in_run_bursts` (probe
+contended while the host was NOT saturated by the sweep's own load)
+the same way it gates on the endpoint probes.
 
 This is deliberately NOT built on sentiflow_spark.oracle — that module
 is code under test; the comparison lives in tools/pandas_canon.py so a
@@ -93,6 +100,15 @@ def main() -> int:
         "load1_start": round(os.getloadavg()[0], 2),
         "cpu_probe_start_s": _cpu_probe_s(),
     }
+    # The endpoint probes can STRADDLE bursty interference (r12: the
+    # worst of three same-code re-runs read 1.9x total with BOTH
+    # endpoint probes quiet); a detached child samples the probe +
+    # runnable count + IO PSI throughout and the summary lands in the
+    # host block for regress.py to read.
+    from host_sentinel import InRunSampler
+
+    sampler = InRunSampler()
+    sampler.start()
     t0 = time.perf_counter()
     npass, fails = 0, []
     per_query: dict[str, float] = {}
@@ -110,6 +126,7 @@ def main() -> int:
     total = time.perf_counter() - t0
     host["load1_end"] = round(os.getloadavg()[0], 2)
     host["cpu_probe_end_s"] = _cpu_probe_s()
+    host.update(sampler.stop())
     print(f"{npass}/{len(qs)} pass at {sf} in {total:.0f} s")
     print(f"host sentinel: {host}")
     for f in fails:

@@ -21,6 +21,14 @@ would be position/contention noise, not code), and the exit code is 3
 so callers can distinguish "re-run on a quiet host" from "regressed"
 (1) and "clean" (0). Files without a host block (pre-r11 artifacts)
 are compared ungated, as before.
+
+BURSTY GATE (r12): the endpoint probes can STRADDLE interference —
+the worst of three same-code r12 re-runs read 1.9x total with BOTH
+endpoint probes in the quiet band. Sweeps since r12 carry an in-run
+sampler summary (tools/host_sentinel.py): probe samples taken while
+the host was NOT saturated by the workload itself (runnable <= half
+the cores). Any such burst (`in_run_bursts` > 0) suppresses flags and
+exits 3 exactly like the endpoint gate.
 """
 
 from __future__ import annotations
@@ -92,12 +100,22 @@ def main() -> int:
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
 
     contended = []
+    bursty = []
     for side, path, host in (
         ("OLD", sys.argv[1], host_old), ("NEW", sys.argv[2], host_new)
     ):
         probe = _probe_max(host)
         if probe is not None and probe >= CONTENTION_PROBE_S:
             contended.append((side, path, probe))
+        # r12: the endpoint probes can straddle bursty interference
+        # (worst same-code re-run read 1.9x with both endpoints quiet);
+        # the in-run sampler (tools/host_sentinel.py) records probe
+        # samples taken while the host was NOT saturated by the
+        # workload itself — any such burst poisons the comparison the
+        # same way an endpoint-probe hit does.
+        elif host and host.get("in_run_bursts", 0) > 0:
+            bursty.append((side, path, host["in_run_bursts"],
+                           host.get("in_run_probe_max_s")))
 
     # drop non-numeric entries (bench.py's stdout line may carry a
     # "_detail" pointer instead of inline per-query numbers — compare
@@ -133,6 +151,19 @@ def main() -> int:
         print("!!! not code. Re-run the contended side on a quiet host "
               "before")
         print("!!! chasing any regression.")
+        print("!" * 66)
+        return 3
+    if bursty:
+        print("!" * 66)
+        for side, path, n, pmax in bursty:
+            print(f"!!! BURSTY: {side} ({path}) {n} in-run probe "
+                  f"sample(s) >= {CONTENTION_PROBE_S}s at low runnable "
+                  f"(max {pmax}s)")
+        print("!!! endpoint probes were quiet but interference hit "
+              "mid-run —")
+        print("!!! per-query flags SUPPRESSED; re-run the bursty side "
+              "on a quiet")
+        print("!!! host before chasing any regression.")
         print("!" * 66)
         return 3
     for name, o, n, r in flagged:
