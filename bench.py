@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 from sentiflow_spark.queries.registry import load_all
@@ -90,6 +91,17 @@ def main() -> None:
     # high run-to-run variance; the SECOND is steady state (stable to
     # ~10%), which is what a 1000-executor run amortizes to — so warm
     # numbers are the headline and cold numbers are reported alongside.
+    # In-run interference sampler (r12): the endpoint probe pair can
+    # straddle bursty host interference entirely (see
+    # tools/host_sentinel.py) — sample throughout the timed passes so
+    # the committed artifact proves mid-run bursts too.
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    )
+    from host_sentinel import InRunSampler
+
+    sampler = InRunSampler()
+    sampler.start()
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     for passes in (cold, warm):
@@ -97,6 +109,7 @@ def main() -> None:
             t0 = time.perf_counter()
             registry[name].fn(spark, SF_DIR).count()
             passes[name] = round(time.perf_counter() - t0, 4)
+    in_run = sampler.stop()
     # best-of-2 per query (the "min of N runs" convention BASELINE.md's
     # probes already use): GC pauses land on random queries in a 70-job
     # run, so either single pass has 2-4x outliers the other doesn't.
@@ -106,6 +119,11 @@ def main() -> None:
         "load1_start": load1_start,
         "load1_end": round(os.getloadavg()[0], 2),
         "cpu_probe_s": cpu_probe,
+        # compact in-run keys only on the size-capped stdout line (the
+        # gate key is in_run_bursts); the full summary — sample count,
+        # median, burst offsets, io stall — goes to BENCH_DETAIL.json
+        "in_run_bursts": in_run.get("in_run_bursts", 0),
+        "in_run_probe_max_s": in_run.get("in_run_probe_max_s"),
     }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -119,7 +137,7 @@ def main() -> None:
                                "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(
-            {"init_s": init_s, "sf": sf_val, "host": host,
+            {"init_s": init_s, "sf": sf_val, "host": {**host, **in_run},
              "pass1_queries": cold,
              "pass2_queries": warm, "queries": timings, "value": total},
             fh, indent=1,
