@@ -186,3 +186,43 @@ def test_host_sentinel_live_smoke():
     out = s.stop(ncpus=32)
     assert out["in_run_n"] >= 1
     assert 0 < out["in_run_probe_med_s"] < 5
+
+
+def test_regress_selective_burst_exclusion(tmp_path):
+    """A bursty side WITH per-query offsets: only queries whose run
+    window overlaps a burst (+/- 25 s margin) are excluded; a clean-
+    window regression elsewhere is still flagged and the excluded set
+    is listed as status-unknown."""
+    old = {"sf": "x", "host": {"cpu_probe_start_s": 0.09},
+           "queries": {"q_hit": 2.0, "q_clean": 1.0, "q_ok": 1.0}}
+    new = {"sf": "x",
+           "host": {"cpu_probe_start_s": 0.10, "cpu_probe_end_s": 0.10,
+                    "in_run_bursts": 1,
+                    "in_run_probe_max_s": 0.25,
+                    "in_run_burst_offsets_s": [100.0]},
+           # q_hit runs 90->96 s (overlaps 100 with margin); q_clean
+           # runs 200->209 s (clean window, 3x = real flag); q_ok clean
+           "queries": {"q_hit": 6.0, "q_clean": 3.0, "q_ok": 1.1},
+           "offsets": {"q_hit": 90.0, "q_clean": 200.0, "q_ok": 300.0}}
+    r = _regress(tmp_path, old, new)
+    assert r.returncode == 1
+    assert "BURST-EXCLUDED (1)" in r.stdout and "q_hit" in r.stdout
+    assert "REGRESSED q_clean" in r.stdout
+    assert "REGRESSED q_hit" not in r.stdout
+    assert "shared 2 queries" in r.stdout  # totals over the clean set
+
+
+def test_regress_bursty_without_offsets_still_fully_suppresses(tmp_path):
+    """Backward compatibility: a bursty artifact with no offsets map
+    (pre-r12 shape, or bench.py's compact line) cannot localize the
+    burst — whole comparison suppressed, exit 3."""
+    old = {"sf": "x", "host": {"cpu_probe_start_s": 0.09},
+           "queries": {"q_a": 1.0}}
+    new = {"sf": "x",
+           "host": {"cpu_probe_start_s": 0.10, "in_run_bursts": 2,
+                    "in_run_probe_max_s": 0.3,
+                    "in_run_burst_offsets_s": [50.0]},
+           "queries": {"q_a": 3.0}}  # no "offsets"
+    r = _regress(tmp_path, old, new)
+    assert r.returncode == 3
+    assert "BURSTY" in r.stdout and "REGRESSED" not in r.stdout

@@ -112,8 +112,14 @@ def main() -> int:
     t0 = time.perf_counter()
     npass, fails = 0, []
     per_query: dict[str, float] = {}
+    # per-query START offsets (same clock as the sampler's burst
+    # offsets): lets regress.py suppress only the queries whose run
+    # window overlaps a recorded burst instead of discarding the whole
+    # comparison
+    offsets: dict[str, float] = {}
     for name, fn in qs.items():
         tq = time.perf_counter()
+        offsets[name] = round(tq - t0, 1)
         try:
             ok, detail = check_one(name, fn, osql.get(name), spark, con, sf)
         except Exception as exc:  # noqa: BLE001 - report, don't crash the sweep
@@ -143,6 +149,7 @@ def main() -> int:
                     "n_queries": len(qs),
                     "host": host,
                     "queries": per_query,
+                    "offsets": offsets,
                 },
                 fh,
                 indent=1,

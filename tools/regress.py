@@ -27,8 +27,12 @@ the worst of three same-code r12 re-runs read 1.9x total with BOTH
 endpoint probes in the quiet band. Sweeps since r12 carry an in-run
 sampler summary (tools/host_sentinel.py): probe samples taken while
 the host was NOT saturated by the workload itself (runnable <= half
-the cores). Any such burst (`in_run_bursts` > 0) suppresses flags and
-exits 3 exactly like the endpoint gate.
+the cores). When the bursty side also carries per-query start offsets
+(sweep artifacts since r12), only the queries whose run window
+overlaps a recorded burst (+/- one sampler period) are EXCLUDED from
+the comparison — listed loudly as status-unknown — and the rest
+proceeds normally; a bursty artifact WITHOUT offsets still suppresses
+everything and exits 3 exactly like the endpoint gate.
 """
 
 from __future__ import annotations
@@ -86,17 +90,17 @@ def main() -> int:
         # back to the raw tail fragment when parsing failed driver-side
         p = d.get("parsed") or (d if "queries" in d else None)
         if p is not None:
-            return p["queries"], p.get("host")
+            return p["queries"], p.get("host"), p.get("offsets")
         q = _from_tail(d.get("tail", ""))
         if not q:
             raise SystemExit(f"{path}: no parsed queries and no "
                              f"recoverable tail fragment")
         print(f"note: {path} parsed=null — recovered "
               f"{len(q)} queries from its tail fragment")
-        return q, None
+        return q, None, None
 
-    old, host_old = queries_of(sys.argv[1])
-    new, host_new = queries_of(sys.argv[2])
+    old, host_old, off_old = queries_of(sys.argv[1])
+    new, host_new, off_new = queries_of(sys.argv[2])
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
 
     contended = []
@@ -114,8 +118,10 @@ def main() -> int:
         # workload itself — any such burst poisons the comparison the
         # same way an endpoint-probe hit does.
         elif host and host.get("in_run_bursts", 0) > 0:
+            offs = off_old if side == "OLD" else off_new
             bursty.append((side, path, host["in_run_bursts"],
-                           host.get("in_run_probe_max_s")))
+                           host.get("in_run_probe_max_s"),
+                           host.get("in_run_burst_offsets_s"), offs))
 
     # drop non-numeric entries (bench.py's stdout line may carry a
     # "_detail" pointer instead of inline per-query numbers — compare
@@ -123,15 +129,39 @@ def main() -> int:
     old = {k: v for k, v in old.items() if isinstance(v, (int, float))}
     new = {k: v for k, v in new.items() if isinstance(v, (int, float))}
 
+    # Selective burst suppression (r12): when a bursty side carries
+    # per-query start offsets, exclude only the queries whose run
+    # window [start-MARGIN, start+duration+MARGIN] on THAT side
+    # overlaps a recorded burst (a burst sample at T indicates
+    # interference somewhere in the preceding sampler period, hence the
+    # margin on both ends) — the rest of the comparison stays usable.
+    # A bursty side WITHOUT offsets (older artifact) still discards
+    # the whole comparison below.
+    BURST_MARGIN_S = 25.0
+    burst_excluded: set[str] = set()
+    full_suppress = []
+    for side, path, n, pmax, burst_offs, offs in bursty:
+        qmap = old if side == "OLD" else new
+        if not offs or not burst_offs:
+            full_suppress.append((side, path, n, pmax))
+            continue
+        for name, start in offs.items():
+            dur = qmap.get(name)
+            if not isinstance(dur, (int, float)):
+                continue
+            lo, hi = start - BURST_MARGIN_S, start + dur + BURST_MARGIN_S
+            if any(lo <= b <= hi for b in burst_offs):
+                burst_excluded.add(name)
+
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
     flagged = []
-    for name in sorted(set(old) & set(new)):
+    for name in sorted((set(old) & set(new)) - burst_excluded):
         ratio = new[name] / old[name] if old[name] else float("inf")
         if ratio > threshold:
             flagged.append((name, old[name], new[name], ratio))
 
-    shared = set(old) & set(new)
+    shared = (set(old) & set(new)) - burst_excluded
     t_old = sum(old[n] for n in shared)
     t_new = sum(new[n] for n in shared)
     print(f"shared {len(shared)} queries: {t_old:.1f}s -> {t_new:.1f}s "
@@ -153,12 +183,13 @@ def main() -> int:
         print("!!! chasing any regression.")
         print("!" * 66)
         return 3
-    if bursty:
+    if full_suppress:
         print("!" * 66)
-        for side, path, n, pmax in bursty:
+        for side, path, n, pmax in full_suppress:
             print(f"!!! BURSTY: {side} ({path}) {n} in-run probe "
                   f"sample(s) >= {CONTENTION_PROBE_S}s at low runnable "
-                  f"(max {pmax}s)")
+                  f"(max {pmax}s) and no per-query offsets to localize "
+                  f"them")
         print("!!! endpoint probes were quiet but interference hit "
               "mid-run —")
         print("!!! per-query flags SUPPRESSED; re-run the bursty side "
@@ -166,6 +197,11 @@ def main() -> int:
         print("!!! host before chasing any regression.")
         print("!" * 66)
         return 3
+    if burst_excluded:
+        print(f"BURST-EXCLUDED ({len(burst_excluded)}): timings taken "
+              f"inside an interference burst window on a bursty side — "
+              f"NOT compared, status UNKNOWN, re-run to cover: "
+              + ", ".join(sorted(burst_excluded)))
     for name, o, n, r in flagged:
         print(f"REGRESSED {name}: {o:.2f}s -> {n:.2f}s ({r:.1f}x)")
     if not flagged:
