@@ -226,3 +226,31 @@ def test_regress_bursty_without_offsets_still_fully_suppresses(tmp_path):
     r = _regress(tmp_path, old, new)
     assert r.returncode == 3
     assert "BURSTY" in r.stdout and "REGRESSED" not in r.stdout
+
+
+def test_host_sentinel_child_exits_when_orphaned(tmp_path):
+    """A parent that dies WITHOUT stop() (hard crash) must not leave
+    the sampler child looping forever: it self-exits on reparenting —
+    including the race where the parent dies before the child's
+    interpreter boots (ppid already 1 at first read) — and removes its
+    own output file."""
+    import textwrap
+    import time as _time
+
+    code = textwrap.dedent("""
+        import os, sys
+        sys.path.insert(0, %r)
+        from host_sentinel import InRunSampler
+        s = InRunSampler(period_s=0.2)
+        s.start()
+        print(s._proc.pid, s._path, flush=True)
+        os._exit(9)
+    """ % os.path.abspath(TOOLS))
+    p = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, text=True)
+    pid, path = p.stdout.split()
+    deadline = _time.time() + 5
+    while _time.time() < deadline and os.path.exists(f"/proc/{pid}"):
+        _time.sleep(0.2)
+    assert not os.path.exists(f"/proc/{pid}")
+    assert not os.path.exists(path)

@@ -66,9 +66,19 @@ def _runnable():
         return -1
 
 out, period = sys.argv[1], float(sys.argv[2])
-t0, io0 = time.time(), _io_some_total()
+t0, io0, ppid0 = time.time(), _io_some_total(), os.getppid()
 while True:
     time.sleep(period)
+    # ppid0 == 1 means the parent died before this interpreter even
+    # booted (already reparented at first read): treat as orphaned too
+    if os.getppid() != ppid0 or ppid0 == 1:
+        # parent died without stop() (hard crash / SIGKILL): don't
+        # loop as an orphan forever; clean our own output too
+        try:
+            os.unlink(out)
+        except OSError:
+            pass
+        break
     rec = {
         "offset_s": round(time.time() - t0, 1),
         "probe_s": _probe(),
