@@ -254,3 +254,42 @@ def test_host_sentinel_child_exits_when_orphaned(tmp_path):
         _time.sleep(0.2)
     assert not os.path.exists(f"/proc/{pid}")
     assert not os.path.exists(path)
+
+
+def test_regress_exclusion_without_flags_is_not_clean(tmp_path):
+    """If burst exclusion removes the only drifted queries, the
+    comparison is PARTIAL: zero flags must exit 3 (re-run to cover),
+    never 0 — exit-code callers would otherwise record a round as
+    clean on queries that were never compared."""
+    old = {"sf": "x", "host": {"cpu_probe_start_s": 0.09},
+           "queries": {"q_hit": 2.0, "q_ok": 1.0}}
+    new = {"sf": "x",
+           "host": {"cpu_probe_start_s": 0.10, "in_run_bursts": 1,
+                    "in_run_probe_max_s": 0.25,
+                    "in_run_burst_offsets_s": [100.0]},
+           "queries": {"q_hit": 9.0, "q_ok": 1.05},
+           "offsets": {"q_hit": 95.0, "q_ok": 300.0}}
+    r = _regress(tmp_path, old, new)
+    assert r.returncode == 3
+    assert "BURST-EXCLUDED (1)" in r.stdout and "q_hit" in r.stdout
+    assert "STATUS-UNKNOWN" in r.stdout
+    assert "REGRESSED" not in r.stdout
+
+
+def test_regress_truncated_burst_offsets_fully_suppress(tmp_path):
+    """The artifact caps in_run_burst_offsets_s (host-block size); when
+    in_run_bursts exceeds the localized list, un-localized bursts could
+    have hit ANY query — selective exclusion is unsound and the whole
+    comparison must suppress (exit 3)."""
+    old = {"sf": "x", "host": {"cpu_probe_start_s": 0.09},
+           "queries": {"q_a": 1.0}}
+    new = {"sf": "x",
+           "host": {"cpu_probe_start_s": 0.10, "in_run_bursts": 25,
+                    "in_run_probe_max_s": 0.3,
+                    "in_run_burst_offsets_s": [float(i) for i in
+                                               range(20)]},
+           "queries": {"q_a": 3.0},
+           "offsets": {"q_a": 500.0}}
+    r = _regress(tmp_path, old, new)
+    assert r.returncode == 3
+    assert "BURSTY" in r.stdout and "REGRESSED" not in r.stdout

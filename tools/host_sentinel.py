@@ -65,13 +65,17 @@ def _runnable():
     except (OSError, ValueError, IndexError):
         return -1
 
-out, period = sys.argv[1], float(sys.argv[2])
-t0, io0, ppid0 = time.time(), _io_some_total(), os.getppid()
+out, period, parent_pid = sys.argv[1], float(sys.argv[2]), int(sys.argv[3])
+t0, io0 = time.time(), _io_some_total()
 while True:
     time.sleep(period)
-    # ppid0 == 1 means the parent died before this interpreter even
-    # booted (already reparented at first read): treat as orphaned too
-    if os.getppid() != ppid0 or ppid0 == 1:
+    # The parent passes ITS OWN pid explicitly: comparing getppid()
+    # against a boot-time snapshot instead would fail both ways — a
+    # parent that dies before this interpreter boots leaves the
+    # snapshot already pointing at the reaper (never-exit leak under a
+    # non-pid-1 subreaper), and a legitimate pid-1 parent (container
+    # entrypoint) would read as "already orphaned".
+    if os.getppid() != parent_pid:
         # parent died without stop() (hard crash / SIGKILL): don't
         # loop as an orphan forever; clean our own output too
         try:
@@ -91,7 +95,14 @@ while True:
         fh.write(json.dumps(rec) + "\n")
 """
 
-PROBE_CONTENDED_S = 0.15  # tools/regress.py's existing gate threshold
+# Single source of truth for the contention threshold: regress.py (same
+# directory, stdlib-only) — a drifted copy here would bake bursts into
+# artifacts at a different bar than the gate that reads them. Fallback
+# only for import contexts without tools/ on the path.
+try:
+    from regress import CONTENTION_PROBE_S as PROBE_CONTENDED_S
+except ImportError:  # pragma: no cover
+    PROBE_CONTENDED_S = 0.15
 
 
 class InRunSampler:
@@ -105,7 +116,8 @@ class InRunSampler:
 
     def start(self) -> None:
         self._proc = subprocess.Popen(
-            [sys.executable, "-c", _CHILD, self._path, str(self._period)],
+            [sys.executable, "-c", _CHILD, self._path, str(self._period),
+             str(os.getpid())],
             stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL,
         )

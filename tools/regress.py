@@ -31,8 +31,12 @@ the cores). When the bursty side also carries per-query start offsets
 (sweep artifacts since r12), only the queries whose run window
 overlaps a recorded burst (+/- one sampler period) are EXCLUDED from
 the comparison — listed loudly as status-unknown — and the rest
-proceeds normally; a bursty artifact WITHOUT offsets still suppresses
-everything and exits 3 exactly like the endpoint gate.
+proceeds normally. Real flags among the compared queries still exit 1;
+a comparison left partial by exclusions exits 3 even with zero flags
+(the excluded set was never compared — not a clean bill). A bursty
+artifact WITHOUT offsets, or with more bursts than its capped offsets
+list localizes, still suppresses everything and exits 3 exactly like
+the endpoint gate.
 """
 
 from __future__ import annotations
@@ -84,7 +88,9 @@ def main() -> int:
     if len(sys.argv) < 3:
         print(__doc__)
         return 2
-    def queries_of(path: str) -> tuple[dict[str, float], dict | None]:
+    def queries_of(
+        path: str,
+    ) -> tuple[dict[str, float], dict | None, dict | None]:
         d = json.load(open(path))
         # the driver wraps bench.py's JSON line under "parsed"; fall
         # back to the raw tail fragment when parsing failed driver-side
@@ -142,7 +148,11 @@ def main() -> int:
     full_suppress = []
     for side, path, n, pmax, burst_offs, offs in bursty:
         qmap = old if side == "OLD" else new
-        if not offs or not burst_offs:
+        # the artifact caps the offsets list (host-block size); if more
+        # bursts occurred than were localized, the un-localized ones
+        # could hit any query — selective exclusion is unsound, fall
+        # back to full suppression
+        if not offs or not burst_offs or n > len(burst_offs):
             full_suppress.append((side, path, n, pmax))
             continue
         for name, start in offs.items():
@@ -188,8 +198,8 @@ def main() -> int:
         for side, path, n, pmax in full_suppress:
             print(f"!!! BURSTY: {side} ({path}) {n} in-run probe "
                   f"sample(s) >= {CONTENTION_PROBE_S}s at low runnable "
-                  f"(max {pmax}s) and no per-query offsets to localize "
-                  f"them")
+                  f"(max {pmax}s) not all localizable to query windows "
+                  f"(missing offsets or truncated burst list)")
         print("!!! endpoint probes were quiet but interference hit "
               "mid-run —")
         print("!!! per-query flags SUPPRESSED; re-run the bursty side "
@@ -205,8 +215,17 @@ def main() -> int:
     for name, o, n, r in flagged:
         print(f"REGRESSED {name}: {o:.2f}s -> {n:.2f}s ({r:.1f}x)")
     if not flagged:
-        print(f"no query regressed past {threshold}x")
-    return 1 if flagged else 0
+        print(f"no query regressed past {threshold}x"
+              + (" among the compared queries — the burst-excluded "
+                 "set is STATUS-UNKNOWN, not clean"
+                 if burst_excluded else ""))
+    if flagged:
+        return 1
+    # exclusions without flags are NOT a clean bill: the excluded
+    # queries were never compared — same "re-run to cover" exit as the
+    # full-suppression gates, so exit-code callers cannot record the
+    # round as clean on a partial comparison
+    return 3 if burst_excluded else 0
 
 
 if __name__ == "__main__":
