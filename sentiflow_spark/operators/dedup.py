@@ -94,6 +94,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_perm: int = NUM_PERM,
     band_size: int = BAND_SIZE,
+    materialized: bool = False,
 ) -> DataFrame:
     """Band the signatures and equi-join on (band_idx, band_key) to get
     candidate pairs with their estimated Jaccard (matching-signature
@@ -110,8 +111,11 @@ def lsh_candidate_pairs(
     # (band explode + both sides of the est-Jaccard re-join), each of
     # which would otherwise re-run the tokenize/explode/16-min-agg
     # lineage (k rows per doc — tiny to store; 9.8 s -> 2.6 s cold /
-    # 2.4 -> 2.0 s warm at sf0.1)
-    sigs = sigs.localCheckpoint()
+    # 2.4 -> 2.0 s warm at sf0.1). ``materialized=True`` means the
+    # caller already pinned sigs (e.g. the curation DAG, which feeds
+    # the same table to its star-edge clustering) — don't copy it.
+    if not materialized:
+        sigs = sigs.localCheckpoint()
     n_bands = num_perm // band_size
     bands = sigs.select(
         F.col(id_col),
@@ -423,15 +427,34 @@ def connected_components(
     # pair list — orders of magnitude smaller than the corpus — so
     # executor-local storage (memory, spilling to disk) holds it; this
     # is NOT the pin-the-fact-table anti-pattern flagged in BASELINE.md.
+    # Both directions come from ONE explode over the pair stream, not a
+    # self-union: the union shape ran the whole upstream candidate
+    # pipeline TWICE inside the checkpoint job (r12 profile: the LSH
+    # lineage is the dominant cost of that job at any scale).
     both = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
         .localCheckpoint()
     )
+    # Hash-min INIT (the standard CC bootstrap): lbl0 = min(node, its
+    # neighbors) costs the same one shuffle as the plain distinct() it
+    # replaces, but near-dup graphs (star edges, LSH near-cliques)
+    # start at — or one pointer-jump from — their component min, so the
+    # loop below converges one full iteration earlier (r12: 2 rounds →
+    # 1 for every bench CC query; each round is 3 joins + a shuffle).
     labels = (
-        both.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
+        both.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("_mn"))
+        .select(
+            "node", F.least(F.col("node"), F.col("_mn")).alias("lbl")
+        )
         .localCheckpoint()
     )
     for _ in range(max_iter):
@@ -447,19 +470,22 @@ def connected_components(
         hop = merged.select(
             F.col("node").alias("pnode"), F.col("lbl").alias("plbl")
         )
+        # The convergence flag rides INSIDE the checkpointed frame
+        # (one extra equi-join against the already-materialized old
+        # labels) so the any-changed probe is a scan of local
+        # checkpoint partitions — the old shape re-joined new-vs-old
+        # as a SEPARATE post-checkpoint job chain every round.
         jumped = (
             merged.join(hop, merged.lbl == hop.pnode, "left")
             .select("node", F.coalesce("plbl", "lbl").alias("lbl"))
+            .join(labels.select("node", F.col("lbl").alias("_old")), "node")
+            .select(
+                "node", "lbl", (F.col("lbl") != F.col("_old")).alias("_chg")
+            )
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter(F.col("_chg")).limit(1).count()
+        labels = jumped.select("node", "lbl")
         if changed == 0:
             break
     return labels
@@ -693,9 +719,19 @@ def pagerank_int(
     (same shape as connected_components); edges and degrees are
     materialized once via localCheckpoint. Returns (node, rank_scaled).
     """
+    # one explode pass, not a self-union: the union shape computed the
+    # upstream edge pipeline twice inside the checkpoint job (see
+    # connected_components)
     both = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
         .distinct()
         .localCheckpoint()
     )

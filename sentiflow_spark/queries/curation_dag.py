@@ -145,10 +145,15 @@ def curation_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # threaded rank column.
     exact_ranked = dedup_exact(quality).select("doc_id", "text", "lang")
 
-    # near dedup among exact survivors: verified pairs, lowest-id wins
-    sigs = minhash_signatures(exact_ranked)
+    # near dedup among exact survivors: verified pairs, lowest-id wins.
+    # The signature table is pinned HERE (not inside lsh_candidate_pairs)
+    # because it has a FOURTH consumer: the grouped-split star edges
+    # below re-ran the whole tokenize→explode→16-min-agg lineage (and
+    # its quality/dedup upstream) when the checkpoint lived inside the
+    # pair builder (r12 profile: part of the CC edge job's 1.2 s).
+    sigs = minhash_signatures(exact_ranked).localCheckpoint()
     near_losers = (
-        lsh_candidate_pairs(sigs)
+        lsh_candidate_pairs(sigs, materialized=True)
         .filter(F.col("est_jaccard") >= NEAR_DUP_JACCARD)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
@@ -160,6 +165,33 @@ def curation_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     wsrc = docs_n.filter(is_bench).select("doc_id", "text").unionByName(
         s5.select("doc_id", "text")
     )
+    # Width guard for the winnow gram-hashing pass — the DAG's most
+    # CPU-bound stage. winnow_fingerprints' own guard cannot fire here
+    # (wsrc is a union of checkpointed frames, not a file scan), and
+    # the inherited partitioning is 2-3 partitions (single-file scan +
+    # AQE-coalesced join output), so the extraction ran as ONE 2.5 s
+    # task at sf0.1 while 31 cores idled. Guarded exactly like
+    # winnow_fingerprints: only a small corpus (the original documents
+    # input < 256 MB in <= 64 files) is repartitioned — at real corpus
+    # scale wsrc arrives wide already and no text shuffle is added.
+    try:
+        _files = docs.inputFiles()
+    except Exception:
+        _files = []
+    if _files and len(_files) <= 64:
+        import os as _os
+
+        try:
+            _total = sum(
+                _os.path.getsize(f[7:] if f.startswith("file:") else f)
+                for f in _files
+            )
+        except OSError:
+            _total = None
+        if _total is not None and _total < (256 << 20):
+            wsrc = wsrc.repartition(
+                spark.sparkContext.defaultParallelism
+            )
     spans = winnow_contaminated_spans(wsrc, is_bench=is_bench)
     # Pinned like docs_n/s5: the decontaminated text is the third phase
     # boundary a production pipeline persists. Without it the winnow
