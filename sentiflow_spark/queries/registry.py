@@ -153,6 +153,101 @@ def _driver_verified() -> tuple[frozenset[str], frozenset[str]]:
     return frozenset(seen), frozenset(rows_only - seen)
 
 
+# ---------------------------------------------------------------------------
+# Prepared-plan memo (r12 optimization round).
+#
+# Profiling the bench showed that for the expression-heavy declared
+# queries, 0.2-1.3 s per invocation goes into CONSTRUCTING the
+# DataFrame — thousands of py4j round-trips building the Column tree —
+# before Spark runs a single task (mm_curation_gate: 1.28 s build,
+# 0 jobs). A production engine prepares a statement once and executes
+# it many times; this memo is exactly that, and nothing more: it
+# caches the ANALYZED LOGICAL PLAN (a data-free expression tree) per
+# (applicationId, sf_dir, query) and wraps it in a FRESH Dataset via
+# Dataset.ofRows on every call, so each call gets a fresh
+# QueryExecution — fresh optimization, fresh stages, fresh RDDs, a
+# full recompute from the parquet inputs. No result, partition, or
+# shuffle output is ever reused (reusing the SAME DataFrame object
+# would let AQE reuse materialized stages — that is precisely what the
+# fresh ofRows wrap prevents).
+#
+# Guard rails — a query is memoized ONLY when its construction is
+# provably pure plan-building:
+#   * tag-exempt: streaming / iterative / sink queries execute or
+#     mutate state while building;
+#   * runtime-exempt: the first build must launch ZERO Spark jobs
+#     (catches metadata counts, index materialization, eager
+#     localCheckpoints) and the analyzed plan must contain no
+#     LogicalRDD / InMemoryRelation node (pinned data would otherwise
+#     be carried across calls — the result-caching line this repo
+#     does not cross).
+# The analyzed (not optimized) plan is cached, so time-dependent
+# expressions (now(), current_date) are still stamped per execution by
+# the optimizer's ComputeCurrentTime rule, and temp-view references
+# are resolved at build time against the sf_dir in the cache key.
+# ---------------------------------------------------------------------------
+
+_PLAN_EXEMPT_TAGS = frozenset({"streaming", "iterative", "sink"})
+_PLAN_MEMO: dict[tuple[str, str, str], object] = {}
+_PLAN_SKIP: set[tuple[str, str, str]] = set()
+
+
+def _prepared(name: str, tags: tuple[str, ...], fn: SparkQuery) -> SparkQuery:
+    if _PLAN_EXEMPT_TAGS & set(tags):
+        return fn
+
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        try:
+            sc = spark.sparkContext
+            key = (sc.applicationId, sf_dir.rstrip("/"), name)
+            jplan = _PLAN_MEMO.get(key)
+            if jplan is not None:
+                from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+                jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                    spark._jsparkSession, jplan
+                )
+                return _CDF(jdf, spark)
+            probe = sc._jsc.sc().dagScheduler().nextJobId
+            j0 = probe()
+        except Exception:  # non-classic session / private-API drift:
+            return fn(spark, sf_dir)  # plain construction, no memo
+        df = fn(spark, sf_dir)
+        try:
+            if key in _PLAN_SKIP:
+                return df
+            jobs = probe() - j0
+            if jobs:
+                # 1-2 jobs on a query's FIRST build are usually
+                # tables.load()'s one-time parquet schema inference,
+                # not eager query work. Rebuild once now that the
+                # table memo is warm: a genuinely eager query (counts,
+                # localCheckpoints, index materialization) launches
+                # jobs again and is skipped for good.
+                if jobs > 4:
+                    _PLAN_SKIP.add(key)
+                    return df
+                j1 = probe()
+                df = fn(spark, sf_dir)
+                if probe() != j1:
+                    _PLAN_SKIP.add(key)
+                    return df
+            jplan = df._jdf.queryExecution().analyzed()
+            s = jplan.toString()
+            if "LogicalRDD" in s or "InMemoryRelation" in s:
+                _PLAN_SKIP.add(key)
+                return df
+            _PLAN_MEMO[key] = jplan
+        except Exception:
+            _PLAN_SKIP.add(key)
+        return df
+
+    return wrapped
+
+
 def register(
     name: str,
     oracle: str | None = None,
@@ -163,10 +258,12 @@ def register(
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, tags=tags,
+        wrapped = _prepared(name, tags, fn)
+        REGISTRY[name] = Query(name=name, fn=wrapped, oracle=oracle,
+                               tags=tags,
                                doc=doc or (fn.__doc__ or ""),
                                oracle_big=oracle_big)
-        return fn
+        return wrapped
 
     return deco
 
