@@ -115,7 +115,7 @@ def lsh_candidate_pairs(
     # caller already pinned sigs (e.g. the curation DAG, which feeds
     # the same table to its star-edge clustering) — don't copy it.
     if not materialized:
-        sigs = sigs.localCheckpoint()
+        sigs = sigs.localCheckpoint(eager=False)
     n_bands = num_perm // band_size
     bands = sigs.select(
         F.col(id_col),
@@ -441,7 +441,7 @@ def connected_components(
             ).alias("_e")
         )
         .select("_e.u", "_e.v")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Hash-min INIT (the standard CC bootstrap): lbl0 = min(node, its
     # neighbors) costs the same one shuffle as the plain distinct() it
@@ -455,7 +455,7 @@ def connected_components(
         .select(
             "node", F.least(F.col("node"), F.col("_mn")).alias("lbl")
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         nbr_min = both.join(labels, both.v == labels.node).select(
@@ -482,7 +482,7 @@ def connected_components(
             .select(
                 "node", "lbl", (F.col("lbl") != F.col("_old")).alias("_chg")
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = jumped.filter(F.col("_chg")).limit(1).count()
         labels = jumped.select("node", "lbl")
@@ -733,21 +733,21 @@ def pagerank_int(
         )
         .select("_e.u", "_e.v")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # deg and nodes checkpoint too: they join into EVERY iteration, and
     # without materialization the degree shuffle re-runs n_iter times
     deg = (
-        both.groupBy("v").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+        both.groupBy("v").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=False)
     )
-    nodes = both.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    nodes = both.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=False)
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank_scaled", F.lit(0).cast("long"))
     base = (15 * (PR_SCALE // n)) // 100
     ranks = nodes.withColumn(
         "rank_scaled", F.lit(PR_SCALE // n).cast("long")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(n_iter):
         # DIV, not `/`: float division of 1e12-scale longs can land a
         # hair under the true integer quotient and truncate one off —
@@ -770,7 +770,7 @@ def pagerank_int(
                     + F.expr(f"(85 * coalesce(s, 0)) DIV 100")
                 ).alias("rank_scaled"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -907,7 +907,7 @@ def winnow_pair_counts(
     # checkpoint-then-explode of identical data at sf0.1 (the third
     # expression-duplication trap this operator surfaced; see
     # winnow_fingerprints for the other two)
-    fps = winnow_fingerprints(df, text_col, id_col, k, w).localCheckpoint()
+    fps = winnow_fingerprints(df, text_col, id_col, k, w).localCheckpoint(eager=False)
     # ... and the slim (id, h) inverted index ONCE more: three
     # consumers (df-cap frequency table + both sides of the self-join)
     # would each re-run the explode+distinct otherwise (same pattern
@@ -921,7 +921,7 @@ def winnow_pair_counts(
             ).alias("h"),
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     dfreq = inv.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
     inv = inv.join(dfreq.filter(F.col("_df") <= df_cap), "h", "left_semi")
@@ -1095,7 +1095,7 @@ def _unpacked_positions(
     h*BASE - pos keys. localCheckpointed: every consumer uses it at
     least twice (frequency table + flagging)."""
     b = WINNOW_POS_BASE
-    fps = winnow_fingerprints(df, text_col, id_col, k, w).localCheckpoint()
+    fps = winnow_fingerprints(df, text_col, id_col, k, w).localCheckpoint(eager=False)
     return (
         fps.select(F.col(id_col), F.explode("fps").alias("_key"))
         .select(
@@ -1106,7 +1106,7 @@ def _unpacked_positions(
             ).alias("pos"),
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
 

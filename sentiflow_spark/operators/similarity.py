@@ -557,7 +557,7 @@ def dtw_topk_pruned(
     pairs take lb = 0 — never pruned, always handed to the exact DP.
     """
     prefilter_m = max(prefilter_m, k)
-    dense = series_df.select(id_col, b_col).localCheckpoint()
+    dense = series_df.select(id_col, b_col).localCheckpoint(eager=False)
     env_up, env_lo = keogh_envelope(F.col(a_col), band)
     env = probes_df.select(
         probe_col, F.col(a_col), env_up.alias("_ub"), env_lo.alias("_lb_env")
@@ -579,7 +579,7 @@ def dtw_topk_pruned(
         )
     )
     w_lb = W.partitionBy(probe_col).orderBy(F.asc("lb"), F.asc(id_col))
-    ranked = slim.withColumn("lbrank", F.row_number().over(w_lb)).localCheckpoint()
+    ranked = slim.withColumn("lbrank", F.row_number().over(w_lb)).localCheckpoint(eager=False)
 
     def wave_pairs(ids: DataFrame) -> DataFrame:
         return (

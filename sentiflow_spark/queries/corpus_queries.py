@@ -1530,7 +1530,7 @@ def txt_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         toks.groupBy("term")
         .agg(F.count(F.lit(1)).alias("true_count"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     counters = (
         exact.select("term", "true_count", rows)
@@ -2292,7 +2292,7 @@ def sim_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn = (
         knn_graph(emb, _knn_planes(spark, sf_dir), k=KNN_K)
         .select("src", "dst", "cosine")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     rev = knn.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
     return (

@@ -111,7 +111,7 @@ def curation_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # normalized corpus and would each re-run the Python stage.
     docs_n = docs.select(
         "doc_id", "lang", nfc_norm_expr(F.col("text")).alias("text")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     is_bench = F.col("doc_id") % DECON_SPAN_MOD == 0
 
     cand0 = docs_n.filter(~is_bench)
@@ -124,7 +124,7 @@ def curation_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         seg_chars=BP_SEG_CHARS,
         min_docs=BP_MIN_DOCS,
         max_removed_frac=BP_MAX_REMOVED_FRAC,
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     cand = (
         bp.filter(F.col("doc_kept"))
         .select("doc_id", F.col("text_clean").alias("text"))
@@ -151,14 +151,14 @@ def curation_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # below re-ran the whole tokenize→explode→16-min-agg lineage (and
     # its quality/dedup upstream) when the checkpoint lived inside the
     # pair builder (r12 profile: part of the CC edge job's 1.2 s).
-    sigs = minhash_signatures(exact_ranked).localCheckpoint()
+    sigs = minhash_signatures(exact_ranked).localCheckpoint(eager=False)
     near_losers = (
         lsh_candidate_pairs(sigs, materialized=True)
         .filter(F.col("est_jaccard") >= NEAR_DUP_JACCARD)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    s5 = exact_ranked.join(near_losers, "doc_id", "left_anti").localCheckpoint()
+    s5 = exact_ranked.join(near_losers, "doc_id", "left_anti").localCheckpoint(eager=False)
 
     # span-level benchmark decontamination: winnow the bench slice +
     # survivors together, cut shared spans out of survivors
@@ -211,7 +211,7 @@ def curation_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                 "cut_chars"
             ),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     alive = cut.filter(F.col("n_tokens") > 0)

@@ -1006,7 +1006,7 @@ def txt_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocab is the sufficient statistic: localCheckpoint pins it so the
     # corpus scan runs once, and re-pins each iteration so the replace
     # chain doesn't deepen the plan
-    cur = wf.select("w", "f", seg0.alias("s")).localCheckpoint()
+    cur = wf.select("w", "f", seg0.alias("s")).localCheckpoint(eager=False)
     blocks = F.regexp_extract_all(
         F.col("s"), F.lit("⟨([^⟩]*)⟩"), 1
     )
@@ -1039,7 +1039,7 @@ def txt_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f"⟨{a}⟩⟨{b}⟩"),
                 F.lit(f"⟨{a}{b}⟩"),
             ),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     wtok = cur.select("w", F.size(blocks).alias("nt"))
     dw = docs.select(
         "doc_id",
