@@ -215,19 +215,25 @@ def _prepared(name: str, tags: tuple[str, ...], fn: SparkQuery) -> SparkQuery:
             j0 = probe()
         except Exception:  # non-classic session / private-API drift:
             return fn(spark, sf_dir)  # plain construction, no memo
+        from sentiflow_spark import tables as _tables
+
+        m0 = _tables._MISS_COUNT
         df = fn(spark, sf_dir)
         try:
             if key in _PLAN_SKIP:
                 return df
             jobs = probe() - j0
             if jobs:
-                # 1-2 jobs on a query's FIRST build are usually
-                # tables.load()'s one-time parquet schema inference,
-                # not eager query work. Rebuild once now that the
-                # table memo is warm: a genuinely eager query (counts,
-                # localCheckpoints, index materialization) launches
-                # jobs again and is skipped for good.
-                if jobs > 4:
+                # Jobs during a build are either tables.load()'s
+                # one-time parquet schema inference (first load of a
+                # table this session — the table-memo miss counter
+                # moved) or genuinely eager query work (counts,
+                # index materialization). Only the former is worth a
+                # probe rebuild: the table memo is now warm, so the
+                # rebuild is job-free and memoizable. Rebuilding an
+                # eager query just to discover it launches jobs again
+                # would DOUBLE its one-shot cost — skip it outright.
+                if jobs > 4 or _tables._MISS_COUNT == m0:
                     _PLAN_SKIP.add(key)
                     return df
                 j1 = probe()

@@ -57,16 +57,26 @@ def _fix_nanos(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
 # seeing plans bound to a dead JVM.
 _CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
+# Monotone count of cache MISSES (first-per-session parquet reads,
+# which may launch a schema-inference job). The registry's
+# prepared-plan memo reads it to tell "this build ran a job because a
+# table was loaded for the first time" (harmless — rebuilds job-free)
+# apart from "this query does genuinely eager work" (must never be
+# rebuilt just to probe memoizability: that doubles its cost).
+_MISS_COUNT = 0
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table. Plain parquet scan — Catalyst handles
     column pruning + predicate pushdown downstream."""
+    global _MISS_COUNT
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
     hit = _CACHE.get(key)
     if hit is not None:
         return hit
+    _MISS_COUNT += 1
     nanos_cols = _NANOS_TS_COLS.get(name, ())
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

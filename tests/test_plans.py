@@ -809,7 +809,9 @@ SCAN_FANOUT_BASELINE = {
     "sim_ivfpq_multiprobe": {"embeddings": 10},
     "sim_ivfpq_recall": {"embeddings": 14},
     "sim_ivfpq_topk": {"embeddings": 12},
-    "sim_multiprobe_recall": {"embeddings": 4},
+    # dropped 4 → 3 when knn_graph's within-bucket self-join (two
+    # embeddings scans) became one grouped vectorized top-k pass (r12)
+    "sim_multiprobe_recall": {"embeddings": 3},
     "sim_pq_recall": {"embeddings": 6},
     "sim_pq_topk": {"embeddings": 4},
     "sim_sq8_recall": {"embeddings": 4},
