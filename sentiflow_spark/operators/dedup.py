@@ -29,7 +29,7 @@ results are engine-reproducible.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -89,6 +89,65 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def packed_band_keys(sig_of, b: int, band_size: int = BAND_SIZE) -> list[Column]:
+    """The band key for band ``b`` as packed 62-bit longs — each key
+    holds two 31-bit signature values: ``shiftleft(s0, 31) | s1``.
+    MinHash sig values live in [0, MERSENNE_31) (md5_i32 is
+    non-negative, so ``(h*a+b) % p`` is too), so the packing is
+    INJECTIVE: key-tuple equality is exactly equality of the band's
+    signature tuple — the same bucket partition the previous
+    ``md5(concat_ws(',', sigs))`` hex key induced (md5 equality ==
+    tuple equality absent collisions), with two 8-byte longs shuffled
+    per band instead of a 32-char string, and the per-band
+    md5 + 4 long→string casts replaced by two shift-or pairs (guide
+    §2.3 "narrower types" / "shuffle keys instead of payloads").
+    Every consumer treats the key as an opaque equality token, so the
+    declared pair/cluster outputs are unchanged.
+
+    ``sig_of(i)`` maps a flat signature index to its Column (a
+    ``sig_{i}`` column, or an element_at over ``sig_arr``)."""
+    lo = b * band_size
+    return [
+        F.shiftleft(sig_of(lo + j), 31)
+        .bitwiseOR(sig_of(lo + j + 1))
+        .alias(f"bk{j // 2}")
+        for j in range(0, band_size, 2)
+    ]
+
+
+def band_join_keys(band_size: int = BAND_SIZE) -> list[str]:
+    """Column names a banded table is bucketed/joined on."""
+    return ["band_idx"] + [f"bk{j}" for j in range(band_size // 2)]
+
+
+def banded_sigs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = NUM_PERM,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Explode a wide signature table to (id, band_idx, bk*) rows —
+    the shared band-table construction for the pair join and the
+    star-edge clustering."""
+    n_bands = num_perm // band_size
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        *packed_band_keys(
+                            lambda i: F.col(f"sig_{i}"), b, band_size
+                        ),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.*")
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -96,7 +155,7 @@ def lsh_candidate_pairs(
     band_size: int = BAND_SIZE,
     materialized: bool = False,
 ) -> DataFrame:
-    """Band the signatures and equi-join on (band_idx, band_key) to get
+    """Band the signatures and equi-join on (band_idx, bk*) to get
     candidate pairs with their estimated Jaccard (matching-signature
     fraction). Never materializes a cross product.
 
@@ -106,7 +165,9 @@ def lsh_candidate_pairs(
     Measured 1.75x faster than carrying signatures through the band
     join at a duplicate-heavy 100k-doc corpus (1.05M candidate pairs),
     and the gap widens with bucket skew since wide rows multiply
-    within-bucket."""
+    within-bucket. Band keys are packed sig-tuple longs
+    (packed_band_keys) — exactly the md5-hex bucket partition at half
+    the key bytes and none of the hash cost."""
     # materialize the signature table once: it has THREE consumers here
     # (band explode + both sides of the est-Jaccard re-join), each of
     # which would otherwise re-run the tokenize/explode/16-min-agg
@@ -116,37 +177,17 @@ def lsh_candidate_pairs(
     # the same table to its star-edge clustering) — don't copy it.
     if not materialized:
         sigs = sigs.localCheckpoint(eager=False)
-    n_bands = num_perm // band_size
-    bands = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"sig_{b * band_size + r}")
-                                    for r in range(band_size)
-                                ],
-                            )
-                        ).alias("band_key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.*")
+    bands = banded_sigs(sigs, id_col, num_perm, band_size)
 
     a, b = bands.alias("a"), bands.alias("b")
+    key_eq = None
+    for k in band_join_keys(band_size):
+        eq = F.col(f"a.{k}") == F.col(f"b.{k}")
+        key_eq = eq if key_eq is None else (key_eq & eq)
     pairs = (
         a.join(
             b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            key_eq & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
@@ -178,7 +219,7 @@ def lsh_star_edges(
     num_perm: int = NUM_PERM,
     band_size: int = BAND_SIZE,
 ) -> DataFrame:
-    """Sparsified LSH candidate edges: per (band_idx, band_key) bucket
+    """Sparsified LSH candidate edges: per (band_idx, bk*) bucket
     emit only (bucket_min_id, member) — occ-1 STAR edges instead of
     C(occ, 2) pairs. Within one bucket a star has exactly the same
     connectivity as the clique, so connected components over these
@@ -191,35 +232,16 @@ def lsh_star_edges(
 
     Plan: one groupBy per bucket for the hub + one equi-join back —
     both partial-agg/AQE-friendly, no self-join of the band table.
+    Band keys are packed sig-tuple longs (packed_band_keys) — the
+    identical bucket partition as the md5-hex key at half the bytes.
     """
-    n_bands = num_perm // band_size
-    bands = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"sig_{b * band_size + r}")
-                                    for r in range(band_size)
-                                ],
-                            )
-                        ).alias("band_key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.*")
-    hubs = bands.groupBy("band_idx", "band_key").agg(
+    bands = banded_sigs(sigs, id_col, num_perm, band_size)
+    keys = band_join_keys(band_size)
+    hubs = bands.groupBy(*keys).agg(
         F.min(id_col).alias("hub"), F.count(F.lit(1)).alias("occ")
     )
     return (
-        bands.join(hubs.filter(F.col("occ") >= 2), ["band_idx", "band_key"])
+        bands.join(hubs.filter(F.col("occ") >= 2), keys)
         .filter(F.col(id_col) != F.col("hub"))
         .select(F.col("hub").alias("doc_a"), F.col(id_col).alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
@@ -1357,23 +1379,19 @@ def minhash_sig_array_stateless(
 def band_structs_from_sig_array(
     num_perm: int = NUM_PERM, band_size: int = BAND_SIZE
 ):
-    """(band_idx, band_key) struct array from a sig_arr column — the
+    """(band_idx, bk*) struct array from a sig_arr column — the
     stateless mirror of the band construction in lsh_candidate_pairs
-    (same md5(concat_ws(',', sig_b*4 .. sig_b*4+3)) key)."""
+    (same packed sig-tuple keys, packed_band_keys)."""
     n_bands = num_perm // band_size
     return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at(F.col("sig_arr"), b * band_size + r + 1)
-                            for r in range(band_size)
-                        ],
-                    )
-                ).alias("band_key"),
+                *packed_band_keys(
+                    lambda i: F.element_at(F.col("sig_arr"), i + 1),
+                    b,
+                    band_size,
+                ),
             )
             for b in range(n_bands)
         ]

@@ -534,7 +534,9 @@ def st_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from sentiflow_spark.operators.dedup import (  # noqa: E402
     NUM_PERM,
+    band_join_keys,
     band_structs_from_sig_array,
+    banded_sigs,
     minhash_sig_array_stateless,
     minhash_signatures,
 )
@@ -579,24 +581,9 @@ def st_neardup_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 10 != 0
     )
     idx_sigs = minhash_signatures(static_docs).localCheckpoint()
-    idx_bands = idx_sigs.select(
-        F.col("doc_id").alias("idx_doc"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.md5(
-                            F.concat_ws(
-                                ",", *[F.col(f"sig_{b * 4 + r}") for r in range(4)]
-                            )
-                        ).alias("band_key"),
-                    )
-                    for b in range(NUM_PERM // 4)
-                ]
-            )
-        ).alias("band"),
-    ).select("idx_doc", "band.*")
+    idx_bands = banded_sigs(idx_sigs, "doc_id").withColumnRenamed(
+        "doc_id", "idx_doc"
+    )
     idx_sig_cols = idx_sigs.select(
         F.col("doc_id").alias("idx_doc"),
         *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(NUM_PERM)],
@@ -618,7 +605,7 @@ def st_neardup_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(NUM_PERM)
     ) / F.lit(float(NUM_PERM))
     alerts = (
-        probes.join(idx_bands, ["band_idx", "band_key"])
+        probes.join(idx_bands, band_join_keys())
         .join(idx_sig_cols, "idx_doc")
         .select(
             "in_doc", "idx_doc", "band_idx", match_frac.alias("est_jaccard")

@@ -1062,6 +1062,111 @@ def test_star_edges_preserve_candidate_components(spark, sf_dir):
     assert len(via_star) > 0
 
 
+def test_packed_band_keys_match_md5_banding(spark, sf_dir):
+    """r12 band-key narrowing pin: the packed-long band key
+    (shiftleft(s0,31)|s1 pairs) must induce EXACTLY the bucket
+    partition of the md5-hex key it replaced — key equality iff the
+    band's signature tuple is equal — so lsh_candidate_pairs' declared
+    output cannot move. Checked two ways: (1) candidate pairs from the
+    operator equal pairs from an inline md5-banding reference over the
+    same signatures; (2) on handmade signatures, equal sig tuples
+    collide and a one-off sig tuple does not (injectivity at the
+    31-bit boundary: sigs 0 and 2^31-2, the range extremes)."""
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.operators.dedup import (
+        BAND_SIZE,
+        NUM_PERM,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from sentiflow_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").limit(300)
+    sigs = minhash_signatures(docs).localCheckpoint()
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sigs, materialized=True)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+
+    n_bands = NUM_PERM // BAND_SIZE
+    ref_bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"sig_{b * BAND_SIZE + r}")
+                                    for r in range(BAND_SIZE)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.*")
+    a, b = ref_bands.alias("a"), ref_bands.alias("b")
+    ref = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .collect()
+    }
+    assert got == ref
+    assert len(got) > 0
+
+    # injectivity at the 31-bit extremes: identical tuple collides,
+    # one-off tuple (max vs max-1 in the last slot) does not
+    hi = 2**31 - 2  # MERSENNE_31 - 1: the largest attainable sig value
+    rows = []
+    for doc_id, last in ((1, hi), (2, hi), (3, hi - 1), (4, 0)):
+        rows.append([doc_id] + [0] * (NUM_PERM - 1) + [last])
+    handmade = spark.createDataFrame(
+        rows, ["doc_id"] + [f"sig_{i}" for i in range(NUM_PERM)]
+    )
+    hand_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(handmade, materialized=True)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    # docs 1,2 share every band; 3 differs from 1/2 only in the last
+    # band's last sig; 4 differs more. Bands 0..2 are all-zero for
+    # every doc, so ALL pairs are candidates — but if packing ever
+    # aliased hi with hi-1 or 0, that would also be true of a
+    # last-band-only reference, so check the last band directly:
+    from sentiflow_spark.operators.dedup import banded_sigs
+
+    last_band = (
+        banded_sigs(handmade)
+        .filter(F.col("band_idx") == NUM_PERM // BAND_SIZE - 1)
+        .collect()
+    )
+    keys = {r["doc_id"]: (r["bk0"], r["bk1"]) for r in last_band}
+    assert keys[1] == keys[2]
+    assert keys[1] != keys[3]
+    assert keys[1] != keys[4]
+    assert keys[3] != keys[4]
+    assert {(1, 2), (1, 3), (1, 4)} <= hand_pairs
+
+
 def test_contaminated_spans_cover_planted_benchmark_quote(spark):
     """winnow_contaminated_spans must flag a benchmark sentence quoted
     verbatim inside a training doc (span covers the quote), must NOT
