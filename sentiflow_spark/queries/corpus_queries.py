@@ -969,44 +969,53 @@ def win_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "states. Half-open [start, end): touching intervals don't match.",
 )
 def rel_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Interval ends are the starts plus FIXED spans, so only the starts
+    # travel through the bin join and the dedup exchange (4 longs per
+    # candidate instead of 6 — guide §2.3), the exact residual filter
+    # runs BEFORE the distinct (filter∘distinct == distinct∘filter on a
+    # deterministic row predicate) so non-overlapping bin co-residents
+    # never reach the exchange, and distinct over (ids, starts) equals
+    # the old distinct over (ids, starts, ends) because the dropped
+    # ends are functions of the starts. Result multiset identical.
     ev = load(spark, sf_dir, "events")
     epoch = F.floor(F.unix_timestamp("ts")).cast("long")
     act = ev.filter(F.col("event_type").isin("click", "view")).select(
         F.col("event_id").alias("a_id"),
         epoch.alias("a_start"),
-        (epoch + ACT_SPAN_S).alias("a_end"),
     )
     inc = ev.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("b_id"),
         epoch.alias("b_start"),
-        (epoch + INC_SPAN_S).alias("b_end"),
     )
 
-    def binned(df: DataFrame, start: str, end: str) -> DataFrame:
+    def binned(df: DataFrame, start: str, span_s: int) -> DataFrame:
         return df.withColumn(
             "bin",
             F.explode(
                 F.sequence(
                     F.floor(F.col(start) / OVERLAP_BIN_S).cast("long"),
-                    F.floor((F.col(end) - 1) / OVERLAP_BIN_S).cast("long"),
+                    F.floor(
+                        (F.col(start) + span_s - 1) / OVERLAP_BIN_S
+                    ).cast("long"),
                 )
             ),
         )
 
+    a_end = F.col("a_start") + ACT_SPAN_S
+    b_end = F.col("b_start") + INC_SPAN_S
     cand = (
-        binned(act, "a_start", "a_end")
-        .join(binned(inc, "b_start", "b_end"), "bin")
-        .select("a_id", "a_start", "a_end", "b_id", "b_start", "b_end")
+        binned(act, "a_start", ACT_SPAN_S)
+        .join(binned(inc, "b_start", INC_SPAN_S), "bin")
+        .filter((F.col("a_start") < b_end) & (F.col("b_start") < a_end))
+        .select("a_id", "a_start", "b_id", "b_start")
         .distinct()
     )
-    return cand.filter(
-        (F.col("a_start") < F.col("b_end")) & (F.col("b_start") < F.col("a_end"))
-    ).select(
+    return cand.select(
         "a_id",
         "b_id",
-        (
-            F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
-        ).alias("overlap_s"),
+        (F.least(a_end, b_end) - F.greatest("a_start", "b_start")).alias(
+            "overlap_s"
+        ),
     )
 
 
