@@ -20,7 +20,7 @@ engine-reproducible, JVM-side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -759,6 +759,81 @@ def pq_encode(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
     )
 
 
+def pq_code_arr(
+    df: DataFrame, cb: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """PQ codes as ONE row per vector: ``code_arr[m]`` = the L2-nearest
+    codeword id of subspace m (identical argmin and (d2, code_id)
+    tie-break as pq_encode — pinned by test_pq_code_arr_matches_encode).
+    The M per-subspace conditional mins partial-aggregate map-side, so
+    the encode shuffle carries one narrow row per vector instead of M
+    (guide §2.3): the r12 array-ADC arrangement."""
+    from sentiflow_spark.functions.vectors import l2_sq
+
+    subs = pq_subvectors(df, id_col)
+    scored = subs.join(F.broadcast(cb), "sub_id").select(
+        id_col,
+        "sub_id",
+        "code_id",
+        l2_sq(F.col("subv"), F.col("cw")).alias("d2"),
+    )
+    aggs = [
+        F.min(F.when(F.col("sub_id") == m, F.struct("d2", "code_id")))
+        .getField("code_id")
+        .alias(f"_c{m}")
+        for m in range(PQ_M)
+    ]
+    return (
+        scored.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            id_col,
+            F.array(*[F.col(f"_c{m}") for m in range(PQ_M)]).alias(
+                "code_arr"
+            ),
+        )
+    )
+
+
+def pq_lut_arr(lut_rows: DataFrame, key_cols: tuple[str, ...]) -> DataFrame:
+    """Collapse per-(key, sub_id, code_id, d2) LUT rows to one FLAT
+    array per key: ``lut[sub_id * PQ_K + code_id] = d2`` (M·K longs —
+    bytes per probe, built for broadcast). Array order is pinned by the
+    slot index, so the fold in adc_d2_expr addresses it directly."""
+    return (
+        lut_rows.select(
+            *key_cols,
+            (F.col("sub_id") * PQ_K + F.col("code_id")).alias("_slot"),
+            "d2",
+        )
+        .groupBy(*key_cols)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_slot", "d2"))),
+                lambda s: s.getField("d2"),
+            ).alias("lut")
+        )
+    )
+
+
+def adc_d2_expr() -> Column:
+    """Σ_m lut[m·K + code_arr[m]] as a pure integer array fold — the
+    asymmetric distance without materializing M rows per (probe, cand)
+    or aggregating them across a shuffle: exact long addition, so the
+    sums are bit-identical to the former join + SUM(d2) shape."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc
+        + F.element_at(
+            F.col("lut"),
+            (m * PQ_K + F.element_at(F.col("code_arr"), m + 1) + 1).cast(
+                "int"
+            ),
+        ),
+    )
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     n_probes: int,
@@ -770,32 +845,35 @@ def pq_adc_topk(
     = Σ_m LUT[probe][m][code_m(cand)] with LUT[m][c] the exact L2² from
     the probe's m-th subvector to codeword c.
 
-    Scale shape: the LUT (probes × M × K rows — bytes, not vectors) is
-    broadcast; the candidate side touches only the M small int codes
-    per vector (M bytes vs 256 B fp32 — a 32× scan-I/O reduction,
-    which is the entire point of PQ at 100 TB); the Σ_m is a partial
-    agg (M rows per pair combine map-side before the shuffle); the
-    per-probe top-k is a window over k·n candidates max."""
+    Scale shape: the LUT (one flat M·K-long array per probe — bytes,
+    not vectors) is broadcast; the candidate side touches only the M
+    small int codes per vector (M bytes vs 256 B fp32 — a 32× scan-I/O
+    reduction, which is the entire point of PQ at 100 TB); since r12
+    the Σ_m is a per-row array fold over the broadcast LUT
+    (adc_d2_expr), so no (probe, cand, sub) rows are materialized and
+    no (probe, cand) aggregation shuffle exists at all — the only
+    shuffles left are the one-row-per-vector encode and the per-probe
+    top-k window over k·n candidates."""
     from sentiflow_spark.functions.vectors import l2_sq
 
     cb = pq_codebook(corpus, id_col)
     probe_subs = pq_subvectors(
         corpus.filter(F.col(id_col) < n_probes), id_col
     ).select(F.col(id_col).alias("probe_id"), "sub_id", "subv")
-    lut = probe_subs.join(F.broadcast(cb), "sub_id").select(
+    lut_rows = probe_subs.join(F.broadcast(cb), "sub_id").select(
         "probe_id",
         "sub_id",
         "code_id",
         l2_sq(F.col("subv"), F.col("cw")).alias("d2"),
     )
-    codes = pq_encode(corpus, id_col).select(
-        F.col(id_col).alias("cand_id"), "sub_id", "code_id"
+    luts = pq_lut_arr(lut_rows, ("probe_id",))
+    codes = pq_code_arr(corpus, cb, id_col).select(
+        F.col(id_col).alias("cand_id"), "code_arr"
     )
     adc = (
-        codes.join(F.broadcast(lut), ["sub_id", "code_id"])
+        codes.join(F.broadcast(luts))
         .filter(F.col("cand_id") != F.col("probe_id"))
-        .groupBy("probe_id", "cand_id")
-        .agg(F.sum("d2").cast("long").alias("adc_d2"))
+        .select("probe_id", "cand_id", adc_d2_expr().alias("adc_d2"))
     )
     w = W.partitionBy("probe_id").orderBy(F.asc("adc_d2"), F.asc("cand_id"))
     return (
@@ -862,7 +940,7 @@ def ivfpq_adc_topk(
 
     resid = ivfpq_residuals(corpus, id_col)
     cb = pq_codebook(resid, id_col)
-    codes = pq_encode(resid, id_col).join(
+    codes = pq_code_arr(resid, cb, id_col).join(
         resid.select(id_col, "label"), id_col
     )
     probe_subs = pq_subvectors(
@@ -870,19 +948,19 @@ def ivfpq_adc_topk(
     ).join(resid.select(id_col, "label"), id_col).select(
         F.col(id_col).alias("probe_id"), "label", "sub_id", "subv"
     )
-    lut = probe_subs.join(F.broadcast(cb), "sub_id").select(
+    lut_rows = probe_subs.join(F.broadcast(cb), "sub_id").select(
         "probe_id",
         "label",
         "sub_id",
         "code_id",
         l2_sq(F.col("subv"), F.col("cw")).alias("d2"),
     )
+    luts = pq_lut_arr(lut_rows, ("probe_id", "label"))
     adc = (
-        codes.select(F.col(id_col).alias("cand_id"), "label", "sub_id", "code_id")
-        .join(F.broadcast(lut), ["label", "sub_id", "code_id"])
+        codes.select(F.col(id_col).alias("cand_id"), "label", "code_arr")
+        .join(F.broadcast(luts), "label")
         .filter(F.col("cand_id") != F.col("probe_id"))
-        .groupBy("probe_id", "cand_id")
-        .agg(F.sum("d2").cast("long").alias("adc_d2"))
+        .select("probe_id", "cand_id", adc_d2_expr().alias("adc_d2"))
     )
     w = W.partitionBy("probe_id").orderBy(F.asc("adc_d2"), F.asc("cand_id"))
     return (
@@ -920,7 +998,7 @@ def ivfpq_multiprobe_topk(
 
     resid = ivfpq_residuals(corpus, id_col)
     cb = pq_codebook(resid, id_col)
-    codes = pq_encode(resid, id_col).join(
+    codes = pq_code_arr(resid, cb, id_col).join(
         resid.select(id_col, "label"), id_col
     )
     cents = ivf_centroids(corpus)
@@ -955,21 +1033,22 @@ def ivfpq_multiprobe_topk(
             )
         ).alias("sub_id", "subv"),
     )
-    lut = prv.join(F.broadcast(cb), "sub_id").select(
+    lut_rows = prv.join(F.broadcast(cb), "sub_id").select(
         "probe_id",
         "label",
         "sub_id",
         "code_id",
         l2_sq(F.col("subv"), F.col("cw")).alias("d2"),
     )
+    # a candidate's single label meets at most ONE of a probe's nprobe
+    # (probe, label) LUT arrays, so the per-row fold sees exactly the
+    # rows the old (label, sub, code) join + SUM aggregated
+    luts = pq_lut_arr(lut_rows, ("probe_id", "label"))
     adc = (
-        codes.select(
-            F.col(id_col).alias("cand_id"), "label", "sub_id", "code_id"
-        )
-        .join(F.broadcast(lut), ["label", "sub_id", "code_id"])
+        codes.select(F.col(id_col).alias("cand_id"), "label", "code_arr")
+        .join(F.broadcast(luts), "label")
         .filter(F.col("cand_id") != F.col("probe_id"))
-        .groupBy("probe_id", "cand_id")
-        .agg(F.sum("d2").cast("long").alias("adc_d2"))
+        .select("probe_id", "cand_id", adc_d2_expr().alias("adc_d2"))
     )
     w = W.partitionBy("probe_id").orderBy(F.asc("adc_d2"), F.asc("cand_id"))
     return (

@@ -850,6 +850,34 @@ def test_pq_codebook_vectors_encode_to_themselves(spark, sf_dir):
         )
 
 
+def test_pq_code_arr_matches_encode(spark, sf_dir):
+    """r12 array-ADC pin: pq_code_arr (one code array per vector, the
+    single-shuffle encode the ADC fold consumes) must agree codeword-
+    for-codeword with pq_encode's per-(vector, subspace) argmin rows —
+    same (d2, code_id) tie-break, just a different row shape."""
+    from sentiflow_spark.operators.similarity import (
+        PQ_M,
+        pq_code_arr,
+        pq_codebook,
+        pq_encode,
+        with_quantized,
+    )
+    from sentiflow_spark.tables import load
+
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    rows = {
+        (r["vec_id"], r["sub_id"]): r["code_id"]
+        for r in pq_encode(emb).collect()
+    }
+    arrs = {
+        r["vec_id"]: list(r["code_arr"])
+        for r in pq_code_arr(emb, pq_codebook(emb)).collect()
+    }
+    assert set(arrs) == {v for v, _ in rows}
+    for vid, arr in arrs.items():
+        assert arr == [rows[(vid, m)] for m in range(PQ_M)], vid
+
+
 def test_pq_adc_matches_python_reference(spark, sf_dir):
     """ADC distances and the top-k ranking match a direct NumPy
     re-implementation of Jégou et al.'s asymmetric distance on the
