@@ -99,6 +99,13 @@ def ret_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tokens(docs)
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # pinned: TWO consumers (the df dictionary and the scoring
+        # join) would otherwise each re-run the tokenize+explode+agg
+        # lineage — the (doc, term, tf) postings table is the classic
+        # materialization point (far smaller than the token stream it
+        # derives from), so one corpus tokenize feeds both (r12,
+        # guide §5 compute-once)
+        .localCheckpoint(eager=False)
     )
     # df via partial-agg groupBy + join (AQE picks broadcast when the
     # term dictionary fits, skew-split shuffle join when it doesn't) —

@@ -785,7 +785,12 @@ SCAN_FANOUT_BASELINE = {
     "ret_prf_expansion": {"documents": 5},
     "ret_query_likelihood": {"documents": 3},
     "ret_rerank_stub": {"documents": 4},
-    "ret_tfidf_topk": {"documents": 3},
+    # dropped 3 → 1 when the (doc, term, tf) postings table was pinned
+    # (r12): one tokenize feeds both the df dictionary and the scoring
+    # join (that single scan sits behind the checkpoint boundary, so
+    # the plan no longer shows it); the one visible scan left is the
+    # corpus-count scalar
+    "ret_tfidf_topk": {"documents": 1},
     "sim_dtw_topk": {"events": 6},
     "sim_ivf_recall": {"embeddings": 4},
     # 3 = the materialized index read (classified as embeddings via its
