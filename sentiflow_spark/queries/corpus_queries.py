@@ -2942,8 +2942,19 @@ def win_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = spans.select(
         "event_type", F.explode(F.sequence("h0", "h1")).alias("h_idx")
     )
-    dense = spine.join(hourly, ["event_type", "h_idx"], "left").select(
-        "event_type", "h_idx", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    dense = (
+        spine.join(hourly, ["event_type", "h_idx"], "left")
+        .select(
+            "event_type",
+            "h_idx",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+        # pinned: the densified series has TWO consumers (the weighted
+        # lag aggregation and the final join back), and each would
+        # re-run the events scan + hourly rollup + spans/spine chain —
+        # 4 event scans for a table of series × hours rows (r12,
+        # guide §5 compute-once)
+        .localCheckpoint(eager=False)
     )
     lags = spark.createDataFrame(_EWMA_WEIGHTS, "lag INT, w DOUBLE")
     agg = (

@@ -829,7 +829,10 @@ SCAN_FANOUT_BASELINE = {
     "txt_unigram_logprob": {"documents": 3},
     "txt_unigram_tokenize": {"documents": 5},
     "txt_wordpiece_encode": {"documents": 4},
-    "win_ewma_halflife": {"events": 4},
+    # dropped 4 → 0 when the densified series was pinned (r12): the
+    # only events consumer is the checkpointed dense table's own
+    # lineage, which sits behind the checkpoint boundary in the plan
+    "win_ewma_halflife": {"events": 0},
     "win_percent_rank": {"customer": 4},
 }
 
