@@ -938,7 +938,11 @@ def ivfpq_adc_topk(
     vector deployments actually run."""
     from sentiflow_spark.functions.vectors import l2_sq
 
-    resid = ivfpq_residuals(corpus, id_col)
+    # pinned: the residual table (corpus scan + centroid aggregate +
+    # per-vector subtraction) has FIVE consumers below (codebook,
+    # encode, two label joins, probe slice) — materializing residuals
+    # once is exactly what a real IVFPQ index build does (r12)
+    resid = ivfpq_residuals(corpus, id_col).localCheckpoint(eager=False)
     cb = pq_codebook(resid, id_col)
     codes = pq_code_arr(resid, cb, id_col).join(
         resid.select(id_col, "label"), id_col
@@ -996,12 +1000,15 @@ def ivfpq_multiprobe_topk(
     never a rerank of the full corpus."""
     from sentiflow_spark.functions.vectors import l2_sq
 
-    resid = ivfpq_residuals(corpus, id_col)
+    resid = ivfpq_residuals(corpus, id_col).localCheckpoint(eager=False)
     cb = pq_codebook(resid, id_col)
     codes = pq_code_arr(resid, cb, id_col).join(
         resid.select(id_col, "label"), id_col
     )
     cents = ivf_centroids(corpus)
+    # (multi-probe's LUTs come from probe qvec × probed-bucket
+    # centroids, not from resid — so resid's consumers here are the
+    # codebook, the encode pass and the label join; same pin rationale)
     probes = corpus.filter(F.col(id_col) < n_probes).select(
         F.col(id_col).alias("probe_id"),
         F.col("label").alias("p_label"),

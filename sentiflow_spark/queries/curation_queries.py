@@ -1590,6 +1590,12 @@ def txt_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", "source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # pinned: the bigram table has TWO consumers (the reference-count
+    # branch and the scoring join), each of which would re-run the
+    # tokenize + zip_with bigram explode from the corpus scan (r12,
+    # guide §5 compute-once); the vocab scalar keeps its own scan — it
+    # needs whole-token distincts the bigram stream can't supply
+    db = db.localCheckpoint(eager=False)
     ref = db.filter(F.col("source").isin(*PPL_REF_SOURCES))
     c2 = ref.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))

@@ -810,10 +810,15 @@ SCAN_FANOUT_BASELINE = {
     "sim_matryoshka_rerank": {"embeddings": 4},
     # rerank's 4 + brute-force ground truth (corpus + probes)
     "sim_matryoshka_recall": {"embeddings": 6},
-    "sim_ivfpq_mp_recall": {"embeddings": 12},
-    "sim_ivfpq_multiprobe": {"embeddings": 10},
-    "sim_ivfpq_recall": {"embeddings": 14},
-    "sim_ivfpq_topk": {"embeddings": 12},
+    # the ivfpq family dropped 12/10/14/12 → 4/2/2/0 when the residual
+    # table was pinned (r12): codebook, encode and the label joins all
+    # read the one checkpointed residual index instead of re-deriving
+    # corpus + centroids + subtraction; the remaining visible scans are
+    # the centroid/ground-truth/probe sides that never touch resid
+    "sim_ivfpq_mp_recall": {"embeddings": 4},
+    "sim_ivfpq_multiprobe": {"embeddings": 2},
+    "sim_ivfpq_recall": {"embeddings": 2},
+    "sim_ivfpq_topk": {"embeddings": 0},
     # dropped 4 → 3 when knn_graph's within-bucket self-join (two
     # embeddings scans) became one grouped vectorized top-k pass (r12)
     "sim_multiprobe_recall": {"embeddings": 3},
@@ -824,7 +829,10 @@ SCAN_FANOUT_BASELINE = {
     "txt_dsir_weights": {"documents": 5},
     "txt_lang_rebalance": {"documents": 3},
     "txt_mix_temperature": {"documents": 4},
-    "txt_perplexity_bucket": {"documents": 8},
+    # dropped 8 → 2 when the bigram table was pinned (r12): the
+    # reference-count branch and the scoring join read the checkpoint;
+    # the visible scans left are the vocab scalar's tokenize
+    "txt_perplexity_bucket": {"documents": 2},
     "txt_robust_outliers": {"documents": 4},
     "txt_unigram_logprob": {"documents": 3},
     "txt_unigram_tokenize": {"documents": 5},
