@@ -292,10 +292,18 @@ def shingle_pair_counts(
     convention live in exactly one place."""
     sh = exploded_shingles(df, text_col, id_col)
     if df_cap is not None:
+        # the raw shingle stream has two consumers here (the document-
+        # frequency aggregate and the semi-join's stream side); pin it
+        # so the tokenize+explode pass runs once (r12, guide §5)
+        sh = sh.localCheckpoint(eager=False)
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
         sh = (
             sh.join(dfreq.filter(F.col("_df") <= df_cap), "shingle", "left_semi")
         )
+    # three consumers below (set sizes + both sides of the inverted-
+    # index self-join) — without the pin each re-runs the whole
+    # shingle (and, when capped, df-cap) lineage from the corpus scan
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -766,18 +766,21 @@ def test_no_duplicated_python_udf_evaluation(plan_scan):
 # and pays the corpus once per phase. A count DROPPING below its pin
 # also fails, so the baseline records reality rather than rotting.
 SCAN_FANOUT_BASELINE = {
-    "dd_containment_capped": {"documents": 8},
-    "dd_containment_pairs": {"documents": 8},
+    # the shingle_pair_counts family dropped to 0 visible scans when
+    # the shingle stream was pinned inside the operator (r12): sizes
+    # and both self-join sides read the one checkpointed explode
+    "dd_containment_capped": {"documents": 0},
+    "dd_containment_pairs": {"documents": 0},
     "dd_decontaminate": {"documents": 3},
-    "dd_doc_sim_topk": {"documents": 8},
+    "dd_doc_sim_topk": {"documents": 0},
     "dd_edit_prefix_pairs": {"documents": 4},
-    "dd_lsh_recall": {"documents": 8},
-    "dd_ngram_jaccard": {"documents": 4},
-    "dd_ngram_jaccard_capped": {"documents": 8},
+    "dd_lsh_recall": {"documents": 0},
+    "dd_ngram_jaccard": {"documents": 0},
+    "dd_ngram_jaccard_capped": {"documents": 0},
     "dd_segment_dedup": {"documents": 3},
     "dd_semantic_dedup": {"embeddings": 3},
     "dd_substring_recall": {"documents": 5},
-    "dd_threshold_curve": {"documents": 4},
+    "dd_threshold_curve": {"documents": 0},
     "pl_e2e_results": {"documents": 6},
     "rel_column_stats": {"lineitem": 3},
     "ret_bm25_topk": {"documents": 3},
