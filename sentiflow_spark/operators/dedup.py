@@ -283,6 +283,7 @@ def shingle_pair_counts(
     text_col: str = "text",
     id_col: str = "doc_id",
     df_cap: int | None = None,
+    pin: bool = True,
 ) -> DataFrame:
     """Inverted-index pair statistics: (doc_a, doc_b, shared, size_a,
     size_b) for every document pair sharing ≥1 shingle (doc_a < doc_b).
@@ -295,15 +296,20 @@ def shingle_pair_counts(
         # the raw shingle stream has two consumers here (the document-
         # frequency aggregate and the semi-join's stream side); pin it
         # so the tokenize+explode pass runs once (r12, guide §5)
-        sh = sh.localCheckpoint(eager=False)
+        if pin:
+            sh = sh.localCheckpoint(eager=False)
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
         sh = (
             sh.join(dfreq.filter(F.col("_df") <= df_cap), "shingle", "left_semi")
         )
     # three consumers below (set sizes + both sides of the inverted-
     # index self-join) — without the pin each re-runs the whole
-    # shingle (and, when capped, df-cap) lineage from the corpus scan
-    sh = sh.localCheckpoint(eager=False)
+    # shingle (and, when capped, df-cap) lineage from the corpus scan.
+    # ``pin=False`` is the introspection escape hatch: the checkpoint
+    # hides this subtree behind a Scan ExistingRDD, so the plan lints
+    # that guard the df-cap/sample shape read the unpinned form.
+    if pin:
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -3363,7 +3363,9 @@ PRF_EXP_K = 5  # expansion terms mined from the feedback set
 )
 def ret_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    toks = _tokens(docs)
+    # pinned: the token stream feeds both the expansion-term mining and
+    # the re-scoring pass — one tokenize instead of two (r12)
+    toks = _tokens(docs).localCheckpoint(eager=False)
     fb = (
         ret_bm25_topk(spark, sf_dir)
         .orderBy(F.desc("score"), "doc_id")
@@ -3547,7 +3549,7 @@ def sim_dtw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long")
     daily = ev.groupBy("user_id", day.alias("day")).agg(
         F.count(F.lit(1)).alias("n")
-    )
+    ).localCheckpoint(eager=False)  # two consumers: bounds + densify
     bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     dense = (
         daily.join(F.broadcast(bounds))
@@ -3564,6 +3566,10 @@ def sim_dtw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda d: F.coalesce(F.element_at(F.col("m"), d), F.lit(0)),
             ).alias("series"),
         )
+        # pinned: the densified per-user series feeds both the probe
+        # slice and the candidate side — one events rollup + map build
+        # instead of two (r12)
+        .localCheckpoint(eager=False)
     )
     probes = dense.filter(F.col("user_id") < DTW_PROBES).select(
         F.col("user_id").alias("probe_id"), F.col("series").alias("p_series")

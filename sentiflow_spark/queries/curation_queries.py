@@ -508,6 +508,11 @@ def txt_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     ).select("doc_id", "lang", (md5_i32(F.col("g")) % DSIR_BUCKETS).alias("b"))
+    # pinned: the hashed-bigram feature stream has FIVE consumers
+    # (source/target bucket counts, both totals, the scoring join) —
+    # unpinned each re-ran tokenize + bigram zip + md5 from the scan
+    # (r12, guide §5 compute-once)
+    feats = feats.localCheckpoint(eager=False)
     src = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
     tgt = (
         feats.filter(F.col("lang") == "en")
@@ -1391,13 +1396,17 @@ def txt_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pl"),
         )
         .withColumn("piece", F.col("w").substr(F.col("p"), F.col("pl")))
+        # pinned: the positional piece explosion feeds both the piece-
+        # frequency aggregate and the DP transition join — one
+        # tokenize+double-explode instead of two (r12)
+        .localCheckpoint(eager=False)
     )
     piecef = pos_l.groupBy("piece", F.length("piece").alias("pl")).agg(
         F.sum("f").alias("pf")
     )
     vocab = piecef.filter(
         (F.col("pf") >= UG_MIN_COUNT) | (F.col("pl") == 1)
-    )
+    ).localCheckpoint(eager=False)  # two consumers: total + costs
     tot = vocab.agg(F.sum("pf").cast("double").alias("t"))
     vc = vocab.join(F.broadcast(tot)).select(
         "piece",

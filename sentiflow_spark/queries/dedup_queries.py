@@ -1298,6 +1298,10 @@ def dd_substring_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = (
         docs.select("doc_id", F.explode(pgs).alias("pg"))
         .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+        # pinned: the every-position gram explosion (the truth arm's
+        # most expensive pass) feeds both the duplicate-gram filter and
+        # the truth positions — one explode instead of two (r12)
+        .localCheckpoint(eager=False)
     )
     dup = (
         occ.groupBy("g")

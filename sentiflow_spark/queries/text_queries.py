@@ -782,7 +782,17 @@ def txt_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0))
         ).alias("pos0", "term"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
-    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # pinned: the positional postings have 2 + PMI_MAX_DIST consumers
+    # (unigram counts, each shifted union leg, the join's right side),
+    # and the unigram table another three (total, both count joins) —
+    # unpinned, every one re-ran the tokenize+posexplode from the scan
+    # (7 visible scans in the plan; r12, guide §5 compute-once)
+    toks = toks.localCheckpoint(eager=False)
+    uni = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     tot = uni.agg(F.sum("cnt").cast("double").alias("n"))
     shifted = None
     for delta in range(1, PMI_MAX_DIST + 1):

