@@ -1183,6 +1183,10 @@ def txt_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pl"),
         )
         .withColumn("piece", F.col("w").substr(F.col("p"), F.col("pl")))
+        # pinned: same two-consumer piece explosion as
+        # txt_unigram_tokenize (vocab aggregate + encode join) — one
+        # tokenize+double-explode instead of two (r12)
+        .localCheckpoint(eager=False)
     )
     pieces = (
         pos_l.groupBy("piece")

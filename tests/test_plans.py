@@ -872,7 +872,8 @@ SCAN_FANOUT_BASELINE = {
     "txt_unigram_logprob": {"documents": 3},
     # dropped 5 → 2: positional piece explosion + vocab pinned (r12)
     "txt_unigram_tokenize": {"documents": 2},
-    "txt_wordpiece_encode": {"documents": 4},
+    # dropped 4 → 2: positional piece explosion pinned (r12)
+    "txt_wordpiece_encode": {"documents": 2},
     # dropped 4 → 0 when the densified series was pinned (r12): the
     # only events consumer is the checkpointed dense table's own
     # lineage, which sits behind the checkpoint boundary in the plan
