@@ -2942,19 +2942,16 @@ def win_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = spans.select(
         "event_type", F.explode(F.sequence("h0", "h1")).alias("h_idx")
     )
-    dense = (
-        spine.join(hourly, ["event_type", "h_idx"], "left")
-        .select(
-            "event_type",
-            "h_idx",
-            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
-        )
-        # pinned: the densified series has TWO consumers (the weighted
-        # lag aggregation and the final join back), and each would
-        # re-run the events scan + hourly rollup + spans/spine chain —
-        # 4 event scans for a table of series × hours rows (r12,
-        # guide §5 compute-once)
-        .localCheckpoint(eager=False)
+    # NOT pinned (r12 measured negative): the densified series has two
+    # consumers, but an interleaved warm A/B at sf0.1 read the
+    # localCheckpoint variant at 0.94 s vs 0.72 s unpinned (5 reps,
+    # consistent) — the rollup lineage is cheap narrow aggregation that
+    # pipelines under AQE, while the pin adds a serial materialization
+    # barrier AND evicts the query from the prepared-plan memo. The
+    # scan fanout (8 visible) is re-scan of pruned event columns, the
+    # cheaper side of the materialize/recompute trade here.
+    dense = spine.join(hourly, ["event_type", "h_idx"], "left").select(
+        "event_type", "h_idx", F.coalesce("n", F.lit(0)).cast("long").alias("n")
     )
     lags = spark.createDataFrame(_EWMA_WEIGHTS, "lag INT, w DOUBLE")
     agg = (
@@ -3363,9 +3360,11 @@ PRF_EXP_K = 5  # expansion terms mined from the feedback set
 )
 def ret_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    # pinned: the token stream feeds both the expansion-term mining and
-    # the re-scoring pass — one tokenize instead of two (r12)
-    toks = _tokens(docs).localCheckpoint(eager=False)
+    # NOT pinned (r12 measured negative): the token stream feeds both
+    # the expansion mining and the re-scoring pass, but the interleaved
+    # warm A/B read the pinned variant at 1.52 s vs 1.31 s unpinned —
+    # same barrier-vs-cheap-recompute trade as win_ewma_halflife.
+    toks = _tokens(docs)
     fb = (
         ret_bm25_topk(spark, sf_dir)
         .orderBy(F.desc("score"), "doc_id")

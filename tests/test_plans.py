@@ -812,9 +812,9 @@ SCAN_FANOUT_BASELINE = {
     "rel_column_stats": {"lineitem": 3},
     "ret_bm25_topk": {"documents": 3},
     "ret_hybrid_rrf": {"documents": 3},
-    # dropped 5 → 3: the token stream pinned (r12); the remaining
-    # scans are the feedback stage's single-scan BM25 + corpus scalar
-    "ret_prf_expansion": {"documents": 3},
+    # 5 scans incl. the token stream twice, deliberately unpinned:
+    # the r12 A/B measured the pinned variant ~1.15× slower warm
+    "ret_prf_expansion": {"documents": 5},
     "ret_query_likelihood": {"documents": 3},
     "ret_rerank_stub": {"documents": 4},
     # dropped 3 → 1 when the (doc, term, tf) postings table was pinned
@@ -874,10 +874,10 @@ SCAN_FANOUT_BASELINE = {
     "txt_unigram_tokenize": {"documents": 2},
     # dropped 4 → 2: positional piece explosion pinned (r12)
     "txt_wordpiece_encode": {"documents": 2},
-    # dropped 4 → 0 when the densified series was pinned (r12): the
-    # only events consumer is the checkpointed dense table's own
-    # lineage, which sits behind the checkpoint boundary in the plan
-    "win_ewma_halflife": {"events": 0},
+    # 4 narrow event re-scans, deliberately unpinned: the r12 A/B
+    # measured the localCheckpoint variant 1.3× SLOWER warm at sf0.1
+    # (barrier + memo eviction > cheap rollup recompute)
+    "win_ewma_halflife": {"events": 4},
     "win_percent_rank": {"customer": 4},
 }
 
