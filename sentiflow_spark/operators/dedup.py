@@ -1129,7 +1129,17 @@ def _unpacked_positions(
     """(id, h, pos) — distinct winnowed selections with their 32-bit
     gram hash and 1-based char position unpacked from the packed
     h*BASE - pos keys. localCheckpointed: every consumer uses it at
-    least twice (frequency table + flagging)."""
+    least twice (frequency table + flagging).
+
+    Distinctness is an INVARIANT, not an operation: winnow_fingerprints
+    returns one row per doc whose ``fps`` array is already
+    array_distinct, and the packed key unpacks bijectively to (h, pos),
+    so the exploded triples are unique per doc — and globally, because
+    every caller feeds one row per ``id_col`` (the documents table or a
+    stage that already deduplicated on it). An explicit ``distinct()``
+    here was measured a pure no-op that cost one full exchange inside
+    the pin's materialization per invocation (r12); the invariant is
+    pinned by test_unpacked_positions_unique."""
     b = WINNOW_POS_BASE
     fps = winnow_fingerprints(df, text_col, id_col, k, w).localCheckpoint(eager=False)
     return (
@@ -1141,7 +1151,6 @@ def _unpacked_positions(
                 f"((_key + {b - 1}) DIV {b}) * {b} - _key"
             ).alias("pos"),
         )
-        .distinct()
         .localCheckpoint(eager=False)
     )
 

@@ -440,6 +440,30 @@ def test_winnowing_guarantee_shared_substring_yields_shared_fingerprint(spark):
     assert fps == again
 
 
+def test_unpacked_positions_unique(spark):
+    """_unpacked_positions emits unique (id, h, pos) triples WITHOUT an
+    explicit distinct: winnow_fingerprints returns one array_distinct
+    fps array per doc and the packed key unpacks bijectively, so the
+    exploded stream cannot repeat a triple when each input id appears
+    once. Pins the invariant the r12 removal of the operator's no-op
+    ``distinct()`` (one saved exchange per pin materialization) relies
+    on — including on self-repetitive text, where the same gram hash
+    IS selected at many positions of one document."""
+    from sentiflow_spark.operators.dedup import _unpacked_positions
+
+    rep = "spam spam spam spam wonderful spam lovely spam spam spam "
+    docs = [
+        (1, rep * 12),
+        (2, "the quick brown fox jumps over the lazy dog " * 6),
+        (3, rep * 3 + " tail differs here " + rep * 3),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pos = _unpacked_positions(df, "text", "doc_id", 5, 4)
+    total = pos.count()
+    assert total > 0
+    assert total == pos.distinct().count()
+
+
 def test_winnowing_rejects_doc_beyond_position_packing_limit(spark):
     """key = h*BASE - pos is only injective while every gram position
     stays under WINNOW_POS_BASE; a longer document would corrupt
