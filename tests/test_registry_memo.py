@@ -96,3 +96,36 @@ def test_streaming_tags_exempt(spark, sf_dir):
 
     w = _wrap("memo_test_exempt", q, tags=("streaming",))
     assert w is q
+
+
+def test_memo_snapshot_static_inputs_contract(spark, tmp_path):
+    """Documents the memo's staleness contract: a cached plan embeds
+    the parquet file-index snapshot from first build, so files appended
+    to the table directory afterwards are invisible to later calls of
+    the same key — and become visible again once the key is
+    invalidated (the documented escape hatch for growing tables)."""
+    path = str(tmp_path / "grow")
+    spark.range(3).select(F.col("id").alias("v")).write.parquet(path)
+
+    def q(s, d):
+        # explicit schema: zero build-time jobs, so the memo accepts
+        # the plan deterministically (no schema-inference probe path)
+        return s.read.schema("v long").parquet(path)
+
+    w = _wrap("memo_test_snapshot", q)
+    assert w(spark, str(tmp_path)).count() == 3
+    assert w(spark, str(tmp_path)).count() == 3  # memoized now
+    # grow the table AFTER the plan was memoized
+    spark.range(2).select(F.col("id").alias("v")).write.mode(
+        "append"
+    ).parquet(path)
+    # the memoized plan still serves the first build's file snapshot
+    assert w(spark, str(tmp_path)).count() == 3
+    # invalidating the key (the documented remedy) sees the new files
+    key = (
+        spark.sparkContext.applicationId,
+        str(tmp_path).rstrip("/"),
+        "memo_test_snapshot",
+    )
+    _registry._PLAN_MEMO.pop(key)
+    assert w(spark, str(tmp_path)).count() == 5
