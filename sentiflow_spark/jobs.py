@@ -237,9 +237,17 @@ def job_curate(args: argparse.Namespace) -> dict:
     n_in = load(spark, args.sf_dir, "documents").count()
     st = curation_stages(spark, args.sf_dir)  # ONE pipeline pass
     disp = disposition(st).localCheckpoint()
-    corpus = st["packed"].join(
-        st["capped"].select("doc_id", "clean_text"), "doc_id"
-    )
+    # post-cut text is re-derived map-side from the shared spans + s5
+    # stage objects (their winnow pins are reused): the query path's
+    # cut pin is numbers-only, so the corpus text is materialized
+    # exactly once, here at the write, instead of riding through the
+    # domain-cap window for every disposition-only caller
+    from sentiflow_spark.operators.dedup import cut_spans
+
+    corpus_text = cut_spans(
+        st["s5"].select("doc_id", "text"), st["spans"]
+    ).select("doc_id", "clean_text")
+    corpus = st["packed"].join(corpus_text, "doc_id")
     corpus.write.mode("overwrite").partitionBy("split").parquet(
         f"{args.out}/corpus"
     )

@@ -643,7 +643,9 @@ def boilerplate_removal(
         .filter(F.col("nd") >= min_docs)
         .select("seg")
     )
-    return strip_with_boiler(segs, boiler, max_removed_frac, id_col)
+    return strip_with_boiler(
+        docs, boiler, max_removed_frac, id_col, text_col, seg_chars
+    )
 
 
 def boiler_segments(
@@ -674,56 +676,116 @@ def boiler_segments(
 
 
 def strip_with_boiler(
-    segs: DataFrame,
+    docs: DataFrame,
     boiler: DataFrame,
     max_removed_frac: float = BP_MAX_REMOVED_FRAC,
     id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_chars: int = BP_SEG_CHARS,
 ) -> DataFrame:
     """Reassemble per-doc text with the given boilerplate segment SET
     removed — the strip stage of boilerplate_removal, split out so the
     incremental DAG can apply a manifest-backed boilerplate set to a
     delta batch. ``boiler`` is any (seg) DataFrame (extra columns
-    ignored). Returns the same schema as boilerplate_removal."""
-    boiler = boiler.select("seg", F.lit(True).alias("is_bp"))
-    # Mark-and-aggregate instead of anti-join + totals join-back: one
-    # left join flags boilerplate occurrences, then a SINGLE per-doc
-    # aggregation produces the kept text AND the totals — every doc has
-    # >= 1 segment, so no re-scan of docs is needed for per-doc stats
-    # (the scan-fanout lint holds this operator to 2 scans of documents)
-    flagged = segs.join(boiler, "seg", "left").select(
-        id_col, "seg_no", "seg",
-        F.coalesce("is_bp", F.lit(False)).alias("is_bp"),
+    ignored). Returns the same schema as boilerplate_removal:
+    (id, text_clean, n_kept, n_total, removed_frac, doc_kept).
+
+    Shuffle shape (guide §8 "decide with small rows, move big rows
+    once"): the only cross-row decision — WHICH segment occurrences are
+    boilerplate — needs (seg, id, seg_no) rows; the reassembly itself
+    is a pure per-doc function of (text, flagged segment positions).
+    So the per-doc aggregation collects flagged seg_no POSITIONS only
+    (boilerplate occurrences — a small fraction of segments), and the
+    clean text is rebuilt MAP-SIDE by folding the sorted positions
+    into kept-range substrings over the original text column, which
+    joins back against the tiny position table (broadcast under AQE)
+    and never crosses an exchange. The previous shape shuffled every
+    segment of the corpus ((seg_no, seg, is_bp) structs) through a
+    per-doc collect_list exchange — the corpus crossed the wire even
+    when nothing was boilerplate. Output is IDENTICAL: fixed-width
+    segments partition the text exactly, so concatenating kept
+    segments in seg_no order == cutting the flagged segments'
+    character ranges from the original text, and every per-doc stat
+    is derivable map-side (n_total from length, kept_chars from the
+    rebuilt text's length)."""
+    segs = boiler_segments(docs, seg_chars, text_col, id_col)
+    bp_pos = (
+        segs.join(boiler.select("seg"), "seg", "left_semi")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("seg_no")).alias("_bp"))
     )
-    rec = flagged.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.filter(
-                    F.array_sort(
-                        F.collect_list(F.struct("seg_no", "seg", "is_bp"))
-                    ),
-                    lambda s: ~s.is_bp,
+    base = docs.select(F.col(id_col), F.col(text_col).alias("_t"))
+    t = F.col("_t")
+    bp_arr = F.coalesce(F.col("_bp"), F.array().cast("array<bigint>"))
+    # fold the sorted flagged segment indices into kept-range
+    # substrings (cut_spans' shape): acc.pos is the next uncut 1-based
+    # char; flagged segment s covers [s*W+1, s*W+W]
+    zero = F.struct(
+        F.lit(1).cast("long").alias("pos"), F.lit("").alias("acc")
+    )
+    folded = F.aggregate(
+        bp_arr,
+        zero,
+        lambda acc, s: F.struct(
+            (s * seg_chars + seg_chars + 1).cast("long").alias("pos"),
+            F.concat(
+                acc["acc"],
+                t.substr(
+                    acc["pos"].cast("int"),
+                    (s * seg_chars + 1 - acc["pos"]).cast("int"),
                 ),
-                lambda s: s.seg,
+            ).alias("acc"),
+        ),
+        # the final flagged segment may be the (short) last segment of
+        # the doc, leaving pos past the end — clamp the tail length at 0
+        lambda acc: F.concat(
+            acc["acc"],
+            t.substr(
+                acc["pos"].cast("int"),
+                F.greatest(
+                    F.length(t) - acc["pos"].cast("int") + 1, F.lit(0)
+                ),
             ),
-            "",
-        ).alias("text_clean"),
-        F.sum(F.when(~F.col("is_bp"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_kept"),
-        F.count(F.lit(1)).alias("n_total"),
-        F.sum(F.when(~F.col("is_bp"), F.length("seg")).otherwise(0))
-        .cast("long")
-        .alias("kept_chars"),
-        F.sum(F.length("seg")).cast("long").alias("total_chars"),
+        ),
+    )
+    # '' (never null) for null-text rows — the collect_list shape's
+    # array_join skipped null segs and yielded '' there
+    out_text = F.coalesce(folded, F.lit(""))
+    n_total = F.greatest(
+        F.ceil(F.length(t) / F.lit(float(seg_chars))).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    n_bp = F.size(bp_arr).cast("long")
+    # bind the folded text through a 1-element transform + explode
+    # barrier so the O(bp) cut-and-concat fold evaluates ONCE per row
+    # (the CollapseProject duplication trap cut_spans documents)
+    stats = F.explode(
+        F.transform(
+            F.array(out_text),
+            lambda c: F.struct(
+                c.alias("text_clean"),
+                F.length(c).cast("long").alias("kept_chars"),
+            ),
+        )
+    )
+    rec = (
+        base.join(bp_pos, id_col, "left")
+        .select(
+            F.col(id_col),
+            stats.alias("_s"),
+            (n_total - n_bp).alias("n_kept"),
+            n_total.alias("n_total"),
+            F.length(t).cast("long").alias("total_chars"),
+        )
     )
     total_chars = F.col("total_chars")
     removed_frac = F.when(
         total_chars > 0,
-        (total_chars - F.col("kept_chars")).cast("double") / total_chars,
+        (total_chars - F.col("_s.kept_chars")).cast("double") / total_chars,
     ).otherwise(F.lit(0.0))
     return rec.select(
         id_col,
-        "text_clean",
+        F.col("_s.text_clean").alias("text_clean"),
         "n_kept",
         "n_total",
         removed_frac.alias("removed_frac"),
@@ -1230,6 +1292,7 @@ def winnow_contaminated_spans(
     w: int = WINNOW_W,
     merge_gap: int = SPAN_MERGE_GAP,
     min_fps: int = SPAN_MIN_FPS,
+    bench_flag_of_id: bool = False,
 ) -> DataFrame:
     """(id, span_start, span_end, n_shared) over NON-benchmark docs —
     maximal character ranges whose content also appears in a held-out
@@ -1249,10 +1312,22 @@ def winnow_contaminated_spans(
     dd_decontaminate's 60-bit doc gate. No benchmark-to-train doc
     join: the benchmark hash set is a distinct partial-agg (tiny —
     benchmarks are thousands of docs, not billions) semi-joined onto
-    the training position stream."""
+    the training position stream.
+
+    ``bench_flag_of_id=True`` declares that ``is_bench`` references
+    ONLY ``id_col`` (the engine's bench-holdout predicates are all
+    ``doc_id % MOD == 0``): the flag is then evaluated directly on the
+    position stream instead of joining a one-row-per-doc flag table
+    onto it — one join (and its exchange over the O(corpus/4.5)
+    position rows) removed outright (guide §2.4). Identical flags by
+    construction: the predicate is a pure function of the id column
+    both frames carry."""
     pos = _unpacked_positions(df, text_col, id_col, k, w)
-    flags = df.select(id_col, is_bench.alias("_is_bench"))
-    pos = pos.join(flags, id_col)
+    if bench_flag_of_id:
+        pos = pos.withColumn("_is_bench", is_bench)
+    else:
+        flags = df.select(id_col, is_bench.alias("_is_bench"))
+        pos = pos.join(flags, id_col)
     bench_h = pos.filter(F.col("_is_bench")).select("h").distinct()
     flagged = (
         pos.filter(~F.col("_is_bench"))

@@ -104,8 +104,10 @@ DAG_GOPHER_RULES = (
 def curation_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Run the DAG and return every stage boundary (for the job and the
     disposition query). Keys: docs_n, gq, exact_ranked, near_losers,
-    s5 (post-dedup survivors w/ normalized text), cut (clean text +
-    accounting), alive, capped, packed."""
+    s5 (post-dedup survivors w/ normalized text), spans (the
+    decontamination cut-list — with s5 this reconstructs post-cut text
+    map-side, see jobs.py), cut (per-doc post-cut accounting: n_tokens,
+    cut_chars, clean_len — no text), capped, packed."""
     docs = load(spark, sf_dir, "documents")
     # One Arrow NFC pass, pinned: six downstream stages consume the
     # normalized corpus and would each re-run the Python stage.
@@ -118,13 +120,20 @@ def curation_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # cross-doc boilerplate strip (CCNet order: before quality, so the
     # Gopher metrics score content, not shared nav/footer segments).
     # Pinned: the cleaned candidate set is a phase boundary consumed by
-    # the quality gate, every downstream text stage, and disposition.
-    bp = boilerplate_removal(
-        cand0,
-        seg_chars=BP_SEG_CHARS,
-        min_docs=BP_MIN_DOCS,
-        max_removed_frac=BP_MAX_REMOVED_FRAC,
-    ).localCheckpoint(eager=False)
+    # the quality gate, every downstream text stage, and disposition —
+    # NARROWED to the columns those consumers read (text_clean +
+    # doc_kept; the n_kept/n_total/removed_frac stats are standalone-
+    # query surface, dead weight in the pin's materialization here).
+    bp = (
+        boilerplate_removal(
+            cand0,
+            seg_chars=BP_SEG_CHARS,
+            min_docs=BP_MIN_DOCS,
+            max_removed_frac=BP_MAX_REMOVED_FRAC,
+        )
+        .select("doc_id", "text_clean", "doc_kept")
+        .localCheckpoint(eager=False)
+    )
     cand = (
         bp.filter(F.col("doc_kept"))
         .select("doc_id", F.col("text_clean").alias("text"))
@@ -192,24 +201,34 @@ def curation_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             wsrc = wsrc.repartition(
                 spark.sparkContext.defaultParallelism
             )
-    spans = winnow_contaminated_spans(wsrc, is_bench=is_bench)
-    # Pinned like docs_n/s5: the decontaminated text is the third phase
-    # boundary a production pipeline persists. Without it the winnow
-    # hashing pass re-executes once inside connected_components' eager
-    # edge derivation and once per downstream branch (tok and packed
-    # reference cut through separate join arms of the one disposition
-    # action) — three computes of the most expensive stage instead of
-    # one (measured at sf0.1: whole-DAG cold 23.5 s → 18.0 s, warm
-    # ~9.8 s → ~9.1 s).
+    spans = winnow_contaminated_spans(
+        wsrc, is_bench=is_bench, bench_flag_of_id=True
+    )
+    # Pinned like docs_n/s5: the decontaminated accounting is the third
+    # phase boundary a production pipeline persists. Without it the
+    # winnow hashing pass re-executes once inside connected_components'
+    # eager edge derivation and once per downstream branch (tok and
+    # packed reference cut through separate join arms of the one
+    # disposition action) — three computes of the most expensive stage
+    # instead of one (measured at sf0.1: whole-DAG cold 23.5 s →
+    # 18.0 s, warm ~9.8 s → ~9.1 s). NARROW (r13): the query path
+    # consumes only per-doc NUMBERS from this boundary (n_tokens for
+    # the funnel/packing, clean_len for the domain-cap ordering,
+    # cut_chars for the audit columns) — clean_text itself is needed
+    # only by jobs.py's corpus write, which re-derives it map-side
+    # from the returned spans + s5 (both shared objects, so the winnow
+    # pins are reused) instead of materializing the whole post-cut
+    # corpus inside this pin and shuffling it through the domain-cap
+    # window (guide §2.3 "project before the exchange"/§8).
     cut = (
         cut_spans(s5.select("doc_id", "text"), spans)
         .select(
             "doc_id",
-            "clean_text",
             token_count(F.col("clean_text")).cast("long").alias("n_tokens"),
             (F.col("orig_len") - F.col("clean_len")).cast("long").alias(
                 "cut_chars"
             ),
+            F.col("clean_len").cast("long").alias("clean_len"),
         )
         .localCheckpoint(eager=False)
     )
@@ -225,14 +244,12 @@ def curation_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         F.lit("example"), (F.col("doc_id") % 40).cast("string"), F.lit(".com")
     )
     w_dom = W.partitionBy("domain").orderBy(
-        F.col("clean_len_").desc(), "doc_id"
+        F.col("clean_len").desc(), "doc_id"
     )
     capped = (
         alive.withColumn("domain", domain)
-        .withColumn("clean_len_", F.length("clean_text"))
         .withColumn("cap_rank", F.row_number().over(w_dom))
         .filter(F.col("cap_rank") <= DOMAIN_CAP)
-        .drop("clean_len_")
     )
 
     # leakage-safe grouped split: cluster over banding-trusted STAR
@@ -286,6 +303,7 @@ def curation_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "exact_ranked": exact_ranked,
         "near_losers": near_losers,
         "s5": s5,
+        "spans": spans,
         "cut": cut,
         "capped": capped,
         "packed": packed,

@@ -526,9 +526,13 @@ def _recompute_features(
     pass needs, so publish never re-hashes text:
     (doc_id, lang, bp_kept, passes_all, fp, sig_0..15, wfps,
     text_bp, len_bp, n_tokens_bp)."""
-    segs = boiler_segments(aff_n)
     boiler = _boiler_set(spark, seg_counts_path)
-    bp = strip_with_boiler(segs, boiler).localCheckpoint(eager=False)
+    # narrow pin: only (doc_id, text_clean, doc_kept) are consumed below
+    bp = (
+        strip_with_boiler(aff_n, boiler)
+        .select("doc_id", "text_clean", "doc_kept")
+        .localCheckpoint(eager=False)
+    )
     kept = (
         bp.filter(F.col("doc_kept"))
         .select("doc_id", F.col("text_clean").alias("text"))
@@ -746,8 +750,9 @@ def _admit_batch_locked(
     # pairs in segdocs — segdocs is bucket-partitioned, not
     # generation-purged — so a crossing caused by the batch itself
     # would return the batch's own delta docs as "stale", they'd
-    # appear twice in aff_n, and strip_with_boiler's collect_list
-    # reassembly would DOUBLE their text in the committed features.
+    # appear twice in aff_n, and strip_with_boiler would emit
+    # DUPLICATE feature rows for them within one generation (which
+    # publish's per-(doc, gen) latest-wins cannot resolve).
     # Excluding them is semantically correct always: delta docs are
     # recomputed against the post-merge boiler set regardless. Pinned
     # by test_admit_batch_replay_with_own_crossing_converges.

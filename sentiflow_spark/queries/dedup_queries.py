@@ -1412,5 +1412,7 @@ def dd_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return winnow_contaminated_spans(
-        docs, is_bench=F.col("doc_id") % DECON_SPAN_MOD == 0
+        docs,
+        is_bench=F.col("doc_id") % DECON_SPAN_MOD == 0,
+        bench_flag_of_id=True,
     )

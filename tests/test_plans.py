@@ -793,6 +793,13 @@ SCAN_FANOUT_BASELINE = {
     # the shingle_pair_counts family dropped to 0 visible scans when
     # the shingle stream was pinned inside the operator (r12): sizes
     # and both self-join sides read the one checkpointed explode
+    # 3 narrow pruned re-scans (r13): strip_with_boiler rebuilds clean
+    # text MAP-SIDE from flagged segment positions (the corpus text no
+    # longer crosses the per-doc collect_list exchange at all); the
+    # price is one extra parquet scan of documents for the reassembly
+    # base — the deliberately cheaper side of the materialize/recompute
+    # trade (re-scanning pruned columns beats shuffling the corpus)
+    "dd_boilerplate_lines": {"documents": 3},
     "dd_containment_capped": {"documents": 0},
     "dd_containment_pairs": {"documents": 0},
     "dd_decontaminate": {"documents": 3},
